@@ -1,0 +1,23 @@
+from mcport.engine.simulate import SimulationOutput, assemble_returns, run_simulation
+from mcport.engine.weight_search import (
+    METHODS,
+    MethodResult,
+    PortfolioEval,
+    cal_line,
+    evaluate_portfolios,
+    run_all_methods,
+    run_method,
+)
+
+__all__ = [
+    "METHODS",
+    "MethodResult",
+    "PortfolioEval",
+    "evaluate_portfolios",
+    "run_method",
+    "run_all_methods",
+    "cal_line",
+    "run_simulation",
+    "assemble_returns",
+    "SimulationOutput",
+]

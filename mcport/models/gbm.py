@@ -1,0 +1,188 @@
+"""Correlated geometric-Brownian-motion path engine — pure ``jax.lax`` reference.
+
+This is new-build scope: the reference repo never simulates price paths ("Monte
+Carlo" there means random portfolio *weights* over historical moments,
+app.py:699-717; see SURVEY.md §2 "GBM is implied, not implemented"). BASELINE.json:5
+mandates a correlated-GBM engine anchored on the reference's moment-estimation
+semantics (app.py:679-680: ``mean()*ann`` / ``cov()*ann``, pandas ddof=1).
+
+Model: per-step log increment ``dlogS = m + L z sqrt(dt_scale)`` where ``m`` is the
+estimated per-step mean log return, ``L`` the Cholesky factor of the per-step
+log-return covariance, and ``z ~ N(0, I)``. Estimating ``m`` directly from log
+returns already folds in the -sigma^2/2 Ito correction, so simulated moments match
+the historical estimates by construction.
+
+Everything here is the *reference implementation* for parity tests; the fused
+Pallas kernel in :mod:`mcport.ops.pallas_gbm` must match it draw-distribution-wise
+and beat it on throughput. RNG is Threefry counter-based and folded per step, so
+paths are reproducible, chunkable, and resumable (checkpoint = key + chunk index).
+
+Variance reduction (BASELINE.json:11): ``antithetic=True`` mirrors the z draws of
+the second half of each path block; Sobol/Halton terminal sampling lives in
+:mod:`mcport.models.qmc` and plugs in via :func:`terminal_log_returns_qmc`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+__all__ = [
+    "GBMParams",
+    "estimate_gbm",
+    "simulate_log_paths",
+    "terminal_log_returns",
+    "terminal_log_returns_exact",
+    "portfolio_terminal_returns",
+]
+
+
+@dataclass(frozen=True)
+class GBMParams:
+    """Per-step log-return moments + spot prices.
+
+    ``mean_step`` (A,) and ``chol_step`` (A, A, lower) are in per-step units —
+    i.e. already scaled by the analysis period; one simulated step is one period.
+    """
+
+    s0: np.ndarray         # (A,) spot prices
+    mean_step: np.ndarray  # (A,) per-step mean log return
+    chol_step: np.ndarray  # (A, A) Cholesky of the per-step log-return covariance
+
+    @property
+    def n_assets(self) -> int:
+        return self.s0.shape[-1]
+
+
+def estimate_gbm(prices: np.ndarray, jitter: float = 1e-12) -> GBMParams:
+    """Fit per-step GBM moments from a (T, A) price matrix.
+
+    Log-return mean/cov use the same estimator family as the reference's simple-
+    return moments (mean over T-1 rows, ddof=1 covariance; app.py:679-680), applied
+    to log prices. A tiny diagonal jitter keeps Cholesky PD for near-degenerate
+    universes.
+    """
+    prices = np.asarray(prices, np.float64)
+    logret = np.diff(np.log(prices), axis=0)        # (T-1, A)
+    mean_step = logret.mean(axis=0)
+    cov_step = np.cov(logret, rowvar=False, ddof=1)
+    cov_step = np.atleast_2d(cov_step)
+    a = cov_step.shape[0]
+    chol = np.linalg.cholesky(cov_step + jitter * np.eye(a))
+    return GBMParams(s0=prices[-1].copy(), mean_step=mean_step, chol_step=chol)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic", "dtype"))
+def simulate_log_paths(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    n_paths: int,
+    n_steps: int,
+    antithetic: bool = False,
+    dtype=jnp.float32,
+) -> Array:
+    """Full path simulation → cumulative log returns (n_paths, n_steps, A).
+
+    ``lax.scan`` over steps; z is drawn inside the scan with a per-step folded key
+    so no (steps, paths, A) noise tensor ever materializes in HBM. The time axis is
+    the sequential dimension (SURVEY.md §5: the honest "sequence parallelism" of
+    this workload stays on-chip; the scaling axis across chips is paths).
+    """
+    m = jnp.asarray(mean_step, dtype)
+    lt = jnp.asarray(chol_step, dtype).T            # pre-transpose: z @ L^T
+    a = m.shape[-1]
+    half = n_paths // 2 if antithetic else n_paths
+
+    def step(carry, t):
+        logs = carry
+        zk = jax.random.fold_in(key, t)
+        z = jax.random.normal(zk, (half, a), dtype)
+        if antithetic:
+            z = jnp.concatenate([z, -z], axis=0)
+        logs = logs + m + z @ lt
+        return logs, logs
+
+    init = jnp.zeros((half * 2 if antithetic else n_paths, a), dtype)
+    _, path = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return jnp.moveaxis(path, 0, 1)                 # (paths, steps, A)
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic", "dtype"))
+def terminal_log_returns(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    n_paths: int,
+    n_steps: int,
+    antithetic: bool = False,
+    dtype=jnp.float32,
+) -> Array:
+    """Terminal cumulative log returns (n_paths, A) via the full step recursion.
+
+    Same draws as :func:`simulate_log_paths` but carries only the running log
+    price — O(paths x A) memory regardless of horizon. This is the benchmark
+    workload (path-steps/sec counts paths x steps).
+    """
+    m = jnp.asarray(mean_step, dtype)
+    lt = jnp.asarray(chol_step, dtype).T
+    a = m.shape[-1]
+    half = n_paths // 2 if antithetic else n_paths
+
+    def step(carry, t):
+        zk = jax.random.fold_in(key, t)
+        z = jax.random.normal(zk, (half, a), dtype)
+        if antithetic:
+            z = jnp.concatenate([z, -z], axis=0)
+        return carry + m + z @ lt, None
+
+    init = jnp.zeros((half * 2 if antithetic else n_paths, a), dtype)
+    out, _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic", "dtype"))
+def terminal_log_returns_exact(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    n_paths: int,
+    n_steps: int,
+    antithetic: bool = False,
+    dtype=jnp.float32,
+) -> Array:
+    """Exact terminal sampler: one draw per path.
+
+    The terminal log return of GBM is exactly Gaussian —
+    ``N(n m, n L L')`` — so terminal-only risk stats need a single
+    (paths, A) draw scaled by sqrt(n_steps). Used as the QMC base (dims = A) and
+    as a distributional cross-check of the step recursion.
+    """
+    m = jnp.asarray(mean_step, dtype)
+    lt = jnp.asarray(chol_step, dtype).T
+    a = m.shape[-1]
+    half = n_paths // 2 if antithetic else n_paths
+    z = jax.random.normal(key, (half, a), dtype)
+    if antithetic:
+        z = jnp.concatenate([z, -z], axis=0)
+    scale = jnp.sqrt(jnp.asarray(n_steps, dtype))
+    return n_steps * m + scale * (z @ lt)
+
+
+def portfolio_terminal_returns(terminal_log: Array, weights: Array) -> Array:
+    """Portfolio simple return per path: sum_a w_a (exp(logR_a) - 1).
+
+    weights (A,) or (W, A) → returns (paths,) or (paths, W); the (paths, A) x
+    (A, W) contraction is the MXU-heavy op when scoring many candidate portfolios
+    against simulated paths.
+    """
+    gross = jnp.exp(jnp.asarray(terminal_log)) - 1.0
+    w = jnp.asarray(weights, gross.dtype)
+    if w.ndim == 1:
+        return gross @ w
+    return gross @ w.T

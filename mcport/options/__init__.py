@@ -1,0 +1,30 @@
+from mcport.options.legs import (
+    Legs,
+    LegType,
+    PERSIAN_NAMES,
+    leg_period_return,
+    parse_leg_type,
+    position_return_series,
+)
+from mcport.options.payoff import (
+    calculate_breakeven,
+    calculate_payoff,
+    price_grid,
+    profit_loss_percent,
+)
+from mcport.options.strategies import STRATEGIES, strategy_legs
+
+__all__ = [
+    "Legs",
+    "LegType",
+    "PERSIAN_NAMES",
+    "parse_leg_type",
+    "leg_period_return",
+    "position_return_series",
+    "price_grid",
+    "calculate_payoff",
+    "calculate_breakeven",
+    "profit_loss_percent",
+    "STRATEGIES",
+    "strategy_legs",
+]
