@@ -1,0 +1,294 @@
+"""Fused Pallas TPU kernels for correlated-GBM Monte Carlo.
+
+The north-star component (BASELINE.json:5): draw Threefry-class randoms, apply the
+Cholesky transform, and evolve GBM paths entirely in VMEM — no HBM round-trips per
+step, no (steps, paths, assets) noise tensor ever existing.
+
+Layout choice (the perf-critical decision): state is **asset-major** ``(A_pad,
+block)`` — assets on the 8-wide sublane axis (15 assets pad to 16 rows, ~7% waste),
+paths on the 128-wide lane axis. The naive (paths, assets) layout would pad 15
+assets to 128 lanes and waste 8.5x of all VPU work (RNG + Box-Muller
+transcendentals dominate this kernel, not the MXU).
+
+Two kernels:
+
+- :func:`gbm_terminal_noise` — terminal-only sampler. Uses the algebraic identity
+  ``sum_t(L z_t) = L (sum_t z_t)`` to hoist the Cholesky matmul out of the step
+  loop: per step it only draws + accumulates z, then correlates once. Returns the
+  correlated noise sum so the wrapper can form ``drift + noise`` and the antithetic
+  mirror ``drift - noise`` from one kernel pass.
+- :func:`gbm_path_stats` — full path evolution: per-step Cholesky matmul, running
+  log-price, portfolio value ``V_t = sum_a w_a exp(logS_a)``, running peak and
+  max drawdown. This is the honest "path-steps/sec" workload with path-dependent
+  output (terminal log returns + portfolio terminal + max drawdown).
+
+Box-Muller pairs: each loop iteration draws two uint32 grids, makes two normal
+grids (r cos / r sin), and advances two time steps — 2 transcendental quads per 2
+steps. The per-core PRNG is seeded ``seed + program_id`` for independent
+per-block streams (deterministic, resumable by block index).
+
+Distribution-level parity with :mod:`mcport.models.gbm` (different RNG stream, same
+law) is asserted in tests; both express per-step log increments ``m + L z``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gbm_terminal_noise", "pallas_terminal_log_returns", "gbm_path_stats"]
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bits_to_unit(bits: Array) -> Array:
+    """uint32 → float32 uniform in (0, 1] without an integer→float cast.
+
+    Mosaic has no uint32→f32 conversion, so use the exponent trick: OR the top 23
+    random bits into the mantissa of 1.0f (giving r uniform in [1, 2)), then map to
+    ``2 - r`` ∈ (2^-23, 1.0] — strictly positive, safe under log().
+    """
+    mantissa = bits >> 9
+    one_to_two = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - one_to_two
+
+
+def _boxmuller(u1: Array, u2: Array) -> tuple[Array, Array]:
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _make_normal_pair(interpret: bool, seed_ref, shape):
+    """Normal-pair generator factory.
+
+    Compiled (TPU): the on-core hardware PRNG, seeded once per block program
+    (``seed + program_id`` → independent, resumable per-block streams); the
+    iteration index is ignored because the stream is stateful.
+
+    Interpret (CPU tests): the same Box-Muller pipeline fed by Threefry uniforms
+    keyed on (seed, program_id, iteration) — counter-addressable like the
+    compiled stream, and runnable anywhere. Only the bit source differs; all
+    kernel math is shared between the two modes.
+    """
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def pair(_i: Array) -> tuple[Array, Array]:
+            u1 = _bits_to_unit(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            u2 = _bits_to_unit(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+            return _boxmuller(u1, u2)
+
+        return pair
+
+    base = jax.random.fold_in(jax.random.PRNGKey(0), seed_ref[0])
+    base = jax.random.fold_in(base, pl.program_id(0))
+
+    def pair(i: Array) -> tuple[Array, Array]:
+        k = jax.random.fold_in(base, i)
+        k1, k2 = jax.random.split(k)
+        eps = 0.5 / (1 << 25)
+        u1 = jax.random.uniform(k1, shape, jnp.float32, eps, 1.0)
+        u2 = jax.random.uniform(k2, shape, jnp.float32, eps, 1.0)
+        return _boxmuller(u1, u2)
+
+    return pair
+
+
+# ---------------------------------------------------------------------------
+# terminal-only sampler
+# ---------------------------------------------------------------------------
+
+def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret: bool):
+    a_pad, block = out_ref.shape
+    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+
+    n_pairs = n_steps // 2
+    odd = n_steps % 2 == 1
+
+    def body(i, acc):
+        z1, z2 = normal_pair(i)
+        return acc + z1 + z2
+
+    acc = jax.lax.fori_loop(0, n_pairs, body, jnp.zeros((a_pad, block), jnp.float32))
+    if odd:
+        z1, _ = normal_pair(jnp.asarray(n_pairs, jnp.int32))
+        acc = acc + z1
+    # one Cholesky correlation for the whole horizon: L @ sum_t z_t
+    out_ref[:] = jnp.dot(lt_ref[:], acc, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret")
+)
+def gbm_terminal_noise(
+    seed: Array,
+    chol_step: Array,
+    n_paths: int,
+    n_steps: int,
+    block: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Correlated terminal noise ``L · sum_t z_t`` → (A_pad, n_paths) float32.
+
+    Caller adds the drift. ``seed`` is a scalar int32; block b gets stream
+    ``seed + b`` so any sub-range of paths can be regenerated independently
+    (checkpoint/resume = remembering the block index).
+    """
+    chol = jnp.asarray(chol_step, jnp.float32)
+    a = chol.shape[0]
+    a_pad = max(8, _round_up(a, 8))
+    lt = jnp.zeros((a_pad, a_pad), jnp.float32).at[:a, :a].set(chol)
+    n_pad = _round_up(n_paths, block)
+    grid = n_pad // block
+
+    out = pl.pallas_call(
+        functools.partial(_terminal_noise_kernel, n_steps=n_steps, interpret=interpret),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((a_pad, a_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((a_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), lt)
+    return out
+
+
+def pallas_terminal_log_returns(
+    seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    n_paths: int,
+    n_steps: int,
+    antithetic: bool = False,
+    block: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Terminal cumulative log returns (n_paths, A) — Pallas counterpart of
+    :func:`mcport.models.gbm.terminal_log_returns`.
+
+    With ``antithetic=True`` the second half of the paths mirrors the first
+    half's noise (drift - noise), computed from a single kernel pass over
+    n_paths/2 noise columns.
+    """
+    m = jnp.asarray(mean_step, jnp.float32)
+    a = m.shape[-1]
+    half = n_paths // 2 if antithetic else n_paths
+    noise = gbm_terminal_noise(seed, chol_step, half, n_steps, block, interpret)
+    noise = noise[:a, :half].T                     # (half, A)
+    drift = n_steps * m
+    if antithetic:
+        return jnp.concatenate([drift + noise, drift - noise], axis=0)
+    return drift + noise
+
+
+# ---------------------------------------------------------------------------
+# full path-evolution kernel with path-dependent statistics
+# ---------------------------------------------------------------------------
+
+def _path_stats_kernel(
+    seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int, interpret: bool
+):
+    a_pad, block = term_ref.shape
+    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+
+    m = m_ref[:]          # (a_pad, 1) per-step mean log return
+    lt = lt_ref[:]        # (a_pad, a_pad) Cholesky (lower)
+    w = w_ref[:]          # (a_pad, 1) portfolio weights (zero on padding)
+
+    def one_step(z, carry):
+        acc, peak, dd = carry
+        y = jnp.dot(lt, z, preferred_element_type=jnp.float32)  # correlate: L z_t
+        acc = acc + m + y                                       # log prices
+        v = jnp.sum(w * jnp.exp(acc), axis=0, keepdims=True)    # (1, block) V_t
+        peak = jnp.maximum(peak, v)
+        dd = jnp.minimum(dd, v / peak - 1.0)
+        return acc, peak, dd
+
+    def body(i, carry):
+        z1, z2 = normal_pair(i)
+        carry = one_step(z1, carry)
+        carry = one_step(z2, carry)
+        return carry
+
+    init = (
+        jnp.zeros((a_pad, block), jnp.float32),
+        jnp.ones((1, block), jnp.float32),   # V_0 = sum w = 1
+        jnp.zeros((1, block), jnp.float32),
+    )
+    acc, peak, dd = jax.lax.fori_loop(0, n_steps // 2, body, init)
+    if n_steps % 2 == 1:
+        z1, _ = normal_pair(jnp.asarray(n_steps // 2, jnp.int32))
+        acc, peak, dd = one_step(z1, (acc, peak, dd))
+
+    term_ref[:] = acc
+    v_t = jnp.sum(w * jnp.exp(acc), axis=0, keepdims=True)
+    stats_ref[0:1, :] = v_t - 1.0        # portfolio terminal simple return
+    stats_ref[1:2, :] = dd               # max drawdown of portfolio value
+    stats_ref[2:, :] = jnp.zeros((stats_ref.shape[0] - 2, block), jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret")
+)
+def gbm_path_stats(
+    seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    block: int = 1024,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Full in-VMEM path evolution with portfolio statistics.
+
+    Returns ``(terminal_log (n_paths, A), port_return (n_paths,), max_dd (n_paths,))``
+    for one portfolio weight vector — per-step Cholesky matmul, running peak and
+    drawdown of ``V_t = sum_a w_a exp(logS_a,t)`` computed as the paths evolve.
+    """
+    m = jnp.asarray(mean_step, jnp.float32)
+    chol = jnp.asarray(chol_step, jnp.float32)
+    w = jnp.asarray(weights, jnp.float32)
+    a = m.shape[-1]
+    a_pad = max(8, _round_up(a, 8))
+    m_pad = jnp.zeros((a_pad, 1), jnp.float32).at[:a, 0].set(m)
+    lt_pad = jnp.zeros((a_pad, a_pad), jnp.float32).at[:a, :a].set(chol)
+    w_pad = jnp.zeros((a_pad, 1), jnp.float32).at[:a, 0].set(w)
+    n_pad = _round_up(n_paths, block)
+    grid = n_pad // block
+
+    term, stats = pl.pallas_call(
+        functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((a_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, a_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((a_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((a_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), m_pad, lt_pad, w_pad)
+
+    terminal = term[:a, :n_paths].T
+    return terminal, stats[0, :n_paths], stats[1, :n_paths]

@@ -1,0 +1,135 @@
+"""GBM engine: estimation parity, distributional correctness, variance reduction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.models import (
+    estimate_gbm,
+    portfolio_terminal_returns,
+    qmc_normals,
+    simulate_log_paths,
+    terminal_log_returns,
+    terminal_log_returns_exact,
+)
+
+
+@pytest.fixture(scope="module")
+def params(rng):
+    a = 4
+    t = 300
+    # synthetic correlated price history
+    chol = np.linalg.cholesky(0.02 * (0.6 * np.eye(a) + 0.4))
+    rets = rng.normal(0.002, 1.0, (t, a)) @ chol.T
+    prices = 100 * np.exp(np.cumsum(rets, axis=0))
+    return estimate_gbm(prices)
+
+
+def test_estimate_moments_parity(params, rng):
+    """estimate_gbm reproduces the mean/ddof=1-cov estimator on log returns."""
+    a = 3
+    prices = 50 * np.exp(np.cumsum(rng.normal(0.001, 0.03, (200, a)), axis=0))
+    p = estimate_gbm(prices)
+    lr = np.diff(np.log(prices), axis=0)
+    np.testing.assert_allclose(p.mean_step, lr.mean(0), atol=1e-12)
+    np.testing.assert_allclose(
+        p.chol_step @ p.chol_step.T, np.cov(lr, rowvar=False, ddof=1), atol=1e-9
+    )
+    np.testing.assert_allclose(p.s0, prices[-1], atol=0)
+
+
+def test_terminal_matches_paths(params):
+    """terminal_log_returns is exactly the last slice of simulate_log_paths
+    (same keys, same draws)."""
+    key = jax.random.key(0)
+    kw = dict(n_paths=256, n_steps=16, dtype=jnp.float64)
+    paths = simulate_log_paths(key, params.mean_step, params.chol_step, **kw)
+    term = terminal_log_returns(key, params.mean_step, params.chol_step, **kw)
+    np.testing.assert_allclose(np.asarray(paths[:, -1, :]), np.asarray(term), atol=1e-12)
+
+
+def test_simulated_moments_match_inputs(params):
+    """Sample mean/cov of simulated increments converge to the input moments."""
+    n, steps = 60_000, 8
+    term = terminal_log_returns(
+        jax.random.key(1), params.mean_step, params.chol_step, n, steps, dtype=jnp.float64
+    )
+    term = np.asarray(term)
+    want_mean = params.mean_step * steps
+    want_cov = (params.chol_step @ params.chol_step.T) * steps
+    se = np.sqrt(np.diag(want_cov) / n)
+    np.testing.assert_allclose(term.mean(0), want_mean, atol=float(5 * se.max()))
+    np.testing.assert_allclose(np.cov(term, rowvar=False), want_cov, rtol=0.08, atol=1e-4)
+
+
+def test_exact_terminal_distribution(params):
+    """Step recursion and exact single-draw sampler agree in distribution."""
+    n, steps = 50_000, 32
+    a = terminal_log_returns(
+        jax.random.key(2), params.mean_step, params.chol_step, n, steps, dtype=jnp.float64
+    )
+    b = terminal_log_returns_exact(
+        jax.random.key(3), params.mean_step, params.chol_step, n, steps, dtype=jnp.float64
+    )
+    a, b = np.asarray(a), np.asarray(b)
+    se = a.std(0) / np.sqrt(n)
+    np.testing.assert_allclose(a.mean(0), b.mean(0), atol=float(6 * se.max()))
+    np.testing.assert_allclose(a.std(0), b.std(0), rtol=0.05)
+
+
+def test_antithetic_pairs_cancel(params):
+    """Antithetic halves mirror exactly: mean of (z, -z) increments equals drift."""
+    n, steps = 128, 4
+    term = terminal_log_returns(
+        jax.random.key(4), params.mean_step, params.chol_step, n, steps,
+        antithetic=True, dtype=jnp.float64,
+    )
+    term = np.asarray(term)
+    pair_mean = 0.5 * (term[: n // 2] + term[n // 2 :])
+    np.testing.assert_allclose(
+        pair_mean, np.broadcast_to(params.mean_step * steps, pair_mean.shape), atol=1e-12
+    )
+
+
+def test_antithetic_variance_reduction(params):
+    """Antithetic sampling shrinks the drift-estimator variance."""
+    steps, n, reps = 4, 4096, 20
+    w = np.full(params.n_assets, 1.0 / params.n_assets)
+    est_plain, est_anti = [], []
+    for r in range(reps):
+        t1 = terminal_log_returns(
+            jax.random.key(100 + r), params.mean_step, params.chol_step, n, steps,
+            dtype=jnp.float64,
+        )
+        t2 = terminal_log_returns(
+            jax.random.key(200 + r), params.mean_step, params.chol_step, n, steps,
+            antithetic=True, dtype=jnp.float64,
+        )
+        est_plain.append(float(portfolio_terminal_returns(t1, w).mean()))
+        est_anti.append(float(portfolio_terminal_returns(t2, w).mean()))
+    assert np.var(est_anti) < np.var(est_plain)
+
+
+def test_portfolio_terminal_returns(params):
+    term = terminal_log_returns(
+        jax.random.key(5), params.mean_step, params.chol_step, 64, 8, dtype=jnp.float64
+    )
+    w = np.array([0.5, 0.2, 0.2, 0.1])
+    got = np.asarray(portfolio_terminal_returns(term, w))
+    want = (np.exp(np.asarray(term)) - 1.0) @ w
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # batch of candidate weight vectors
+    wmat = np.stack([w, np.ones(4) / 4])
+    got2 = np.asarray(portfolio_terminal_returns(term, wmat))
+    assert got2.shape == (64, 2)
+    np.testing.assert_allclose(got2[:, 0], want, atol=1e-12)
+
+
+def test_reproducible_and_key_sensitivity(params):
+    kw = dict(n_paths=32, n_steps=4, dtype=jnp.float32)
+    a = terminal_log_returns(jax.random.key(7), params.mean_step, params.chol_step, **kw)
+    b = terminal_log_returns(jax.random.key(7), params.mean_step, params.chol_step, **kw)
+    c = terminal_log_returns(jax.random.key(8), params.mean_step, params.chol_step, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))

@@ -1,0 +1,111 @@
+"""Pallas GBM kernels vs the lax reference engine (interpret mode on CPU).
+
+Distribution-level parity: the kernels use the on-core PRNG (different stream from
+Threefry), so tests compare moments/quantiles against the lax reference and exact
+analytics, not draw-for-draw values (SURVEY.md §4 "kernel tests").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.models.gbm import terminal_log_returns
+from mcport.ops.pallas_gbm import gbm_path_stats, pallas_terminal_log_returns
+
+A = 4
+MEAN = np.array([0.001, 0.002, -0.0005, 0.0015])
+CHOL = np.linalg.cholesky(
+    0.0004 * (0.55 * np.eye(A) + 0.45 * np.ones((A, A)))
+)
+KW = dict(interpret=True, block=128)
+
+
+def test_terminal_shape_and_padding():
+    out = pallas_terminal_log_returns(0, MEAN, CHOL, n_paths=300, n_steps=5, **KW)
+    assert out.shape == (300, A)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_terminal_moments_match_reference():
+    n, steps = 20_000, 12
+    got = np.asarray(pallas_terminal_log_returns(1, MEAN, CHOL, n, steps, **KW))
+    ref = np.asarray(
+        terminal_log_returns(jax.random.key(1), MEAN, CHOL, n, steps, dtype=jnp.float32)
+    )
+    want_mean = MEAN * steps
+    want_cov = (CHOL @ CHOL.T) * steps
+    se = np.sqrt(np.diag(want_cov) / n)
+    np.testing.assert_allclose(got.mean(0), want_mean, atol=float(5 * se.max()))
+    np.testing.assert_allclose(np.cov(got, rowvar=False), want_cov, rtol=0.1, atol=1e-5)
+    # same law as the lax engine
+    np.testing.assert_allclose(got.mean(0), ref.mean(0), atol=float(8 * se.max()))
+    np.testing.assert_allclose(got.std(0), ref.std(0), rtol=0.05)
+
+
+def test_terminal_odd_steps():
+    got = np.asarray(pallas_terminal_log_returns(2, MEAN, CHOL, 10_000, 7, **KW))
+    np.testing.assert_allclose(
+        got.std(0), np.sqrt(np.diag(CHOL @ CHOL.T) * 7), rtol=0.08
+    )
+
+
+def test_terminal_antithetic_mirror():
+    n, steps = 256, 6
+    out = np.asarray(
+        pallas_terminal_log_returns(3, MEAN, CHOL, n, steps, antithetic=True, **KW)
+    )
+    drift = MEAN * steps
+    # second half mirrors the first half's noise exactly
+    np.testing.assert_allclose(
+        out[: n // 2] - drift, -(out[n // 2 :] - drift), atol=1e-6
+    )
+
+
+def test_blocks_are_independent_streams():
+    out = np.asarray(pallas_terminal_log_returns(4, MEAN, CHOL, 256, 4, **KW))
+    b0, b1 = out[:128], out[128:]
+    assert not np.allclose(b0, b1)
+    # determinism: same seed → identical result
+    again = np.asarray(pallas_terminal_log_returns(4, MEAN, CHOL, 256, 4, **KW))
+    np.testing.assert_array_equal(out, again)
+
+
+def test_path_stats_portfolio_consistency():
+    n, steps = 4_000, 10
+    w = np.array([0.4, 0.3, 0.2, 0.1])
+    term, port, dd = gbm_path_stats(5, MEAN, CHOL, w, n, steps, **KW)
+    term, port, dd = np.asarray(term), np.asarray(port), np.asarray(dd)
+    assert term.shape == (n, A) and port.shape == (n,) and dd.shape == (n,)
+    # portfolio terminal return recomputed from terminal log prices
+    want_port = (np.exp(term) * w).sum(1) - 1.0
+    np.testing.assert_allclose(port, want_port, atol=1e-5)
+    # drawdown bounds: in [-1, 0], and <= terminal-implied drawdown
+    assert (dd <= 1e-6).all() and (dd >= -1.0).all()
+    # a path whose terminal value sits below peak must have dd <= V_T/peak - 1 <= V_T - 1
+    neg = want_port < 0
+    assert (dd[neg] <= want_port[neg] + 1e-5).all()
+
+
+def test_path_stats_moments():
+    n, steps = 20_000, 8
+    w = np.full(A, 0.25)
+    term, _, _ = gbm_path_stats(6, MEAN, CHOL, w, n, steps, **KW)
+    term = np.asarray(term)
+    want_cov = (CHOL @ CHOL.T) * steps
+    se = np.sqrt(np.diag(want_cov) / n)
+    np.testing.assert_allclose(term.mean(0), MEAN * steps, atol=float(5 * se.max()))
+    np.testing.assert_allclose(np.cov(term, rowvar=False), want_cov, rtol=0.1, atol=1e-5)
+
+
+def test_path_stats_zero_vol_drawdown():
+    """Deterministic sanity: zero volatility → V_t monotone in sign(m), dd known."""
+    m = np.array([-0.01, -0.01, -0.01, -0.01])
+    chol0 = np.zeros((A, A))
+    w = np.full(A, 0.25)
+    steps = 5
+    term, port, dd = gbm_path_stats(7, m, chol0, w, 64, steps, **KW)
+    want_v = np.exp(-0.01 * steps)
+    np.testing.assert_allclose(np.asarray(port), want_v - 1.0, atol=1e-6)
+    # strictly decreasing value → max drawdown is terminal vs initial peak 1
+    np.testing.assert_allclose(np.asarray(dd), want_v - 1.0, atol=1e-6)
