@@ -1,0 +1,221 @@
+"""Chunked, checkpointable Monte-Carlo risk engine (single-chip driver loop).
+
+SURVEY.md §5 "Checkpoint / resume": the engine is a deterministic function of
+(moments, seed, config); a block ``b`` always draws stream ``seed + (b+1) *
+SEED_STRIDE`` regardless of when or where it runs, so checkpointing is just
+serializing ``(next_block, moment accumulators, histogram counts)`` — needed for
+the 16M-path tail-risk config (BASELINE.json:10) on preemptible TPUs.
+
+The per-block update stays on device (moments/histogram fold in-place); state only
+crosses to host on explicit ``save``. Backends: the fused Pallas terminal kernel on
+TPU, the lax reference elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mcport.config import GBMConfig, SketchConfig
+from mcport.models.gbm import GBMParams, portfolio_terminal_returns, terminal_log_returns
+from mcport.ops.quantile import (
+    MomentState,
+    finalize_moments,
+    histogram,
+    init_moments,
+    sketch_var_cvar,
+    update_moments,
+)
+from mcport.parallel.sharded_mc import SEED_STRIDE
+
+__all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc", "load_checkpoint"]
+
+
+@dataclass
+class MCCheckpoint:
+    """Serializable engine state. ``next_block`` is the resume cursor."""
+
+    seed: int
+    n_steps: int
+    block_paths: int
+    n_blocks: int
+    next_block: int
+    count: np.ndarray
+    sum: np.ndarray
+    outer: np.ndarray
+    hist: np.ndarray
+    port_sum: np.ndarray
+    antithetic: bool = False
+
+    def save(self, path: str | Path) -> None:
+        np.savez(
+            path,
+            **{f.name: getattr(self, f.name) for f in dataclasses.fields(self)},
+        )
+
+    @property
+    def done(self) -> bool:
+        return self.next_block >= self.n_blocks
+
+
+def load_checkpoint(path: str | Path) -> MCCheckpoint:
+    with np.load(path) as z:
+        return MCCheckpoint(
+            seed=int(z["seed"]),
+            n_steps=int(z["n_steps"]),
+            block_paths=int(z["block_paths"]),
+            n_blocks=int(z["n_blocks"]),
+            next_block=int(z["next_block"]),
+            count=z["count"],
+            sum=z["sum"],
+            outer=z["outer"],
+            hist=z["hist"],
+            port_sum=z["port_sum"],
+            antithetic=bool(z["antithetic"]),
+        )
+
+
+@dataclass(frozen=True)
+class RiskReport:
+    """Final risk statistics of a (possibly multi-session) MC run."""
+
+    mean: np.ndarray    # (A,) terminal log-return mean
+    cov: np.ndarray     # (A, A)
+    var: float          # portfolio VaR at alpha (simple-return units)
+    cvar: float
+    port_mean: float
+    n_paths: int
+
+
+@partial(jax.jit, static_argnames=("block_paths", "n_steps", "use_pallas", "antithetic", "sketch"))
+def _block_update(
+    block_seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    moments: MomentState,
+    hist: Array,
+    port_sum: Array,
+    block_paths: int,
+    n_steps: int,
+    use_pallas: bool,
+    antithetic: bool,
+    sketch: SketchConfig,
+):
+    if use_pallas:
+        from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+
+        term = pallas_terminal_log_returns(
+            block_seed, mean_step, chol_step, block_paths, n_steps, antithetic=antithetic
+        )
+    else:
+        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+        term = terminal_log_returns(
+            key, mean_step, chol_step, block_paths, n_steps, antithetic=antithetic
+        )
+    port = portfolio_terminal_returns(term, weights)
+    return (
+        update_moments(moments, term),
+        hist + histogram(port, sketch),
+        port_sum + port.sum(),
+    )
+
+
+def run_resumable_mc(
+    params: GBMParams,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig = SketchConfig(),
+    alpha: float = 0.95,
+    checkpoint: MCCheckpoint | None = None,
+    max_blocks: int | None = None,
+    checkpoint_path: str | Path | None = None,
+) -> tuple[RiskReport, MCCheckpoint]:
+    """Run (or resume) a chunked MC risk computation.
+
+    ``max_blocks`` bounds this call's work (preemption simulation / incremental
+    runs); pass the returned checkpoint (or its saved file) to continue. Identical
+    final state regardless of how the blocks were split across calls.
+    """
+    a = params.n_assets
+    block_paths = config.path_block
+    if config.n_paths % block_paths:
+        raise ValueError(f"n_paths {config.n_paths} not divisible by path_block {block_paths}")
+    n_blocks = config.n_paths // block_paths
+
+    if checkpoint is None:
+        ck = MCCheckpoint(
+            seed=config.seed,
+            n_steps=config.n_steps,
+            block_paths=block_paths,
+            n_blocks=n_blocks,
+            next_block=0,
+            count=np.zeros(()),
+            sum=np.zeros(a),
+            outer=np.zeros((a, a)),
+            hist=np.zeros(sketch.n_bins),
+            port_sum=np.zeros(()),
+            antithetic=config.antithetic,
+        )
+    else:
+        ck = checkpoint
+        if (ck.n_steps, ck.block_paths, ck.n_blocks) != (config.n_steps, block_paths, n_blocks):
+            raise ValueError("checkpoint is for a different run configuration")
+
+    dtype = jnp.dtype(config.dtype)
+    mean_step = jnp.asarray(params.mean_step, dtype)
+    chol_step = jnp.asarray(params.chol_step, dtype)
+    w = jnp.asarray(weights, dtype)
+    moments = MomentState(
+        jnp.asarray(ck.count, dtype), jnp.asarray(ck.sum, dtype), jnp.asarray(ck.outer, dtype)
+    )
+    hist = jnp.asarray(ck.hist, dtype)
+    port_sum = jnp.asarray(ck.port_sum, dtype)
+
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    start = ck.next_block
+    stop = n_blocks if max_blocks is None else min(n_blocks, start + max_blocks)
+    for b in range(start, stop):
+        block_seed = jnp.asarray(ck.seed + (b + 1) * SEED_STRIDE, jnp.int32)
+        moments, hist, port_sum = _block_update(
+            block_seed, mean_step, chol_step, w, moments, hist, port_sum,
+            block_paths, config.n_steps, use_pallas, config.antithetic, sketch,
+        )
+
+    jax.block_until_ready(hist)
+    ck = MCCheckpoint(
+        seed=ck.seed,
+        n_steps=ck.n_steps,
+        block_paths=block_paths,
+        n_blocks=n_blocks,
+        next_block=stop,
+        count=np.asarray(moments.count),
+        sum=np.asarray(moments.sum),
+        outer=np.asarray(moments.outer),
+        hist=np.asarray(hist),
+        port_sum=np.asarray(port_sum),
+        antithetic=ck.antithetic,
+    )
+    if checkpoint_path is not None:
+        ck.save(checkpoint_path)
+
+    n_done = int(ck.count) if int(ck.count) else 1
+    mean, cov = finalize_moments(moments)
+    v, c = sketch_var_cvar(hist, alpha, sketch)
+    report = RiskReport(
+        mean=np.asarray(mean),
+        cov=np.asarray(cov),
+        var=float(v),
+        cvar=float(c),
+        port_mean=float(port_sum) / n_done,
+        n_paths=int(ck.count),
+    )
+    return report, ck

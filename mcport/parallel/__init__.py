@@ -1,0 +1,17 @@
+from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
+from mcport.parallel.sharded_mc import (
+    SEED_STRIDE,
+    ShardedRisk,
+    sharded_gbm_risk,
+    sharded_weight_search,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "maybe_initialize_distributed",
+    "ShardedRisk",
+    "sharded_gbm_risk",
+    "sharded_weight_search",
+    "SEED_STRIDE",
+]

@@ -1,0 +1,207 @@
+"""Mesh-sharded Monte-Carlo risk engine (shard_map + XLA collectives).
+
+BASELINE.json:5: "paths shard across chips with psum/all-gather over ICI so
+variance shrinks linearly with pod size". Design:
+
+- every device simulates its own slice of the path space from a **counter-derived
+  seed** (``fold_in(key, axis_index)`` / ``seed + device_idx * stride``) — zero
+  input communication;
+- exact global moments reduce with ``psum`` over the MomentState accumulators
+  (associative adds — the mathematically exact reduction);
+- tail quantiles reduce by ``psum`` of fixed-grid histogram counts
+  (:mod:`mcport.ops.quantile`), so 16M-path VaR/CVaR crosses ICI as one
+  (n_bins,) vector instead of 16M returns (the all-gather-free sketch path);
+- the candidate-portfolio search shards the candidate axis the same way and
+  resolves the global argmax with one tiny ``all_gather`` of per-device bests.
+
+Everything works identically on the CPU 8-device emulation used in CI
+(SURVEY.md §4) and on a real pod; only ``use_pallas`` flips the path generator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mcport.config import SketchConfig
+from mcport.models.gbm import portfolio_terminal_returns, terminal_log_returns
+from mcport.ops.quantile import (
+    MomentState,
+    finalize_moments,
+    histogram,
+    init_moments,
+    sketch_var_cvar,
+    update_moments,
+)
+
+__all__ = ["ShardedRisk", "sharded_gbm_risk", "sharded_weight_search"]
+
+# seed-space stride between devices; each device may use up to this many
+# Pallas block-programs / scan chunks without stream collision
+SEED_STRIDE = 1 << 20
+
+
+class ShardedRisk(NamedTuple):
+    """Globally-reduced risk bundle (identical replica on every device)."""
+
+    mean: Array       # (A,) terminal log-return mean (exact psum reduction)
+    cov: Array        # (A, A) terminal log-return covariance (exact)
+    hist: Array       # (n_bins,) global portfolio-return histogram
+    var: Array        # () VaR at alpha from the sketch
+    cvar: Array       # () CVaR at alpha from the sketch
+    port_mean: Array  # () exact mean portfolio simple return
+
+
+def _local_terminal(seed, mean_step, chol_step, n_local, n_steps, use_pallas, antithetic):
+    if use_pallas:
+        from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+
+        return pallas_terminal_log_returns(
+            seed, mean_step, chol_step, n_local, n_steps, antithetic=antithetic
+        )
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    return terminal_log_returns(
+        key, mean_step, chol_step, n_local, n_steps, antithetic=antithetic
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_paths", "n_steps", "mesh", "alpha", "sketch", "use_pallas", "antithetic", "axis",
+    ),
+)
+def sharded_gbm_risk(
+    seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig = SketchConfig(),
+    use_pallas: bool = False,
+    antithetic: bool = False,
+    axis: str = "paths",
+) -> ShardedRisk:
+    """GBM tail risk over a mesh: n_paths total, split along ``axis``.
+
+    All inputs are replicated (tiny); the path space is partitioned by seed
+    arithmetic, not by sharded inputs — the only cross-device traffic is the
+    psum of (A + A^2 + n_bins + 2) floats.
+    """
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    a = mean_step.shape[-1]
+
+    def local(seed, mean_step, chol_step, weights):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = seed + idx * SEED_STRIDE
+        term = _local_terminal(
+            dev_seed, mean_step, chol_step, n_local, n_steps, use_pallas, antithetic
+        )
+        port = portfolio_terminal_returns(term, weights)
+        moments = update_moments(init_moments(a, term.dtype), term)
+        counts = histogram(port, sketch)
+        psum = lambda x: jax.lax.psum(x, axis)
+        g_moments = MomentState(*map(psum, moments))
+        g_counts = psum(counts)
+        g_port_sum = psum(port.sum())
+        mean, cov = finalize_moments(g_moments)
+        v, c = sketch_var_cvar(g_counts, alpha, sketch)
+        return ShardedRisk(mean, cov, g_counts, v, c, g_port_sum / n_paths)
+
+    spec_in = (P(), P(), P(), P())
+    spec_out = ShardedRisk(P(), P(), P(), P(), P(), P())
+    # check_vma off: outputs are replicated by construction (psum results); the
+    # static varying-axis inference can't see through the seed-derived streams.
+    fn = shard_map(local, mesh=mesh, in_specs=spec_in, out_specs=spec_out, check_vma=False)
+    return fn(
+        jnp.asarray(seed, jnp.int32),
+        jnp.asarray(mean_step),
+        jnp.asarray(chol_step),
+        jnp.asarray(weights),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_candidates", "mesh", "alpha", "objective", "axis"),
+)
+def sharded_weight_search(
+    key: Array,
+    returns: Array,
+    mean_ann: Array,
+    cov_ann: Array,
+    n_candidates: int,
+    mesh: Mesh,
+    min_weights: Array,
+    max_weights: Array,
+    risk_free: float = 0.0,
+    alpha: float = 0.95,
+    objective: str = "sharpe",
+    axis: str = "cand",
+) -> tuple[Array, Array]:
+    """Candidate-axis-sharded weight search → (best_weights (A,), best_metric ()).
+
+    Each device samples and scores ``n_candidates / n_dev`` constrained Dirichlet
+    candidates locally (the (B, A) x (A, T) series matmul stays on-device), then a
+    single ``all_gather`` of per-device (metric, weights) winners resolves the
+    global optimum — the 1M-candidate search of BASELINE.json:9 moves no candidate
+    clouds across ICI.
+    """
+    from mcport.engine.weight_search import evaluate_portfolios
+    from mcport.ops.dirichlet import sample_constrained_weights
+
+    n_dev = mesh.shape[axis]
+    if n_candidates % n_dev:
+        raise ValueError(f"n_candidates {n_candidates} not divisible by axis {n_dev}")
+    n_local = n_candidates // n_dev
+
+    def local(key, returns, mean_ann, cov_ann, min_w, max_w):
+        idx = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key, idx)
+        w, valid = sample_constrained_weights(k, n_local, min_w, max_w)
+        w = w.astype(returns.dtype)
+        ev = evaluate_portfolios(w, returns, mean_ann, cov_ann, risk_free, alpha)
+        if objective == "sharpe":
+            metric = ev.sharpe
+        elif objective == "var_95":
+            metric = ev.var_95     # maximize (least-negative tail)
+        elif objective == "cvar_95":
+            metric = ev.cvar_95
+        else:
+            raise ValueError(f"unknown objective {objective!r}")
+        metric = jnp.where(valid, metric, -jnp.inf)
+        best = jnp.argmax(metric)
+        best_metric = metric[best]
+        best_w = w[best]
+        all_metrics = jax.lax.all_gather(best_metric, axis)     # (n_dev,)
+        all_w = jax.lax.all_gather(best_w, axis)                # (n_dev, A)
+        g = jnp.argmax(all_metrics)
+        return all_w[g], all_metrics[g]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicated by the final all_gather+argmax
+    )
+    return fn(
+        key,
+        jnp.asarray(returns),
+        jnp.asarray(mean_ann),
+        jnp.asarray(cov_ann),
+        jnp.asarray(min_weights),
+        jnp.asarray(max_weights),
+    )

@@ -45,6 +45,17 @@ def std_ddof1(x: Array, axis: int | None = None) -> Array:
     return jnp.std(x, axis=axis, ddof=1)
 
 
+def _is_zero_std(std: Array, scale: Array) -> Array:
+    """True where a std is zero up to reduction-order rounding noise.
+
+    numpy returns an exact 0.0 std for a constant array; XLA's reduction order
+    can leave O(eps * |x|) noise instead, which would defeat the reference's
+    ``std == 0`` guards (app.py:235) — compare against a scale-relative epsilon.
+    """
+    eps = jnp.finfo(std.dtype).eps
+    return std <= 16.0 * eps * jnp.maximum(scale, jnp.finfo(std.dtype).tiny)
+
+
 def sharpe_ratio(returns: Array, risk_free: float = 0.0, ann_factor: int = 12) -> Array:
     """Annualized Sharpe ratio of a per-period return series (app.py:231-236).
 
@@ -55,7 +66,8 @@ def sharpe_ratio(returns: Array, risk_free: float = 0.0, ann_factor: int = 12) -
     mean = jnp.mean(excess)
     std = std_ddof1(excess)
     ratio = (mean / std) * jnp.sqrt(jnp.asarray(ann_factor, dtype=excess.dtype))
-    return jnp.where(std == 0, jnp.zeros_like(ratio), ratio)
+    zero = _is_zero_std(std, jnp.max(jnp.abs(excess)))
+    return jnp.where(zero, jnp.zeros_like(ratio), ratio)
 
 
 def sortino_ratio(returns: Array, risk_free: float = 0.0, ann_factor: int = 12) -> Array:

@@ -1,0 +1,141 @@
+"""Mesh-sharded MC on the 8-device CPU emulation (SURVEY.md §4 multi-chip-without-a-pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.config import SketchConfig
+from mcport.models.gbm import portfolio_terminal_returns, terminal_log_returns
+from mcport.ops.quantile import histogram, sketch_var_cvar
+from mcport.parallel import (
+    make_mesh,
+    make_mesh_2d,
+    sharded_gbm_risk,
+    sharded_weight_search,
+)
+
+A = 4
+MEAN = np.array([0.001, 0.002, -0.0005, 0.0015])
+CHOL = np.linalg.cholesky(0.0004 * (0.55 * np.eye(A) + 0.45))
+W = np.array([0.4, 0.3, 0.2, 0.1])
+SKETCH = SketchConfig(n_bins=4096, lo=-1.0, hi=3.0)
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_devices):
+    return make_mesh(eight_devices)
+
+
+def test_sharded_risk_runs_on_8_devices(mesh):
+    out = sharded_gbm_risk(
+        0, jnp.asarray(MEAN, jnp.float32), jnp.asarray(CHOL, jnp.float32),
+        jnp.asarray(W, jnp.float32),
+        n_paths=16_384, n_steps=16, mesh=mesh, sketch=SKETCH,
+    )
+    assert out.mean.shape == (A,) and out.cov.shape == (A, A)
+    assert float(out.hist.sum()) == 16_384          # every path landed in a bin
+    assert float(out.cvar) <= float(out.var)
+    want_mean = MEAN * 16
+    want_cov = (CHOL @ CHOL.T) * 16
+    se = np.sqrt(np.diag(want_cov) / 16_384)
+    np.testing.assert_allclose(np.asarray(out.mean), want_mean, atol=float(5 * se.max()))
+    np.testing.assert_allclose(np.asarray(out.cov), want_cov, rtol=0.15, atol=1e-5)
+
+
+def test_sharded_matches_single_device_reduction(mesh):
+    """psum'ed sketch/moments == the same computation done unsharded with the
+    same per-device seed layout."""
+    from mcport.parallel.sharded_mc import SEED_STRIDE
+
+    n_paths, n_steps, n_dev = 8_192, 8, 8
+    out = sharded_gbm_risk(
+        7, jnp.asarray(MEAN, jnp.float32), jnp.asarray(CHOL, jnp.float32),
+        jnp.asarray(W, jnp.float32),
+        n_paths=n_paths, n_steps=n_steps, mesh=mesh, sketch=SKETCH,
+    )
+    # replay each device's stream locally
+    terms = []
+    for d in range(n_dev):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), 7 + d * SEED_STRIDE)
+        terms.append(
+            np.asarray(
+                terminal_log_returns(
+                    key, MEAN.astype(np.float32), CHOL.astype(np.float32),
+                    n_paths // n_dev, n_steps, dtype=jnp.float32,
+                )
+            )
+        )
+    term = np.concatenate(terms)
+    port = np.asarray(portfolio_terminal_returns(term, W.astype(np.float32)))
+    counts = np.asarray(histogram(port, SKETCH))
+    np.testing.assert_allclose(np.asarray(out.hist), counts, atol=0)
+    np.testing.assert_allclose(np.asarray(out.mean), term.mean(0), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(out.port_mean), port.mean(), atol=1e-6)
+    v, c = sketch_var_cvar(jnp.asarray(counts), 0.95, SKETCH)
+    np.testing.assert_allclose(float(out.var), float(v), atol=1e-6)
+    np.testing.assert_allclose(float(out.cvar), float(c), atol=1e-6)
+
+
+def test_variance_shrinks_with_more_paths(mesh):
+    """MC error of the mean falls ~1/sqrt(paths) as paths scale across the mesh."""
+    errs = []
+    truth = float(np.exp(MEAN * 8).sum() / A)  # rough anchor; we compare spread not bias
+    for n in (2_048, 32_768):
+        ests = []
+        for s in range(6):
+            out = sharded_gbm_risk(
+                100 + s, jnp.asarray(MEAN, jnp.float32), jnp.asarray(CHOL, jnp.float32),
+                jnp.asarray(np.full(A, 0.25), jnp.float32),
+                n_paths=n, n_steps=8, mesh=mesh, sketch=SKETCH,
+            )
+            ests.append(float(out.port_mean))
+        errs.append(np.std(ests))
+    assert errs[1] < errs[0]  # 16x paths → noticeably smaller spread
+
+
+def test_antithetic_through_mesh(mesh):
+    out = sharded_gbm_risk(
+        3, jnp.asarray(MEAN, jnp.float32), jnp.asarray(CHOL, jnp.float32),
+        jnp.asarray(W, jnp.float32),
+        n_paths=4_096, n_steps=4, mesh=mesh, sketch=SKETCH, antithetic=True,
+    )
+    # antithetic pairs make the terminal-mean estimate exact per device
+    np.testing.assert_allclose(np.asarray(out.mean), MEAN * 4, atol=1e-6)
+
+
+def test_indivisible_paths_raises(mesh):
+    with pytest.raises(ValueError):
+        sharded_gbm_risk(
+            0, jnp.asarray(MEAN, jnp.float32), jnp.asarray(CHOL, jnp.float32),
+            jnp.asarray(W, jnp.float32),
+            n_paths=1_001, n_steps=2, mesh=mesh, sketch=SKETCH,
+        )
+
+
+def test_sharded_weight_search(mesh, rng):
+    t = 100
+    rets = rng.normal(0.01, 0.05, (t, A)).astype(np.float32)
+    mean_ann = rets.mean(0) * 12
+    cov_ann = np.cov(rets, rowvar=False, ddof=1) * 12
+    # 1-D mesh: reuse the paths axis name for candidates
+    w, metric = sharded_weight_search(
+        jax.random.key(0), rets, mean_ann, cov_ann,
+        n_candidates=4_096, mesh=mesh,
+        min_weights=np.zeros(A), max_weights=np.ones(A),
+        risk_free=0.03, objective="sharpe", axis="paths",
+    )
+    w, metric = np.asarray(w), float(metric)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+    # the distributed winner beats (or ties) a small local search
+    from mcport.engine import run_method
+    local = run_method(jax.random.key(1), "Monte Carlo", rets, mean_ann, cov_ann,
+                       risk_free=0.03, n_portfolios=256)
+    assert metric >= local.metric[local.opt_idx] - 1e-6
+
+
+def test_mesh_2d_layout(eight_devices):
+    mesh = make_mesh_2d(4, eight_devices)
+    assert mesh.shape["paths"] == 4 and mesh.shape["cand"] == 2
+    with pytest.raises(ValueError):
+        make_mesh_2d(3, eight_devices)
