@@ -1,0 +1,184 @@
+"""Command-line interface.
+
+The reference has no CLI (its only entry point is ``streamlit run app.py``,
+Procfile:1); this is the batch/automation surface the rebuild adds. Every command
+consumes the same CSV universe the UI does and emits JSON (machine-readable,
+SURVEY.md §5 observability).
+
+Commands:
+  stats      per-asset statistics table (tab 0)
+  simulate   random-weight portfolio search, all methods (tab 2)
+  gbm-risk   correlated-GBM tail risk with the chunked/resumable engine
+  forecast   ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from mcport.config import (
+    Config,
+    DataConfig,
+    ForecastConfig,
+    GBMConfig,
+    PortfolioConfig,
+    SimulationConfig,
+)
+
+
+def _universe(args):
+    from mcport.data import load_universe
+
+    return load_universe(paths=args.csv, config=DataConfig(period=args.period))
+
+
+def _emit(obj) -> None:
+    json.dump(obj, sys.stdout, indent=2, default=float)
+    sys.stdout.write("\n")
+
+
+def cmd_stats(args) -> None:
+    from mcport.stats import STAT_COLUMNS, asset_stats_batch
+
+    d = _universe(args)
+    stats = asset_stats_batch(d.stats_rets.T, d.ann_factor, args.risk_free)
+    table = {
+        name: {k: float(stats[k][i]) for k in STAT_COLUMNS}
+        for i, name in enumerate(d.names)
+    }
+    _emit({"period": args.period, "ann_factor": d.ann_factor, "stats": table})
+
+
+def cmd_simulate(args) -> None:
+    from mcport.engine import run_simulation
+    from mcport.engine.simulate import DEFAULT_METHODS
+
+    d = _universe(args)
+    cfg = Config(
+        portfolio=PortfolioConfig(risk_free=args.risk_free,
+                                  investment_amount=args.investment),
+        simulation=SimulationConfig(n_portfolios=args.n_portfolios, seed=args.seed,
+                                    target_risk=args.target_risk),
+    )
+    methods = args.methods.split(",") if args.methods else DEFAULT_METHODS
+    out = run_simulation(d, cfg, methods=methods)
+    report = {}
+    for m, r in out.results.items():
+        if r.opt_idx < 0:
+            report[m] = {"error": "no constraint-satisfying portfolio"}
+            continue
+        report[m] = {
+            "n_valid": r.n_valid,
+            "weights": dict(zip(d.names, map(float, r.opt_weights))),
+            "allocation_usd": dict(zip(d.names, map(float, r.allocations(args.investment)))),
+            "expected_return_ann": float(r.ret[r.opt_idx]),
+            "volatility_ann": float(r.std[r.opt_idx]),
+            "metric": float(r.metric[r.opt_idx]),
+        }
+    _emit({"methods": report, "assets": list(d.names)})
+
+
+def cmd_gbm_risk(args) -> None:
+    from mcport.engine.mc_engine import load_checkpoint, run_resumable_mc
+    from mcport.models import estimate_gbm
+
+    d = _universe(args)
+    params = estimate_gbm(d.prices)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    cfg = GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
+                    antithetic=args.antithetic, path_block=min(args.paths, 8192),
+                    use_pallas=not args.no_pallas)
+    ck = load_checkpoint(args.checkpoint) if args.resume else None
+    report, ck_out = run_resumable_mc(
+        params, w, cfg, alpha=args.alpha, checkpoint=ck,
+        checkpoint_path=args.checkpoint,
+    )
+    _emit({
+        "n_paths": report.n_paths,
+        "horizon_steps": args.steps,
+        "weights": dict(zip(d.names, map(float, w))),
+        "var": report.var,
+        "cvar": report.cvar,
+        "portfolio_mean_return": report.port_mean,
+        "terminal_log_mean": report.mean.tolist(),
+        "done": ck_out.done,
+    })
+
+
+def cmd_forecast(args) -> None:
+    from mcport.models import forecast_prices
+
+    d = _universe(args)
+    horizons = tuple(int(h) for h in args.horizons.split(","))
+    out = {}
+    for i, name in enumerate(d.names):
+        f = forecast_prices(d.prices[:, i], ForecastConfig(horizons=horizons))
+        out[name] = {
+            str(h): {"price": hf.price, "conf_int": list(hf.conf_int),
+                     "fallback": hf.fallback}
+            for h, hf in f.items()
+        }
+    _emit({"horizons": list(horizons), "forecasts": out})
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mcport", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("csv", nargs="+", help="asset CSV files (investing.com/yfinance format)")
+        sp.add_argument("--period", default="M", choices=["M", "Q", "W", "D"],
+                        help="analysis period (resample rule)")
+        sp.add_argument("--risk-free", type=float, default=0.03,
+                        help="annual risk-free rate, decimal")
+
+    sp = sub.add_parser("stats", help="per-asset statistics table")
+    common(sp)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("simulate", help="random-weight portfolio search")
+    common(sp)
+    sp.add_argument("--n-portfolios", type=int, default=2500)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--investment", type=float, default=10_000.0)
+    sp.add_argument("--target-risk", type=float, default=0.30)
+    sp.add_argument("--methods", default=None,
+                    help="comma list (default: all six)")
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("gbm-risk", help="correlated-GBM tail risk")
+    common(sp)
+    sp.add_argument("--paths", type=int, default=100_000)
+    sp.add_argument("--steps", type=int, default=252)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--weights", default=None, help="comma list; default equal")
+    sp.add_argument("--antithetic", action="store_true")
+    sp.add_argument("--no-pallas", action="store_true", help="force the lax engine")
+    sp.add_argument("--checkpoint", default=None, help="npz checkpoint path")
+    sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    sp.set_defaults(fn=cmd_gbm_risk)
+
+    sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")
+    common(sp)
+    sp.add_argument("--horizons", default="1,3,6")
+    sp.set_defaults(fn=cmd_forecast)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,9 @@ from mcport.models.gbm import (
     terminal_log_returns,
     terminal_log_returns_exact,
 )
+from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
+from mcport.models.forecast import HorizonForecast, forecast_prices
+from mcport.models.garch import Garch11Fit, fit_garch_11, forecast_garch_variance
 from mcport.models.qmc import halton, qmc_normals, sobol
 
 __all__ = [
@@ -18,4 +21,12 @@ __all__ = [
     "halton",
     "sobol",
     "qmc_normals",
+    "Arima111Fit",
+    "fit_arima_111",
+    "forecast_arima",
+    "Garch11Fit",
+    "fit_garch_11",
+    "forecast_garch_variance",
+    "HorizonForecast",
+    "forecast_prices",
 ]

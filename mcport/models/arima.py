@@ -1,0 +1,104 @@
+"""ARIMA(1,1,1) — JAX-native fit + forecast.
+
+The reference calls ``statsmodels.tsa.arima.model.ARIMA(returns, order=(1,1,1))``
+(app.py:343-345). statsmodels is not in this environment, so mcport implements the
+model directly: difference once, fit ARMA(1,1) without constant (statsmodels'
+default for d >= 1) by conditional-sum-of-squares maximum likelihood — the
+innovation recursion runs as a ``lax.scan``, gradients come from ``jax.grad``, and
+the 2-parameter optimization uses scipy L-BFGS-B on host (the fit is a few-hundred
+-point series; this is forecast-tier work, not the TPU hot path).
+
+Forecasts integrate back to the undifferenced scale, matching
+``ARIMA(...).fit().forecast(steps=h)`` semantics used at app.py:345,353.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+__all__ = ["Arima111Fit", "fit_arima_111", "forecast_arima"]
+
+
+@dataclass(frozen=True)
+class Arima111Fit:
+    phi: float        # AR(1) coefficient on the differenced series
+    theta: float      # MA(1) coefficient
+    sigma2: float     # innovation variance (CSS estimate)
+    last_y: float     # last differenced observation
+    last_eps: float   # last fitted innovation
+    last_level: float # last undifferenced observation (for integration)
+
+
+@partial(jax.jit, static_argnames=())
+def _css_loss(params: Array, y: Array) -> Array:
+    """Conditional SSR of ARMA(1,1): eps_t = y_t - phi y_{t-1} - theta eps_{t-1}."""
+    phi, theta = params[0], params[1]
+
+    def step(eps_prev, inp):
+        y_t, y_prev = inp
+        eps = y_t - phi * y_prev - theta * eps_prev
+        return eps, eps
+
+    _, eps = jax.lax.scan(step, jnp.zeros((), y.dtype), (y[1:], y[:-1]))
+    return jnp.sum(eps**2)
+
+
+_css_grad = jax.jit(jax.value_and_grad(_css_loss))
+
+
+def fit_arima_111(series: np.ndarray) -> Arima111Fit:
+    """Fit ARIMA(1,1,1) to a 1-D series (the reference passes *returns*)."""
+    from scipy.optimize import minimize
+
+    x = np.asarray(series, np.float64)
+    if x.size < 5:
+        raise ValueError("series too short for ARIMA(1,1,1)")
+    y = np.diff(x)
+    yj = jnp.asarray(y)
+
+    def fun(p):
+        v, g = _css_grad(jnp.asarray(p), yj)
+        return float(v), np.asarray(g, np.float64)
+
+    best = None
+    for p0 in ([0.0, 0.0], [0.3, -0.3], [-0.3, 0.3]):
+        res = minimize(fun, np.asarray(p0), jac=True, method="L-BFGS-B",
+                       bounds=[(-0.999, 0.999), (-0.999, 0.999)])
+        if best is None or res.fun < best.fun:
+            best = res
+    phi, theta = float(best.x[0]), float(best.x[1])
+
+    # final innovation pass for forecasting state
+    eps = 0.0
+    for t in range(1, y.size):
+        eps = y[t] - phi * y[t - 1] - theta * eps
+    n_eff = max(y.size - 1, 1)
+    return Arima111Fit(
+        phi=phi,
+        theta=theta,
+        sigma2=float(best.fun) / n_eff,
+        last_y=float(y[-1]),
+        last_eps=float(eps),
+        last_level=float(x[-1]),
+    )
+
+
+def forecast_arima(fit: Arima111Fit, steps: int) -> np.ndarray:
+    """h-step forecast on the original (undifferenced) scale.
+
+    Differenced forecasts: dy_1 = phi*y_T + theta*eps_T, dy_k = phi*dy_{k-1};
+    levels integrate cumulatively from the last observation — the shape of
+    ``statsmodels .forecast(steps)`` output the reference consumes (app.py:345).
+    """
+    dy = np.empty(steps)
+    prev = fit.phi * fit.last_y + fit.theta * fit.last_eps
+    for k in range(steps):
+        dy[k] = prev
+        prev = fit.phi * prev
+    return fit.last_level + np.cumsum(dy)
