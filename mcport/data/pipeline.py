@@ -68,7 +68,16 @@ def combine_prices(
     if not isinstance(prices.index, pd.DatetimeIndex):
         prices.index = pd.to_datetime(prices.index)
     prices = prices.sort_index()
-    return prices.resample(resample_rule).last().dropna()
+    out = prices.resample(resample_rule).last().dropna()
+    if out.empty:
+        # The reference would silently carry an empty frame into the stats/sim
+        # tabs and crash later; fail at the boundary instead (mixing calendars,
+        # e.g. weekly-dated with daily-dated files, is the usual cause).
+        raise ValueError(
+            "inner join of asset histories is empty after resampling - "
+            "the assets share no common dates (check mixed daily/weekly files)"
+        )
+    return out
 
 
 def stats_returns(resampled_prices: pd.DataFrame) -> pd.DataFrame:

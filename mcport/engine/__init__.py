@@ -1,9 +1,16 @@
 from mcport.engine.simulate import SimulationOutput, assemble_returns, run_simulation
+from mcport.engine.mc_engine import (
+    MCCheckpoint,
+    RiskReport,
+    load_checkpoint,
+    run_resumable_mc,
+)
 from mcport.engine.weight_search import (
     METHODS,
     MethodResult,
     PortfolioEval,
     cal_line,
+    efficient_frontier,
     evaluate_portfolios,
     run_all_methods,
     run_method,
@@ -20,4 +27,9 @@ __all__ = [
     "run_simulation",
     "assemble_returns",
     "SimulationOutput",
+    "efficient_frontier",
+    "MCCheckpoint",
+    "RiskReport",
+    "run_resumable_mc",
+    "load_checkpoint",
 ]

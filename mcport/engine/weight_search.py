@@ -50,6 +50,7 @@ __all__ = [
     "run_method",
     "run_all_methods",
     "cal_line",
+    "efficient_frontier",
 ]
 
 # Reference method table (app.py:671-677): name -> (stored-metric kind, colorscale).
@@ -242,6 +243,42 @@ def run_all_methods(
         m: run_method(k, m, returns, mean_ann, cov_ann, **kwargs)
         for m, k in zip(methods, keys)
     }
+
+
+def efficient_frontier(
+    mean_returns,
+    cov_matrix,
+    points: int = 200,
+    min_weights=None,
+    max_weights=None,
+    seed: int = 0,
+):
+    """Random-portfolio frontier cloud — API parity with the reference's
+    ``efficient_frontier`` (app.py:265-284; defined but never called there).
+
+    Returns ``(results (3, points), weight_record (points, A))`` with rows
+    (std, return, return/std) like the original. Differences (documented):
+    the original's 100-retry loop falls through *using the last draw even when
+    invalid* (SURVEY.md §2); here rows that never satisfied the bounds are
+    returned with NaN metrics instead of silently-invalid weights.
+    """
+    mean_returns = jnp.asarray(mean_returns)
+    cov_matrix = jnp.asarray(cov_matrix)
+    a = mean_returns.shape[-1]
+    min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
+    max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
+    w, valid = sample_constrained_weights(jax.random.key(seed), points, min_w, max_w)
+    w = w.astype(mean_returns.dtype)
+    ret = w @ mean_returns
+    std = jnp.sqrt(jnp.maximum(jnp.einsum("na,ab,nb->n", w, cov_matrix, w), 0.0))
+    ratio = jnp.where(std > 0, ret / jnp.where(std > 0, std, 1.0), 0.0)
+    nan = jnp.asarray(jnp.nan, ret.dtype)
+    results = jnp.stack([
+        jnp.where(valid, std, nan),
+        jnp.where(valid, ret, nan),
+        jnp.where(valid, ratio, nan),
+    ])
+    return np.asarray(results), np.asarray(w)
 
 
 def cal_line(risk_free: float, sharpe_star: float, max_risk: float, n: int = 100):

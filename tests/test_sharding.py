@@ -127,11 +127,24 @@ def test_sharded_weight_search(mesh, rng):
     )
     w, metric = np.asarray(w), float(metric)
     np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
-    # the distributed winner beats (or ties) a small local search
-    from mcport.engine import run_method
-    local = run_method(jax.random.key(1), "Monte Carlo", rets, mean_ann, cov_ann,
-                       risk_free=0.03, n_portfolios=256)
-    assert metric >= local.metric[local.opt_idx] - 1e-6
+    # deterministic cross-check: replay each device's exact stream locally and
+    # confirm the all_gather'd global argmax equals the replayed global best
+    from mcport.engine import evaluate_portfolios
+    from mcport.ops.dirichlet import sample_constrained_weights
+
+    best_metric, best_w = -np.inf, None
+    for dev in range(8):
+        k = jax.random.fold_in(jax.random.key(0), dev)
+        wd, valid = sample_constrained_weights(k, 4_096 // 8, np.zeros(A), np.ones(A))
+        wd = np.asarray(wd, np.float32)
+        ev = evaluate_portfolios(wd, rets, mean_ann.astype(np.float32),
+                                 cov_ann.astype(np.float32), risk_free=0.03)
+        sharpe = np.where(np.asarray(valid), np.asarray(ev.sharpe), -np.inf)
+        i = int(np.argmax(sharpe))
+        if sharpe[i] > best_metric:
+            best_metric, best_w = float(sharpe[i]), wd[i]
+    assert metric == pytest.approx(best_metric, rel=1e-5)
+    np.testing.assert_allclose(w, best_w, atol=1e-6)
 
 
 def test_mesh_2d_layout(eight_devices):
