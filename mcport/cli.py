@@ -33,7 +33,8 @@ from mcport.config import (
 def _universe(args):
     from mcport.data import load_universe
 
-    return load_universe(paths=args.csv, config=DataConfig(period=args.period))
+    return load_universe(paths=args.csv, config=DataConfig(period=args.period),
+                         loader=getattr(args, "loader", "pandas"))
 
 
 def _emit(obj) -> None:
@@ -140,6 +141,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="analysis period (resample rule)")
         sp.add_argument("--risk-free", type=float, default=0.03,
                         help="annual risk-free rate, decimal")
+        sp.add_argument("--loader", default="pandas", choices=["pandas", "native", "auto"],
+                        help="CSV parser: pandas (reference semantics) or the C++ fast path")
 
     sp = sub.add_parser("stats", help="per-asset statistics table")
     common(sp)

@@ -1,4 +1,5 @@
 from mcport.data.csv_loader import CsvFormatError, read_csv_file, try_read_csv_file
+from mcport.data.fast_loader import build_native, native_available, read_csv_file_native
 from mcport.data.pipeline import (
     PriceData,
     annualized_moments,
@@ -23,4 +24,7 @@ __all__ = [
     "PriceData",
     "get_price_dataframe_from_yf",
     "download_prices",
+    "read_csv_file_native",
+    "native_available",
+    "build_native",
 ]

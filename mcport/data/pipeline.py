@@ -122,17 +122,31 @@ def load_universe(
     paths: Sequence[str | Path] | None = None,
     named_dfs: Sequence[tuple[str, pd.DataFrame]] | None = None,
     config: DataConfig = DataConfig(),
+    loader: str = "pandas",
 ) -> PriceData:
     """Load CSVs (or pre-read frames), join, resample and compute returns/moments.
 
     The asset name for a CSV path is the file stem up to the first '.'
-    (app.py:389 uses ``file.name.split('.')[0]``).
+    (app.py:389 uses ``file.name.split('.')[0]``). ``loader``: "pandas" (default,
+    reference-semantics), "native" (C++ fast path, verified equal on fixtures),
+    or "auto" (native when available).
     """
+    if loader == "auto":
+        from mcport.data.fast_loader import native_available
+
+        loader = "native" if native_available() else "pandas"
+    if loader == "native":
+        from mcport.data.fast_loader import read_csv_file_native as _read
+    elif loader == "pandas":
+        _read = read_csv_file
+    else:
+        raise ValueError(f"unknown loader {loader!r}; expected pandas|native|auto")
+
     pairs: list[tuple[str, pd.DataFrame]] = []
     if paths:
         for p in paths:
             p = Path(p)
-            pairs.append((p.name.split(".")[0], read_csv_file(p, config)))
+            pairs.append((p.name.split(".")[0], _read(p, config)))
     if named_dfs:
         pairs.extend(named_dfs)
     if not pairs:
