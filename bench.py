@@ -54,8 +54,9 @@ def main() -> None:
     # before remote completion; host<->device traffic is erratic): run K and 2K
     # reps inside on-device fori_loops whose iterations are data-chained (the
     # next seed depends on the previous sum, so reps cannot overlap or be
-    # elided), force completion with a scalar value fetch, and take the
-    # difference — fetch/dispatch overhead cancels, leaving K * per-rep time.
+    # elided), force completion with a scalar VALUE fetch (block_until_ready
+    # alone is not trustworthy here), and take the difference — fetch/dispatch
+    # overhead cancels, leaving K * per-rep time.
     def make_loop(k):
         @jax.jit
         def loop(seed0):
@@ -65,13 +66,14 @@ def main() -> None:
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return loop
 
+    float(jnp.zeros(()).sum())                 # warm the transfer path first
     loop_k, loop_2k = make_loop(REPS), make_loop(2 * REPS)
-    float(loop_k(jnp.asarray(0, jnp.int32)))   # compile + warm the transfer path
+    float(loop_k(jnp.asarray(0, jnp.int32)))   # compile
     float(loop_2k(jnp.asarray(0, jnp.int32)))
 
     def timed(fn, seed):
         t0 = time.perf_counter()
-        fn(jnp.asarray(seed, jnp.int32)).block_until_ready()
+        float(fn(jnp.asarray(seed, jnp.int32)))  # value fetch = true completion
         return time.perf_counter() - t0
 
     t_k = min(timed(loop_k, 11), timed(loop_k, 13))

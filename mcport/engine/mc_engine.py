@@ -94,37 +94,60 @@ class RiskReport:
     n_paths: int
 
 
-@partial(jax.jit, static_argnames=("block_paths", "n_steps", "use_pallas", "antithetic", "sketch"))
-def _block_update(
-    block_seed: Array,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_dispatch_blocks", "block_paths", "n_steps", "use_pallas", "antithetic", "sketch",
+    ),
+)
+def _blocks_update(
+    seed: Array,
+    first_block: Array,
     mean_step: Array,
     chol_step: Array,
     weights: Array,
     moments: MomentState,
     hist: Array,
     port_sum: Array,
+    n_dispatch_blocks: int,
     block_paths: int,
     n_steps: int,
     use_pallas: bool,
     antithetic: bool,
     sketch: SketchConfig,
 ):
-    if use_pallas:
-        from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+    """Fold ``n_dispatch_blocks`` consecutive path blocks in ONE device dispatch.
 
-        term = pallas_terminal_log_returns(
-            block_seed, mean_step, chol_step, block_paths, n_steps, antithetic=antithetic
+    Block b (absolute index) always draws stream ``seed + (b+1)*SEED_STRIDE``
+    and blocks accumulate left-to-right, so results are bit-identical for any
+    dispatch grouping — resume equivalence does not depend on chunking. Batching
+    matters on tunneled devices where each host dispatch costs seconds.
+    """
+
+    def one_block(b, carry):
+        moments, hist, port_sum = carry
+        block_seed = (seed + (first_block + b + 1) * SEED_STRIDE).astype(jnp.int32)
+        if use_pallas:
+            from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+
+            term = pallas_terminal_log_returns(
+                block_seed, mean_step, chol_step, block_paths, n_steps,
+                antithetic=antithetic,
+            )
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            term = terminal_log_returns(
+                key, mean_step, chol_step, block_paths, n_steps, antithetic=antithetic
+            )
+        port = portfolio_terminal_returns(term, weights)
+        return (
+            update_moments(moments, term),
+            hist + histogram(port, sketch),
+            port_sum + port.sum(),
         )
-    else:
-        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
-        term = terminal_log_returns(
-            key, mean_step, chol_step, block_paths, n_steps, antithetic=antithetic
-        )
-    port = portfolio_terminal_returns(term, weights)
-    return (
-        update_moments(moments, term),
-        hist + histogram(port, sketch),
-        port_sum + port.sum(),
+
+    return jax.lax.fori_loop(
+        0, n_dispatch_blocks, one_block, (moments, hist, port_sum)
     )
 
 
@@ -137,12 +160,16 @@ def run_resumable_mc(
     checkpoint: MCCheckpoint | None = None,
     max_blocks: int | None = None,
     checkpoint_path: str | Path | None = None,
+    dispatch_blocks: int = 16,
 ) -> tuple[RiskReport, MCCheckpoint]:
     """Run (or resume) a chunked MC risk computation.
 
     ``max_blocks`` bounds this call's work (preemption simulation / incremental
     runs); pass the returned checkpoint (or its saved file) to continue. Identical
     final state regardless of how the blocks were split across calls.
+    ``dispatch_blocks`` groups that many blocks into one device dispatch (host
+    round-trips are the bottleneck on tunneled devices); grouping never changes
+    results — accumulation order is block-sequential either way.
     """
     a = params.n_assets
     block_paths = config.path_block
@@ -183,12 +210,16 @@ def run_resumable_mc(
 
     start = ck.next_block
     stop = n_blocks if max_blocks is None else min(n_blocks, start + max_blocks)
-    for b in range(start, stop):
-        block_seed = jnp.asarray(ck.seed + (b + 1) * SEED_STRIDE, jnp.int32)
-        moments, hist, port_sum = _block_update(
-            block_seed, mean_step, chol_step, w, moments, hist, port_sum,
-            block_paths, config.n_steps, use_pallas, config.antithetic, sketch,
+    b = start
+    while b < stop:
+        group = min(dispatch_blocks, stop - b)
+        moments, hist, port_sum = _blocks_update(
+            jnp.asarray(ck.seed, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            jnp.asarray(b, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+            mean_step, chol_step, w, moments, hist, port_sum,
+            group, block_paths, config.n_steps, use_pallas, config.antithetic, sketch,
         )
+        b += group
 
     jax.block_until_ready(hist)
     ck = MCCheckpoint(

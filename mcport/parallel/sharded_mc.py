@@ -42,9 +42,12 @@ from mcport.ops.quantile import (
 
 __all__ = ["ShardedRisk", "sharded_gbm_risk", "sharded_weight_search"]
 
-# seed-space stride between devices; each device may use up to this many
-# Pallas block-programs / scan chunks without stream collision
-SEED_STRIDE = 1 << 20
+# seed-space stride between independent stream owners (devices / path blocks).
+# Each owner may use up to SEED_STRIDE Pallas block-programs without collision
+# (16384 programs x 1024 lanes = 16.7M paths per dispatch), and int32 seed
+# arithmetic stays wrap-free for 2^31/SEED_STRIDE = 131072 owners
+# (x 262144-path blocks ≈ 3.4e10 total paths).
+SEED_STRIDE = 1 << 14
 
 
 class ShardedRisk(NamedTuple):

@@ -38,17 +38,21 @@ def diff_timed(loop_fn: Callable[[int], Any], k: int = 5, trials: int = 2) -> fl
     """Per-repetition seconds via the difference protocol.
 
     ``loop_fn(n)`` must run n data-chained repetitions on device and return an
-    array to block on. Returns (T(2k) - T(k)) / k, minimized over trials —
-    dispatch and transfer overheads cancel in the subtraction.
+    array (ideally a scalar) to fetch. Returns (T(2k) - T(k)) / k, minimized
+    over trials — dispatch and transfer overheads cancel in the subtraction.
+
+    Completion is forced by fetching the VALUE (``jax.device_get``), not
+    ``block_until_ready`` — on tunneled devices the latter can return before
+    the remote computation finishes.
     """
-    jax.block_until_ready(loop_fn(k))
-    jax.block_until_ready(loop_fn(2 * k))
+    jax.device_get(loop_fn(k))       # compile + warm the transfer path
+    jax.device_get(loop_fn(2 * k))
 
     def measure(n: int) -> float:
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop_fn(n))
+            jax.device_get(loop_fn(n))
             best = min(best, time.perf_counter() - t0)
         return best
 
