@@ -1,0 +1,86 @@
+"""CLI surface tests — every subcommand end-to-end on fixture data."""
+
+import json
+import io
+import contextlib
+
+import numpy as np
+import pytest
+
+from mcport.cli import build_parser, main
+
+
+def run_cli(args) -> dict:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(args)
+    return json.loads(buf.getvalue())
+
+
+@pytest.fixture(scope="module")
+def eth(fixtures_dir):
+    return str(fixtures_dir / "ETH_USD 7 Years Weekly.csv")
+
+
+@pytest.fixture(scope="module")
+def btc(fixtures_dir):
+    return str(fixtures_dir / "BTC_USD 7 Years Weekly.csv")
+
+
+def test_stats_command(btc, eth):
+    out = run_cli(["stats", btc, eth, "--period", "W"])
+    assert out["ann_factor"] == 52
+    assert len(out["stats"]) == 2
+    for stats in out["stats"].values():
+        assert set(stats) >= {"sharpe", "var_95", "cvar_95", "max_drawdown"}
+
+
+def test_simulate_command(btc, eth):
+    out = run_cli(["simulate", btc, eth, "--period", "W", "--n-portfolios", "200",
+                   "--methods", "Monte Carlo,Equal Weight"])
+    mc = out["methods"]["Monte Carlo"]
+    assert mc["n_valid"] == 200
+    w = np.array(list(mc["weights"].values()))
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+    alloc = np.array(list(mc["allocation_usd"].values()))
+    np.testing.assert_allclose(alloc.sum(), 10_000.0, rtol=1e-5)
+    assert out["methods"]["Equal Weight"]["weights"][list(mc["weights"])[0]] == 0.5
+
+
+def test_gbm_risk_command_with_checkpoint(eth, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    out = run_cli(["gbm-risk", eth, "--period", "W", "--paths", "4096", "--steps", "8",
+                   "--no-pallas", "--checkpoint", ck])
+    assert out["done"] and out["n_paths"] == 4096
+    assert out["cvar"] <= out["var"]
+    # resume on a finished checkpoint is a no-op with identical stats
+    out2 = run_cli(["gbm-risk", eth, "--period", "W", "--paths", "4096", "--steps", "8",
+                    "--no-pallas", "--checkpoint", ck, "--resume"])
+    assert out2["var"] == pytest.approx(out["var"], abs=1e-12)
+
+
+def test_forecast_command(eth):
+    out = run_cli(["forecast", eth, "--period", "W", "--horizons", "1,2"])
+    f = out["forecasts"]["ETH_USD 7 Years Weekly"]
+    assert set(f) == {"1", "2"}
+    lo, hi = f["1"]["conf_int"]
+    assert lo < f["1"]["price"] < hi
+
+
+def test_native_loader_flag(eth):
+    pytest.importorskip("ctypes")
+    from mcport.data.fast_loader import build_native
+
+    if not build_native():
+        pytest.skip("no C++ toolchain")
+    a = run_cli(["stats", eth, "--period", "W"])
+    b = run_cli(["stats", eth, "--period", "W", "--loader", "native"])
+    sa = a["stats"]["ETH_USD 7 Years Weekly"]
+    sb = b["stats"]["ETH_USD 7 Years Weekly"]
+    for k in sa:
+        assert sa[k] == pytest.approx(sb[k], rel=1e-12), k
+
+
+def test_parser_rejects_unknown_method():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["nonsense"])

@@ -1,0 +1,66 @@
+"""Numerics safety: NaN propagation guards (SURVEY.md §5 'race detection /
+sanitizers' — JAX is functional so data races don't apply; the analogous failure
+class is silent NaN/Inf propagation, checked here with jax_debug_nans and
+checkify)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.models.gbm import terminal_log_returns
+from mcport.ops.quantile import histogram, sketch_var_cvar
+from mcport.stats import asset_stats
+
+
+def test_core_pipeline_clean_under_debug_nans(rng):
+    """The hot path raises nothing with jax_debug_nans enabled — no hidden NaNs."""
+    jax.config.update("jax_debug_nans", True)
+    try:
+        chol = np.linalg.cholesky(0.0004 * (0.6 * np.eye(3) + 0.4))
+        term = terminal_log_returns(
+            jax.random.key(0), np.full(3, 1e-3), chol, 1024, 8, dtype=jnp.float64
+        )
+        port = (jnp.exp(term) - 1.0) @ jnp.full(3, 1 / 3)
+        counts = histogram(port)
+        v, c = sketch_var_cvar(counts)
+        jax.block_until_ready((v, c))
+        series = rng.normal(0.01, 0.05, 100)
+        stats = asset_stats(series, 12, 0.03)
+        jax.block_until_ready(stats["sharpe"])
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_checkify_catches_bad_inputs():
+    """checkify wraps the lax engine and reports div-by-zero class errors."""
+    from jax.experimental import checkify
+
+    def risky(x):
+        checkify.check(jnp.all(jnp.isfinite(x)), "non-finite input")
+        return jnp.log(x).sum()
+
+    checked = checkify.checkify(risky)
+    err, _ = checked(jnp.array([1.0, 2.0]))
+    err.throw()  # no error
+    err, _ = checked(jnp.array([jnp.inf, 1.0]))
+    with pytest.raises(Exception, match="non-finite"):
+        err.throw()
+
+
+def test_degenerate_covariance_does_not_nan():
+    """Zero-variance assets (constant prices) survive estimation via jitter."""
+    from mcport.models import estimate_gbm
+
+    prices = np.column_stack([
+        np.full(50, 100.0),                       # constant asset
+        100 * np.exp(np.cumsum(np.random.default_rng(0).normal(0, 0.01, 50))),
+    ])
+    params = estimate_gbm(prices)
+    assert np.isfinite(params.chol_step).all()
+    term = terminal_log_returns(
+        jax.random.key(0), params.mean_step, params.chol_step, 256, 4, dtype=jnp.float64
+    )
+    assert bool(jnp.isfinite(term).all())
+    # the constant asset's simulated log return is (near-)zero
+    assert float(jnp.abs(jnp.asarray(term)[:, 0]).max()) < 1e-4
