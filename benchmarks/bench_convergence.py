@@ -64,6 +64,28 @@ def main() -> None:
             log.log("config5_convergence", kind=kind, n_paths=n, truth=truth,
                     rmse=float(np.sqrt(np.mean(np.square(errs)))))
 
+    # path-dependent payoff: Asian (time-average of portfolio value), where the
+    # Brownian-bridge Sobol ordering is required for the QMC advantage
+    from mcport.models.bridge import qmc_gbm_log_paths
+    from mcport.models.gbm import simulate_log_paths
+
+    def asian_mc(n, s):
+        p = simulate_log_paths(jax.random.key(s), params.mean_step, params.chol_step,
+                               n, steps, dtype=jnp.float64)
+        return float(((np.exp(np.asarray(p)) * w).sum(-1)).mean())
+
+    def asian_qmc(n, s):
+        p = qmc_gbm_log_paths(params.mean_step, params.chol_step, n, steps,
+                              "sobol", seed=s, dtype=jnp.float64)
+        return float(((np.exp(np.asarray(p)) * w).sum(-1)).mean())
+
+    for n in (1_024, 8_192):
+        mc = [asian_mc(n, s) for s in range(6)]
+        qm = [asian_qmc(n, s) for s in range(6)]
+        log.log("config5_asian_path_dependent", n_paths=n,
+                mc_spread=float(np.std(mc)), bridge_sobol_spread=float(np.std(qm)),
+                qmc_advantage=float(np.std(mc) / max(np.std(qm), 1e-15)))
+
 
 if __name__ == "__main__":
     main()

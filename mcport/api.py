@@ -1,0 +1,130 @@
+"""Top-level API — one import for the whole workflow.
+
+``load → stats → simulate → gbm_risk → forecast`` mirrors the reference app's
+tab flow (SURVEY.md §3 call stacks) as plain functions over a :class:`Config`.
+
+``gbm_risk`` dispatches across the engines by config:
+- ``qmc="none"``   → the chunked/resumable engine (Pallas kernel on TPU, lax
+  elsewhere), optionally antithetic;
+- ``qmc="sobol"|"halton"`` → quasi-MC: terminal-exact low-discrepancy sampling
+  (one Gaussian per path — the variance-optimal estimator for terminal risk);
+- ``mesh=...``     → the shard_map path with psum'd moments/sketch (multi-chip).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcport.config import Config
+from mcport.data.pipeline import PriceData, load_universe
+from mcport.engine.mc_engine import MCCheckpoint, RiskReport, run_resumable_mc
+from mcport.engine.simulate import SimulationOutput, run_simulation
+from mcport.models.forecast import HorizonForecast, forecast_prices
+from mcport.models.gbm import (
+    GBMParams,
+    estimate_gbm,
+    portfolio_terminal_returns,
+)
+from mcport.models.qmc import qmc_normals
+from mcport.ops.quantile import histogram, sketch_var_cvar
+from mcport.stats.asset_stats import STAT_COLUMNS, asset_stats_batch
+
+__all__ = [
+    "load_universe",
+    "compute_stats",
+    "simulate",
+    "gbm_risk",
+    "forecast",
+    "Config",
+]
+
+
+def compute_stats(data: PriceData, config: Config = Config()) -> dict[str, dict[str, float]]:
+    """Tab-0 table: {asset: {stat: value}} (app.py:463-497)."""
+    stats = asset_stats_batch(
+        data.stats_rets.T, data.ann_factor, config.portfolio.risk_free
+    )
+    return {
+        name: {k: float(stats[k][i]) for k in STAT_COLUMNS}
+        for i, name in enumerate(data.names)
+    }
+
+
+def simulate(
+    data: PriceData, config: Config = Config(), legs_by_asset=None, methods=None
+) -> SimulationOutput:
+    """Tab-2 random-weight search (thin alias of engine.run_simulation)."""
+    kwargs = {} if methods is None else {"methods": methods}
+    return run_simulation(data, config, legs_by_asset=legs_by_asset, **kwargs)
+
+
+def gbm_risk(
+    data: PriceData | GBMParams,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+    mesh=None,
+    checkpoint: MCCheckpoint | None = None,
+    checkpoint_path=None,
+) -> RiskReport:
+    """Correlated-GBM tail risk for one portfolio, engine chosen by config."""
+    params = data if isinstance(data, GBMParams) else estimate_gbm(data.prices)
+    a = params.n_assets
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
+    if w.shape != (a,):
+        raise ValueError(f"weights must have shape ({a},)")
+    g = config.gbm
+    alpha = config.simulation.alpha
+
+    if mesh is not None:
+        from mcport.parallel.sharded_mc import sharded_gbm_risk
+
+        out = sharded_gbm_risk(
+            g.seed, jnp.asarray(params.mean_step, jnp.dtype(g.dtype)),
+            jnp.asarray(params.chol_step, jnp.dtype(g.dtype)),
+            jnp.asarray(w, jnp.dtype(g.dtype)),
+            n_paths=g.n_paths, n_steps=g.n_steps, mesh=mesh, alpha=alpha,
+            sketch=config.sketch, use_pallas=g.use_pallas and jax.default_backend() == "tpu",
+            antithetic=g.antithetic,
+        )
+        return RiskReport(
+            mean=np.asarray(out.mean), cov=np.asarray(out.cov),
+            var=float(out.var), cvar=float(out.cvar),
+            port_mean=float(out.port_mean), n_paths=g.n_paths,
+        )
+
+    if g.qmc != "none":
+        dtype = jnp.dtype(g.dtype)
+        z = qmc_normals(g.n_paths, a, g.qmc, g.seed, dtype)
+        scale = jnp.sqrt(jnp.asarray(g.n_steps, dtype))
+        lt = jnp.asarray(params.chol_step, dtype).T
+        term = g.n_steps * jnp.asarray(params.mean_step, dtype) + scale * (z @ lt)
+        port = portfolio_terminal_returns(term, jnp.asarray(w, dtype))
+        counts = histogram(port, config.sketch)
+        v, c = sketch_var_cvar(counts, alpha, config.sketch)
+        mean = term.mean(0)
+        centred = term - mean
+        cov = centred.T @ centred / (g.n_paths - 1)
+        return RiskReport(
+            mean=np.asarray(mean), cov=np.asarray(cov), var=float(v), cvar=float(c),
+            port_mean=float(port.mean()), n_paths=g.n_paths,
+        )
+
+    report, _ = run_resumable_mc(
+        params, w, g, config.sketch, alpha=alpha,
+        checkpoint=checkpoint, checkpoint_path=checkpoint_path,
+    )
+    return report
+
+
+def forecast(
+    data: PriceData, config: Config = Config()
+) -> Mapping[str, Mapping[int, HorizonForecast]]:
+    """Tab-3 forecasts for every asset (app.py:785-809)."""
+    return {
+        name: forecast_prices(data.prices[:, i], config.forecast)
+        for i, name in enumerate(data.names)
+    }

@@ -7,6 +7,7 @@ from mcport.models.gbm import (
     terminal_log_returns_exact,
 )
 from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
+from mcport.models.bridge import bridge_schedule, brownian_bridge, qmc_gbm_log_paths
 from mcport.models.forecast import HorizonForecast, forecast_prices
 from mcport.models.garch import Garch11Fit, fit_garch_11, forecast_garch_variance
 from mcport.models.qmc import halton, qmc_normals, sobol
@@ -29,4 +30,7 @@ __all__ = [
     "forecast_garch_variance",
     "HorizonForecast",
     "forecast_prices",
+    "bridge_schedule",
+    "brownian_bridge",
+    "qmc_gbm_log_paths",
 ]
