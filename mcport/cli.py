@@ -102,7 +102,7 @@ def cmd_gbm_risk(args) -> None:
         params, w, cfg, alpha=args.alpha, checkpoint=ck,
         checkpoint_path=args.checkpoint,
     )
-    _emit({
+    out = {
         "n_paths": report.n_paths,
         "horizon_steps": args.steps,
         "weights": dict(zip(d.names, map(float, w))),
@@ -111,7 +111,15 @@ def cmd_gbm_risk(args) -> None:
         "portfolio_mean_return": report.port_mean,
         "terminal_log_mean": report.mean.tolist(),
         "done": ck_out.done,
-    })
+    }
+    if args.path_stats:
+        from mcport.engine.path_risk import run_path_risk
+
+        pr = run_path_risk(params, w, cfg, alpha=args.alpha)
+        out["max_drawdown"] = {
+            "mean": pr.dd_mean, "median": pr.dd_median, "p95_worst": pr.dd_p95,
+        }
+    _emit(out)
 
 
 def cmd_forecast(args) -> None:
@@ -166,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--antithetic", action="store_true")
+    sp.add_argument("--path-stats", action="store_true",
+                    help="also simulate full paths for the max-drawdown distribution")
     sp.add_argument("--no-pallas", action="store_true", help="force the lax engine")
     sp.add_argument("--checkpoint", default=None, help="npz checkpoint path")
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")

@@ -5,6 +5,7 @@ from mcport.engine.mc_engine import (
     load_checkpoint,
     run_resumable_mc,
 )
+from mcport.engine.path_risk import PathRiskReport, run_path_risk
 from mcport.engine.weight_search import (
     METHODS,
     MethodResult,
@@ -32,4 +33,6 @@ __all__ = [
     "RiskReport",
     "run_resumable_mc",
     "load_checkpoint",
+    "PathRiskReport",
+    "run_path_risk",
 ]

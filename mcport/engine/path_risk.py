@@ -1,0 +1,134 @@
+"""Path-dependent risk: max-drawdown distribution of a GBM portfolio.
+
+The reference computes drawdown only on *historical* returns (app.py:252-256);
+simulated forward-looking drawdown requires evolving full paths — that is what
+the fused ``gbm_path_stats`` Pallas kernel produces (per-path terminal return,
+portfolio terminal, running max drawdown, all inside VMEM). This module chunks
+it like the terminal engine and reduces two histogram sketches on device:
+terminal portfolio return (VaR/CVaR) and max drawdown (drawdown quantiles).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mcport.config import GBMConfig, SketchConfig
+from mcport.models.gbm import GBMParams, simulate_log_paths
+from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
+from mcport.parallel.sharded_mc import SEED_STRIDE
+
+__all__ = ["PathRiskReport", "run_path_risk", "DD_SKETCH"]
+
+# drawdowns live in [-1, 0]; a dedicated tight sketch keeps quantile error tiny
+DD_SKETCH = SketchConfig(n_bins=4096, lo=-1.0, hi=0.0)
+
+
+@dataclass(frozen=True)
+class PathRiskReport:
+    var: float            # terminal portfolio VaR at alpha
+    cvar: float
+    port_mean: float
+    dd_mean: float        # mean max drawdown (negative)
+    dd_p95: float         # 95th-percentile worst drawdown (5% of paths are worse)
+    dd_median: float
+    n_paths: int
+
+
+def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype):
+    """Reference path-stats: full log paths → portfolio value → running peak/dd."""
+    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
+    v = jnp.exp(paths) @ jnp.asarray(weights, dtype)        # (n, T)
+    v = jnp.concatenate([jnp.ones((n_paths, 1), dtype), v], axis=1)
+    peak = jax.lax.cummax(v, axis=1)
+    dd = jnp.min(v / peak - 1.0, axis=1)
+    port = v[:, -1] - 1.0
+    return port, dd
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_blocks", "block_paths", "n_steps", "use_pallas", "sketch", "dd_sketch",
+    ),
+)
+def _accumulate(
+    seed, mean_step, chol_step, weights,
+    n_blocks: int, block_paths: int, n_steps: int, use_pallas: bool,
+    sketch: SketchConfig, dd_sketch: SketchConfig,
+):
+    a = mean_step.shape[-1]
+    dtype = mean_step.dtype
+
+    def one_block(b, carry):
+        h_port, h_dd, s_port, s_dd = carry
+        block_seed = (seed + (b + 1) * SEED_STRIDE).astype(jnp.int32)
+        if use_pallas:
+            from mcport.ops.pallas_gbm import gbm_path_stats
+
+            _, port, dd = gbm_path_stats(
+                block_seed, mean_step, chol_step, weights, block_paths, n_steps
+            )
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            port, dd = _lax_path_stats(
+                key, mean_step, chol_step, weights, block_paths, n_steps, dtype
+            )
+        return (
+            h_port + histogram(port, sketch),
+            h_dd + histogram(dd, dd_sketch),
+            s_port + port.sum(),
+            s_dd + dd.sum(),
+        )
+
+    init = (
+        jnp.zeros((sketch.n_bins,), dtype),
+        jnp.zeros((dd_sketch.n_bins,), dtype),
+        jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
+    )
+    return jax.lax.fori_loop(0, n_blocks, one_block, init)
+
+
+def run_path_risk(
+    params: GBMParams,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig = SketchConfig(),
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+) -> PathRiskReport:
+    """Simulated path risk for one portfolio: terminal VaR/CVaR + drawdown stats."""
+    block_paths = config.path_block
+    if config.n_paths % block_paths:
+        raise ValueError(
+            f"n_paths {config.n_paths} not divisible by path_block {block_paths}"
+        )
+    n_blocks = config.n_paths // block_paths
+    dtype = jnp.dtype(config.dtype)
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    h_port, h_dd, s_port, s_dd = _accumulate(
+        jnp.asarray(config.seed, jnp.int32),
+        jnp.asarray(params.mean_step, dtype),
+        jnp.asarray(params.chol_step, dtype),
+        jnp.asarray(weights, dtype),
+        n_blocks, block_paths, config.n_steps, use_pallas, sketch, dd_sketch,
+    )
+    v, c = sketch_var_cvar(h_port, alpha, sketch)
+    # dd quantiles: p95-worst = the 5th percentile of the (negative) dd sample
+    dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
+    dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
+    n = config.n_paths
+    return PathRiskReport(
+        var=float(v), cvar=float(c),
+        port_mean=float(s_port) / n,
+        dd_mean=float(s_dd) / n,
+        dd_p95=float(dd_p95), dd_median=float(dd_med),
+        n_paths=n,
+    )
