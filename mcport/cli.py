@@ -122,6 +122,35 @@ def cmd_gbm_risk(args) -> None:
     _emit(out)
 
 
+def cmd_sim_frontier(args) -> None:
+    import jax
+
+    from mcport.engine.simulated_frontier import simulated_weight_search
+    from mcport.models import estimate_gbm
+
+    d = _universe(args)
+    params = estimate_gbm(d.prices)
+    r = simulated_weight_search(
+        jax.random.key(args.seed), params,
+        n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
+        objective=args.objective, alpha=args.alpha, risk_free=args.risk_free,
+    )
+    i = r.opt_idx
+    _emit({
+        "objective": r.objective,
+        "n_candidates": args.candidates,
+        "n_paths": args.paths,
+        "weights": dict(zip(d.names, map(float, r.opt_weights))),
+        "simulated": {
+            "expected_return": float(r.ret[i]),
+            "volatility": float(r.std[i]),
+            "sharpe": float(r.sharpe[i]),
+            "var": float(r.var[i]),
+            "cvar": float(r.cvar[i]),
+        },
+    })
+
+
 def cmd_forecast(args) -> None:
     from mcport.models import forecast_prices
 
@@ -180,6 +209,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint", default=None, help="npz checkpoint path")
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     sp.set_defaults(fn=cmd_gbm_risk)
+
+    sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
+    common(sp)
+    sp.add_argument("--candidates", type=int, default=100_000)
+    sp.add_argument("--paths", type=int, default=16_384)
+    sp.add_argument("--steps", type=int, default=252)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--objective", default="cvar", choices=["sharpe", "var", "cvar", "return"])
+    sp.set_defaults(fn=cmd_sim_frontier)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")
     common(sp)

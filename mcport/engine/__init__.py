@@ -6,6 +6,7 @@ from mcport.engine.mc_engine import (
     run_resumable_mc,
 )
 from mcport.engine.path_risk import PathRiskReport, run_path_risk
+from mcport.engine.simulated_frontier import SimFrontierResult, simulated_weight_search
 from mcport.engine.weight_search import (
     METHODS,
     MethodResult,
@@ -35,4 +36,6 @@ __all__ = [
     "load_checkpoint",
     "PathRiskReport",
     "run_path_risk",
+    "SimFrontierResult",
+    "simulated_weight_search",
 ]
