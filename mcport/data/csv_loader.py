@@ -27,7 +27,6 @@ reference reports via ``st.error`` (app.py:132-134); ``try_read_csv_file`` gives
 
 from __future__ import annotations
 
-import io
 import os
 from typing import IO, Union
 

@@ -29,7 +29,6 @@ from mcport.ops.quantile import (
     MomentState,
     finalize_moments,
     histogram,
-    init_moments,
     sketch_var_cvar,
     update_moments,
 )

@@ -16,7 +16,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import Array
 
 from mcport.config import GBMConfig, SketchConfig
 from mcport.models.gbm import GBMParams, simulate_log_paths

@@ -17,7 +17,6 @@ Semantics parity notes:
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 from jax import Array
 
 from mcport.config import PayoffConfig

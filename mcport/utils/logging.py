@@ -8,7 +8,6 @@ the benchmark scripts in ``benchmarks/``.
 from __future__ import annotations
 
 import json
-import sys
 import time
 from pathlib import Path
 from typing import Any, IO
