@@ -68,6 +68,13 @@ def estimate_gbm(prices: np.ndarray, jitter: float = 1e-12) -> GBMParams:
     universes.
     """
     prices = np.asarray(prices, np.float64)
+    if prices.ndim != 2 or prices.shape[0] < 3:
+        raise ValueError("estimate_gbm needs a (T>=3, A) price matrix")
+    if not np.isfinite(prices).all() or (prices <= 0).any():
+        # log-return estimation is undefined at zero/negative prices; fail at
+        # the boundary with a clear message (failure-detection semantics,
+        # SURVEY.md §5) instead of propagating NaNs into the engine.
+        raise ValueError("prices must be strictly positive and finite for GBM estimation")
     logret = np.diff(np.log(prices), axis=0)        # (T-1, A)
     mean_step = logret.mean(axis=0)
     cov_step = np.cov(logret, rowvar=False, ddof=1)

@@ -1,4 +1,5 @@
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
+from mcport.parallel.sharded_engines import sharded_path_risk, sharded_simulated_frontier
 from mcport.parallel.sharded_mc import (
     SEED_STRIDE,
     ShardedRisk,
@@ -14,4 +15,6 @@ __all__ = [
     "sharded_gbm_risk",
     "sharded_weight_search",
     "SEED_STRIDE",
+    "sharded_path_risk",
+    "sharded_simulated_frontier",
 ]

@@ -1,0 +1,158 @@
+"""Mesh-sharded variants of the path-risk and simulated-frontier engines.
+
+Completes the distributed story: every compute engine in mcport has a shard_map
+form whose cross-device traffic is a reduction, never a gather of paths.
+
+- :func:`sharded_path_risk` — paths axis: each device evolves its own
+  counter-seeded slice of full paths (drawdown tracking included) and the two
+  histogram sketches psum.
+- :func:`sharded_simulated_frontier` — candidate axis: every device scores its
+  own candidate shard against an identical simulated terminal set (same path
+  seed on all devices — replicated by construction, zero communication), then
+  one all_gather of per-device winners resolves the argmax.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mcport.config import SketchConfig
+from mcport.engine.path_risk import DD_SKETCH, PathRiskReport, _lax_path_stats
+from mcport.models.gbm import terminal_log_returns
+from mcport.ops.dirichlet import sample_constrained_weights
+from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
+from mcport.parallel.sharded_mc import SEED_STRIDE
+
+__all__ = ["sharded_path_risk", "sharded_simulated_frontier"]
+
+
+def sharded_path_risk(
+    seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig = SketchConfig(),
+    dd_sketch: SketchConfig = DD_SKETCH,
+    use_pallas: bool = False,
+    axis: str = "paths",
+) -> PathRiskReport:
+    """Drawdown + terminal tail risk over a mesh (psum'd histogram sketches)."""
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+
+    def local(seed, mean_step, chol_step, weights):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        if use_pallas:
+            from mcport.ops.pallas_gbm import gbm_path_stats
+
+            _, port, dd = gbm_path_stats(
+                dev_seed, mean_step, chol_step, weights, n_local, n_steps
+            )
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+            port, dd = _lax_path_stats(
+                key, mean_step, chol_step, weights, n_local, n_steps, mean_step.dtype
+            )
+        psum = lambda x: jax.lax.psum(x, axis)
+        h_port = psum(histogram(port, sketch))
+        h_dd = psum(histogram(dd, dd_sketch))
+        s_port = psum(port.sum())
+        s_dd = psum(dd.sum())
+        v, c = sketch_var_cvar(h_port, alpha, sketch)
+        dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
+        dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
+        return v, c, s_port, s_dd, dd_p95, dd_med
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                           out_specs=(P(), P(), P(), P(), P(), P()), check_vma=False))
+    v, c, s_port, s_dd, dd_p95, dd_med = fn(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(mean_step),
+        jnp.asarray(chol_step), jnp.asarray(weights),
+    )
+    return PathRiskReport(
+        var=float(v), cvar=float(c),
+        port_mean=float(s_port) / n_paths, dd_mean=float(s_dd) / n_paths,
+        dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n_paths,
+    )
+
+
+class _Best(NamedTuple):
+    weights: Array
+    metric: Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_candidates", "n_paths", "n_steps", "mesh", "alpha",
+                     "objective", "axis"),
+)
+def sharded_simulated_frontier(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    min_weights: Array,
+    max_weights: Array,
+    n_candidates: int,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    risk_free: float = 0.0,
+    alpha: float = 0.95,
+    objective: str = "cvar",
+    axis: str = "cand",
+) -> tuple[Array, Array]:
+    """Candidate-sharded simulated-frontier search → (best weights, best metric).
+
+    Every device draws the SAME terminal path set (identical key — replication by
+    construction beats broadcasting 16k x A floats over ICI) and its OWN candidate
+    shard; winners resolve via one tiny all_gather.
+    """
+    n_dev = mesh.shape[axis]
+    if n_candidates % n_dev:
+        raise ValueError(f"n_candidates {n_candidates} not divisible by {n_dev}")
+    n_local = n_candidates // n_dev
+    k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
+
+    def local(key, mean_step, chol_step, min_w, max_w):
+        idx = jax.lax.axis_index(axis)
+        k_path, k_w = jax.random.split(key)
+        term = terminal_log_returns(k_path, mean_step, chol_step, n_paths, n_steps,
+                                    dtype=mean_step.dtype)
+        gross = jnp.exp(term) - 1.0
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, idx), n_local, min_w, max_w
+        )
+        w = w.astype(gross.dtype)
+        port = gross @ w.T                               # (P, B)
+        ret = port.mean(axis=0)
+        std = port.std(axis=0, ddof=1)
+        sharpe = jnp.where(std > 0, (ret - risk_free) / jnp.where(std > 0, std, 1.0), 0.0)
+        worst, _ = jax.lax.top_k(-port.T, k_tail)
+        var = -worst[:, -1]
+        cvar = -worst.mean(axis=1)
+        metric = {"sharpe": sharpe, "return": ret, "var": var, "cvar": cvar}[objective]
+        metric = jnp.where(valid, metric, -jnp.inf)
+        best = jnp.argmax(metric)
+        all_m = jax.lax.all_gather(metric[best], axis)
+        all_w = jax.lax.all_gather(w[best], axis)
+        g = jnp.argmax(all_m)
+        return all_w[g], all_m[g]
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
+              jnp.asarray(min_weights), jnp.asarray(max_weights))

@@ -1,0 +1,94 @@
+"""Sharded path-risk and simulated-frontier on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.config import GBMConfig, SketchConfig
+from mcport.engine.path_risk import run_path_risk
+from mcport.models.gbm import GBMParams
+from mcport.parallel import make_mesh
+from mcport.parallel.sharded_engines import sharded_path_risk, sharded_simulated_frontier
+
+A = 3
+PARAMS = GBMParams(
+    s0=np.ones(A) * 100,
+    mean_step=np.array([0.002, 0.001, 0.0015]),
+    chol_step=np.linalg.cholesky(0.0009 * (0.6 * np.eye(A) + 0.4)),
+)
+W = np.array([0.5, 0.3, 0.2], np.float32)
+SK = SketchConfig(n_bins=2048)
+
+
+@pytest.fixture(scope="module")
+def mesh(eight_devices):
+    return make_mesh(eight_devices)
+
+
+def test_sharded_path_risk(mesh):
+    r = sharded_path_risk(
+        5, jnp.asarray(PARAMS.mean_step, jnp.float32),
+        jnp.asarray(PARAMS.chol_step, jnp.float32), jnp.asarray(W),
+        n_paths=16_384, n_steps=16, mesh=mesh, sketch=SK, axis="paths",
+    )
+    assert -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+    assert r.cvar <= r.var
+    assert r.n_paths == 16_384
+    # statistically consistent with the single-chip engine on the same params
+    single = run_path_risk(
+        PARAMS, W, GBMConfig(n_paths=16_384, n_steps=16, path_block=4_096,
+                             seed=9, use_pallas=False, dtype="float32"), SK,
+    )
+    assert abs(r.dd_median - single.dd_median) < 0.03
+    assert abs(r.var - single.var) < 0.05
+
+
+def test_sharded_simulated_frontier(mesh):
+    w, metric = sharded_simulated_frontier(
+        jax.random.key(0),
+        jnp.asarray(PARAMS.mean_step, jnp.float32),
+        jnp.asarray(PARAMS.chol_step, jnp.float32),
+        jnp.zeros(A, jnp.float32), jnp.ones(A, jnp.float32),
+        n_candidates=8_192, n_paths=2_048, n_steps=8, mesh=mesh,
+        objective="cvar", axis="paths",
+    )
+    w, metric = np.asarray(w), float(metric)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+    assert np.isfinite(metric)
+    # deterministic replay: rebuild every device's exact candidate stream and
+    # terminal set, score locally, and confirm the all_gather'd winner
+    import math
+
+    from mcport.models.gbm import terminal_log_returns
+    from mcport.ops.dirichlet import sample_constrained_weights
+
+    k_path, k_w = jax.random.split(jax.random.key(0))
+    term = np.asarray(terminal_log_returns(
+        k_path, PARAMS.mean_step.astype(np.float32),
+        PARAMS.chol_step.astype(np.float32), 2_048, 8, dtype=jnp.float32))
+    gross = np.exp(term) - 1.0
+    k_tail = math.ceil(0.05 * 2_048)
+    best_m, best_w = -np.inf, None
+    for idx in range(8):
+        wd, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, idx), 8_192 // 8,
+            jnp.zeros(A, jnp.float32), jnp.ones(A, jnp.float32))
+        wd = np.asarray(wd, np.float32)
+        port = gross @ wd.T
+        cvar = np.sort(port, axis=0)[:k_tail].mean(0)
+        cvar = np.where(np.asarray(valid), cvar, -np.inf)
+        i = int(np.argmax(cvar))
+        if cvar[i] > best_m:
+            best_m, best_w = float(cvar[i]), wd[i]
+    assert metric == pytest.approx(best_m, rel=1e-4)
+    np.testing.assert_allclose(w, best_w, atol=1e-5)
+
+
+def test_indivisible_raises(mesh):
+    with pytest.raises(ValueError):
+        sharded_path_risk(
+            0, jnp.asarray(PARAMS.mean_step, jnp.float32),
+            jnp.asarray(PARAMS.chol_step, jnp.float32), jnp.asarray(W),
+            n_paths=1_001, n_steps=4, mesh=mesh, sketch=SK,
+        )
