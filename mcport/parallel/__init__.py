@@ -1,3 +1,4 @@
+from mcport.parallel.auto_sharded import auto_sharded_weight_search
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
 from mcport.parallel.sharded_engines import sharded_path_risk, sharded_simulated_frontier
 from mcport.parallel.sharded_mc import (
@@ -17,4 +18,5 @@ __all__ = [
     "SEED_STRIDE",
     "sharded_path_risk",
     "sharded_simulated_frontier",
+    "auto_sharded_weight_search",
 ]
