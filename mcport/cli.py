@@ -151,6 +151,34 @@ def cmd_sim_frontier(args) -> None:
     })
 
 
+def cmd_dd_frontier(args) -> None:
+    import jax
+
+    from mcport.engine.drawdown_frontier import drawdown_frontier_search
+    from mcport.models import estimate_gbm
+
+    d = _universe(args)
+    params = estimate_gbm(d.prices)
+    r = drawdown_frontier_search(
+        jax.random.key(args.seed), params, dd_budget=args.dd_budget,
+        n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
+        alpha=args.alpha,
+    )
+    out = {
+        "dd_budget": r.dd_budget,
+        "n_candidates": args.candidates,
+        "n_feasible": int(r.feasible.sum()),
+    }
+    if r.opt_idx < 0:
+        out["error"] = "no candidate satisfies the drawdown budget"
+    else:
+        i = r.opt_idx
+        out["weights"] = dict(zip(d.names, map(float, r.opt_weights)))
+        out["expected_return"] = float(r.ret[i])
+        out["dd_p95"] = float(r.dd_p95[i])
+    _emit(out)
+
+
 def cmd_forecast(args) -> None:
     from mcport.models import forecast_prices
 
@@ -219,6 +247,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--objective", default="cvar", choices=["sharpe", "var", "cvar", "return"])
     sp.set_defaults(fn=cmd_sim_frontier)
+
+    sp = sub.add_parser("dd-frontier", help="max return s.t. a simulated max-drawdown budget")
+    common(sp)
+    sp.add_argument("--dd-budget", type=float, default=0.30,
+                    help="p95-worst drawdown budget (0.30 = -30%%)")
+    sp.add_argument("--candidates", type=int, default=8192)
+    sp.add_argument("--paths", type=int, default=16_384)
+    sp.add_argument("--steps", type=int, default=252)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_dd_frontier)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")
     common(sp)

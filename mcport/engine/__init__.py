@@ -5,6 +5,7 @@ from mcport.engine.mc_engine import (
     load_checkpoint,
     run_resumable_mc,
 )
+from mcport.engine.drawdown_frontier import DrawdownFrontierResult, drawdown_frontier_search
 from mcport.engine.path_risk import PathRiskReport, run_path_risk
 from mcport.engine.simulated_frontier import SimFrontierResult, simulated_weight_search
 from mcport.engine.weight_search import (
@@ -38,4 +39,6 @@ __all__ = [
     "run_path_risk",
     "SimFrontierResult",
     "simulated_weight_search",
+    "DrawdownFrontierResult",
+    "drawdown_frontier_search",
 ]

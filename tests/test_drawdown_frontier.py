@@ -1,0 +1,86 @@
+"""Multi-portfolio drawdown kernel + drawdown-constrained frontier search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.engine.drawdown_frontier import _lax_multi_dd, drawdown_frontier_search
+from mcport.models.gbm import GBMParams
+from mcport.ops.pallas_gbm import gbm_path_stats
+from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+A = 3
+MEAN = np.array([0.002, 0.001, 0.0015], np.float32)
+CHOL = np.linalg.cholesky(0.0009 * (0.6 * np.eye(A) + 0.4)).astype(np.float32)
+PARAMS = GBMParams(s0=np.ones(A) * 100, mean_step=MEAN, chol_step=CHOL)
+KW = dict(interpret=True, block=128)
+
+
+def test_single_candidate_matches_path_stats_kernel():
+    """W=1 multi-portfolio kernel == the single-portfolio kernel: identical
+    seed/program/iteration keys → identical draws in interpret mode."""
+    w = np.array([[0.5, 0.3, 0.2]], np.float32)
+    term_m, dd_m = gbm_multi_portfolio_dd(9, MEAN, CHOL, w, 512, 10, **KW)
+    _, port_s, dd_s = gbm_path_stats(9, MEAN, CHOL, w[0], 512, 10, **KW)
+    np.testing.assert_allclose(np.asarray(term_m[0]), np.asarray(port_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dd_m[0]), np.asarray(dd_s), atol=1e-5)
+
+
+def test_multi_candidates_consistent_with_lax_reference_distribution():
+    w = np.asarray(jax.random.dirichlet(jax.random.key(0), jnp.ones(A), (16,)), np.float32)
+    term, dd = gbm_multi_portfolio_dd(3, MEAN, CHOL, w, 4096, 12, **KW)
+    term, dd = np.asarray(term), np.asarray(dd)
+    ref_term, ref_dd = map(np.asarray, _lax_multi_dd(
+        jax.random.key(7), jnp.asarray(MEAN), jnp.asarray(CHOL),
+        jnp.asarray(w), 4096, 12, jnp.float32))
+    # same law: per-candidate means agree within MC error
+    se = term.std(1).max() / np.sqrt(4096)
+    np.testing.assert_allclose(term.mean(1), ref_term.mean(1), atol=float(6 * se))
+    np.testing.assert_allclose(dd.mean(1), ref_dd.mean(1), atol=0.02)
+    assert (dd <= 1e-6).all() and (dd >= -1).all()
+
+
+def test_zero_vol_multi_dd_closed_form():
+    w = np.array([[1.0, 0.0, 0.0], [0.25, 0.25, 0.5]], np.float32)
+    m = np.full(A, -0.01, np.float32)
+    term, dd = gbm_multi_portfolio_dd(1, m, np.zeros((A, A), np.float32), w, 64, 5, **KW)
+    want = np.exp(-0.01 * 5) - 1.0
+    np.testing.assert_allclose(np.asarray(term), want, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dd), want, atol=1e-6)
+
+
+def test_frontier_search_feasibility_logic():
+    r = drawdown_frontier_search(
+        jax.random.key(0), PARAMS, dd_budget=0.15,
+        n_candidates=256, n_paths=2048, n_steps=32, w_block=64, dtype=jnp.float64,
+    )
+    assert r.weights.shape == (256, A)
+    if r.opt_idx >= 0:
+        assert r.feasible[r.opt_idx]
+        assert r.dd_p95[r.opt_idx] >= -0.15 - 1e-9
+        # optimal = max return among feasible
+        assert r.ret[r.opt_idx] == pytest.approx(r.ret[r.feasible].max())
+        # unconstrained max return should be >= the constrained one
+        assert r.ret[r.valid].max() >= r.ret[r.opt_idx] - 1e-12
+
+
+def test_frontier_infeasible_budget():
+    r = drawdown_frontier_search(
+        jax.random.key(1), PARAMS, dd_budget=0.0001,  # nothing survives
+        n_candidates=64, n_paths=1024, n_steps=32, w_block=64, dtype=jnp.float64,
+    )
+    assert not r.feasible.any() and r.opt_idx == -1 and r.opt_weights is None
+
+
+def test_tighter_budget_never_increases_return():
+    loose = drawdown_frontier_search(
+        jax.random.key(2), PARAMS, dd_budget=0.5,
+        n_candidates=256, n_paths=2048, n_steps=32, w_block=64, dtype=jnp.float64,
+    )
+    tight = drawdown_frontier_search(
+        jax.random.key(2), PARAMS, dd_budget=0.1,
+        n_candidates=256, n_paths=2048, n_steps=32, w_block=64, dtype=jnp.float64,
+    )
+    if loose.opt_idx >= 0 and tight.opt_idx >= 0:
+        assert loose.ret[loose.opt_idx] >= tight.ret[tight.opt_idx] - 1e-12
