@@ -8,8 +8,11 @@ SURVEY.md §5 observability).
 Commands:
   stats      per-asset statistics table (tab 0)
   simulate   random-weight portfolio search, all methods (tab 2)
-  gbm-risk   correlated-GBM tail risk with the chunked/resumable engine
-  forecast   ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
+  gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
+               (--path-stats adds the simulated max-drawdown distribution)
+  sim-frontier weight search scored against simulated GBM paths
+  dd-frontier  max return subject to a simulated max-drawdown budget
+  forecast     ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
 """
 
 from __future__ import annotations
