@@ -125,6 +125,38 @@ def cmd_gbm_risk(args) -> None:
     _emit(out)
 
 
+def cmd_garch_risk(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.config import SketchConfig
+    from mcport.models import estimate_ccc_garch, garch_terminal_returns
+    from mcport.ops.quantile import histogram, sketch_var_cvar
+
+    d = _universe(args)
+    params = estimate_ccc_garch(d.port_rets)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    term = garch_terminal_returns(jax.random.key(args.seed), params, args.paths, args.steps)
+    port = term @ jnp.asarray(w, term.dtype)
+    sketch = SketchConfig()
+    v, c = sketch_var_cvar(histogram(port, sketch), args.alpha, sketch)
+    _emit({
+        "model": "ccc-garch(1,1)",
+        "n_paths": args.paths,
+        "horizon_steps": args.steps,
+        "weights": dict(zip(d.names, map(float, w))),
+        "var": float(v),
+        "cvar": float(c),
+        "portfolio_mean_return": float(port.mean()),
+        "garch_alpha": params.alpha.tolist(),
+        "garch_beta": params.beta.tolist(),
+    })
+
+
 def cmd_sim_frontier(args) -> None:
     import jax
 
@@ -240,6 +272,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint", default=None, help="npz checkpoint path")
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     sp.set_defaults(fn=cmd_gbm_risk)
+
+    sp = sub.add_parser("garch-risk", help="tail risk under CCC-GARCH(1,1) stochastic vol")
+    common(sp)
+    sp.add_argument("--paths", type=int, default=100_000)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--weights", default=None, help="comma list; default equal")
+    sp.set_defaults(fn=cmd_garch_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
     common(sp)

@@ -10,6 +10,12 @@ from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
 from mcport.models.bridge import bridge_schedule, brownian_bridge, qmc_gbm_log_paths
 from mcport.models.forecast import HorizonForecast, forecast_prices
 from mcport.models.garch import Garch11Fit, fit_garch_11, forecast_garch_variance
+from mcport.models.garch_mc import (
+    CCCGarchParams,
+    estimate_ccc_garch,
+    garch_terminal_returns,
+    simulate_garch_returns,
+)
 from mcport.models.qmc import halton, qmc_normals, sobol
 
 __all__ = [
@@ -33,4 +39,8 @@ __all__ = [
     "bridge_schedule",
     "brownian_bridge",
     "qmc_gbm_log_paths",
+    "CCCGarchParams",
+    "estimate_ccc_garch",
+    "simulate_garch_returns",
+    "garch_terminal_returns",
 ]
