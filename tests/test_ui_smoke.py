@@ -1,0 +1,127 @@
+"""Headless UI execution: run mcport/ui/app.py top-to-bottom with mock
+streamlit/plotly modules and real fixture data.
+
+streamlit isn't installed here, but the UI tier's *logic* (session state, data
+assembly, all four tabs calling into the engine) is executable — the mocks
+return widget defaults, a mocked uploader feeds the fixture CSVs, and every
+st.error becomes a test failure. This catches wiring bugs the pure-library
+tests can't (the reference app's only 'testing' was manual UI interaction;
+this is its automated equivalent).
+"""
+
+import runpy
+import sys
+import types
+from contextlib import contextmanager
+from pathlib import Path
+
+import pytest
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
+
+
+class _Recorder:
+    def __init__(self):
+        self.errors = []
+        self.charts = 0
+        self.tables = 0
+
+
+def _make_streamlit(rec: _Recorder, upload_paths):
+    st = types.ModuleType("streamlit")
+
+    @contextmanager
+    def _ctx(*a, **k):
+        yield None
+
+    class _Ctx:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Sidebar(types.SimpleNamespace):
+        def header(self, *a, **k): pass
+        def expander(self, *a, **k): return _Ctx()
+
+    class _UploadFile:
+        def __init__(self, path: Path):
+            self.name = path.name
+            self._fh = open(path, "rb")
+
+        def seek(self, n): self._fh.seek(n)
+        def read(self, *a): return self._fh.read(*a)
+        def readline(self, *a): return self._fh.readline(*a)
+        def __iter__(self): return iter(self._fh)
+        def __getattr__(self, item): return getattr(self._fh, item)
+
+    st.session_state = {}
+    st.sidebar = _Sidebar()
+    st.set_page_config = lambda **k: None
+    st.markdown = lambda *a, **k: None
+    st.write = lambda *a, **k: rec.__setattr__("tables", rec.tables + 1)
+    st.warning = lambda *a, **k: None
+    st.success = lambda *a, **k: None
+    st.error = lambda *a, **k: rec.errors.append(a[0] if a else "?")
+    st.file_uploader = lambda *a, **k: [_UploadFile(p) for p in upload_paths]
+    st.text_input = lambda *a, **k: ""
+    st.date_input = lambda label, value=None, **k: value
+    st.button = lambda *a, **k: False
+    st.selectbox = lambda label, options, **k: options[0]
+    st.number_input = lambda label, value=0.0, **k: value
+    st.plotly_chart = lambda *a, **k: rec.__setattr__("charts", rec.charts + 1)
+    st.rerun = lambda: None
+
+    class _Form(_Ctx):
+        pass
+
+    st.form = lambda *a, **k: _Form()
+    st.form_submit_button = lambda *a, **k: False
+    st.columns = lambda n, **k: [_Ctx() for _ in range(n if isinstance(n, int) else len(n))]
+    st.tabs = lambda labels: [_Ctx() for _ in labels]
+    st.expander = lambda *a, **k: _Ctx()
+    return st
+
+
+def _make_plotly():
+    plotly = types.ModuleType("plotly")
+    go = types.ModuleType("plotly.graph_objects")
+    px = types.ModuleType("plotly.express")
+
+    class Figure:
+        def __init__(self, *a, **k): self.traces = []
+        def add_trace(self, t): self.traces.append(t)
+        def update_layout(self, **k): pass
+
+    go.Figure = Figure
+    go.Scatter = lambda **k: k
+    px.pie = lambda **k: Figure()
+    plotly.graph_objects = go
+    plotly.express = px
+    return plotly, go, px
+
+
+def test_ui_runs_end_to_end_with_fixture_uploads(monkeypatch):
+    rec = _Recorder()
+    uploads = [
+        FIXTURES / "BTC_USD 7 Years Weekly.csv",
+        FIXTURES / "ETH_USD 7 Years Weekly.csv",
+    ]
+    st = _make_streamlit(rec, uploads)
+    plotly, go, px = _make_plotly()
+    monkeypatch.setitem(sys.modules, "streamlit", st)
+    monkeypatch.setitem(sys.modules, "plotly", plotly)
+    monkeypatch.setitem(sys.modules, "plotly.graph_objects", go)
+    monkeypatch.setitem(sys.modules, "plotly.express", px)
+    sys.modules.pop("mcport.ui.app", None)
+
+    runpy.run_module("mcport.ui.app", run_name="app")
+
+    assert rec.errors == [], f"UI reported errors: {rec.errors}"
+    # tab 0 wrote the stats table; tab 2 drew 6 methods x (frontier + pie) plus
+    # tab 3 forecast charts for both assets
+    assert rec.tables >= 1
+    assert rec.charts >= 6 * 2 + 2
+    # the uploaded data landed in session state
+    assert len(st.session_state["uploaded_dfs"]) == 2
