@@ -140,7 +140,12 @@ def cmd_garch_risk(args) -> None:
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
-    term = garch_terminal_returns(jax.random.key(args.seed), params, args.paths, args.steps)
+    if jax.default_backend() == "tpu":
+        from mcport.ops.pallas_garch import pallas_garch_terminal_returns
+
+        term = pallas_garch_terminal_returns(args.seed, params, args.paths, args.steps)
+    else:
+        term = garch_terminal_returns(jax.random.key(args.seed), params, args.paths, args.steps)
     port = term @ jnp.asarray(w, term.dtype)
     sketch = SketchConfig()
     v, c = sketch_var_cvar(histogram(port, sketch), args.alpha, sketch)
