@@ -20,7 +20,7 @@ import numpy as np
 from jax import Array
 
 from mcport.models.gbm import GBMParams, simulate_log_paths
-from mcport.ops.dirichlet import sample_constrained_weights
+from mcport.ops.dirichlet import _sample_unconstrained, sample_constrained_weights
 
 __all__ = ["DrawdownFrontierResult", "drawdown_frontier_search"]
 
@@ -55,15 +55,19 @@ def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype):
 @partial(
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "w_block",
-                     "use_pallas", "dtype"),
+                     "use_pallas", "dtype", "trivial_bounds"),
 )
 def _score(
     key, mean_step, chol_step, min_w, max_w,
     n_candidates: int, n_paths: int, n_steps: int, alpha: float,
-    w_block: int, use_pallas: bool, dtype,
+    w_block: int, use_pallas: bool, dtype, trivial_bounds: bool = False,
 ):
     k_path_seed, k_w = jax.random.split(key)
-    w, valid = sample_constrained_weights(k_w, n_candidates, min_w, max_w)
+    if trivial_bounds:
+        _, sub = jax.random.split(k_w)
+        w, valid = _sample_unconstrained(sub, n_candidates, min_w.shape[-1])
+    else:
+        w, valid = sample_constrained_weights(k_w, n_candidates, min_w, max_w)
     w = w.astype(dtype)
     k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
 
@@ -116,9 +120,11 @@ def drawdown_frontier_search(
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
     use_pallas = jax.default_backend() == "tpu"
 
+    trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
     w, valid, ret, dd_p95 = _score(
         key, jnp.asarray(params.mean_step), jnp.asarray(params.chol_step),
-        min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas, dtype,
+        min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas,
+        dtype, trivial,
     )
     w, valid = np.asarray(w), np.asarray(valid)
     ret, dd_p95 = np.asarray(ret), np.asarray(dd_p95)

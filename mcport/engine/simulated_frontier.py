@@ -29,7 +29,7 @@ import numpy as np
 from jax import Array
 
 from mcport.models.gbm import GBMParams, terminal_log_returns
-from mcport.ops.dirichlet import sample_constrained_weights
+from mcport.ops.dirichlet import _sample_unconstrained, sample_constrained_weights
 
 __all__ = ["SimFrontierResult", "simulated_weight_search"]
 
@@ -63,7 +63,8 @@ class SimFrontierResult:
 
 @partial(
     jax.jit,
-    static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "cand_block", "dtype"),
+    static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "cand_block", "dtype",
+                     "trivial_bounds"),
 )
 def _score_candidates(
     key: Array,
@@ -78,6 +79,7 @@ def _score_candidates(
     alpha: float,
     cand_block: int,
     dtype=jnp.float32,
+    trivial_bounds: bool = False,
 ):
     k_path, k_w = jax.random.split(key)
     term = terminal_log_returns(
@@ -85,7 +87,11 @@ def _score_candidates(
         dtype=dtype,
     )
     gross = jnp.exp(term) - 1.0                              # (P, A) simple returns
-    w, valid = sample_constrained_weights(k_w, n_candidates, min_w, max_w)
+    if trivial_bounds:
+        _, sub = jax.random.split(k_w)
+        w, valid = _sample_unconstrained(sub, n_candidates, min_w.shape[-1])
+    else:
+        w, valid = sample_constrained_weights(k_w, n_candidates, min_w, max_w)
     w = w.astype(dtype)
 
     k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
@@ -133,10 +139,11 @@ def simulated_weight_search(
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
 
+    trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
     w, valid, s = _score_candidates(
         key, jnp.asarray(params.mean_step), jnp.asarray(params.chol_step),
         min_w, max_w, risk_free,
-        n_candidates, n_paths, n_steps, alpha, cand_block, dtype,
+        n_candidates, n_paths, n_steps, alpha, cand_block, dtype, trivial,
     )
     metric = {"sharpe": s.sharpe, "return": s.ret, "var": s.var, "cvar": s.cvar}[objective]
     neg_inf = jnp.asarray(-jnp.inf, metric.dtype)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from mcport.ops.dirichlet import constraint_mask, sample_constrained_weights
+from mcport.ops.dirichlet import constraint_mask, sample_constrained_weights, sample_weights
 from mcport.stats.risk import cvar as hist_cvar
 from mcport.stats.risk import var as hist_var
 
@@ -201,7 +201,7 @@ def run_method(
         w = jnp.full((1, a), 1.0 / a, dtype)
         valid = constraint_mask(w, min_w, max_w)
     else:
-        w, valid = sample_constrained_weights(key, n_portfolios, min_w, max_w, max_retries)
+        w, valid = sample_weights(key, n_portfolios, min_w, max_w, max_retries)
         w = w.astype(dtype)
 
     ev = evaluate_portfolios(w, jnp.asarray(returns, dtype), mean_ann, cov_ann,
@@ -267,7 +267,7 @@ def efficient_frontier(
     a = mean_returns.shape[-1]
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
-    w, valid = sample_constrained_weights(jax.random.key(seed), points, min_w, max_w)
+    w, valid = sample_weights(jax.random.key(seed), points, min_w, max_w)
     w = w.astype(mean_returns.dtype)
     ret = w @ mean_returns
     std = jnp.sqrt(jnp.maximum(jnp.einsum("na,ab,nb->n", w, cov_matrix, w), 0.0))

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["sample_constrained_weights", "constraint_mask"]
+__all__ = ["sample_constrained_weights", "sample_weights", "constraint_mask"]
 
 
 def constraint_mask(weights: Array, min_w: Array, max_w: Array) -> Array:
@@ -75,3 +75,32 @@ def sample_constrained_weights(
     # round 0 already happened; the loop spends the remaining retry budget
     _, _, w, valid = jax.lax.while_loop(cond, body, (1, key, w0, valid0))
     return w, valid
+
+
+@partial(jax.jit, static_argnames=("n", "n_assets"))
+def _sample_unconstrained(key: Array, n: int, n_assets: int) -> tuple[Array, Array]:
+    w = jax.random.dirichlet(key, jnp.ones((n_assets,), jnp.float32), shape=(n,))
+    return w, jnp.ones((n,), bool)
+
+
+def sample_weights(
+    key: Array,
+    n: int,
+    min_w,
+    max_w,
+    max_retries: int = 100,
+) -> tuple[Array, Array]:
+    """Host-side dispatcher: skip the rejection while_loop when the bounds are
+    the trivial [0, 1] box (every simplex point qualifies — the reference's
+    default, app.py:453-454). Saves both the loop's compile time and a wasted
+    constraint pass on large candidate counts. Bounds must be concrete here;
+    traced callers (inside shard_map) use :func:`sample_constrained_weights`
+    directly."""
+    import numpy as np
+
+    min_np, max_np = np.asarray(min_w), np.asarray(max_w)
+    if (min_np <= 0).all() and (max_np >= 1).all():
+        key, sub = jax.random.split(key)
+        return _sample_unconstrained(sub, n, int(min_np.shape[-1]))
+    return sample_constrained_weights(key, n, jnp.asarray(min_w), jnp.asarray(max_w),
+                                      max_retries)

@@ -23,7 +23,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mcport.engine.weight_search import evaluate_portfolios
-from mcport.ops.dirichlet import sample_constrained_weights
+from mcport.ops.dirichlet import sample_weights
 
 __all__ = ["auto_sharded_weight_search"]
 
@@ -53,9 +53,7 @@ def auto_sharded_weight_search(
     if n_candidates % n_dev:
         raise ValueError(f"n_candidates {n_candidates} not divisible by {n_dev}")
 
-    w, valid = sample_constrained_weights(
-        key, n_candidates, jnp.asarray(min_weights), jnp.asarray(max_weights)
-    )
+    w, valid = sample_weights(key, n_candidates, min_weights, max_weights)
     w = w.astype(dtype)
     cand_sharding = NamedSharding(mesh, P(axis, None))
     mask_sharding = NamedSharding(mesh, P(axis))
