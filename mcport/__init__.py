@@ -15,6 +15,17 @@ __version__ = "0.1.0"
 from mcport.config import Config, DataConfig, ForecastConfig, GBMConfig, MeshConfig
 from mcport.config import PayoffConfig, PortfolioConfig, SimulationConfig, SketchConfig
 
+
+def __getattr__(name):
+    """Lazy re-exports of the workflow API (mcport.load_universe, mcport.simulate,
+    ...) without importing jax/pandas at package-import time."""
+    _API = ("load_universe", "compute_stats", "simulate", "gbm_risk", "forecast")
+    if name in _API:
+        import mcport.api as _api
+
+        return getattr(_api, name)
+    raise AttributeError(f"module 'mcport' has no attribute {name!r}")
+
 __all__ = [
     "Config",
     "DataConfig",
