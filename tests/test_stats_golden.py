@@ -157,3 +157,16 @@ def test_asset_stats_batch_matches_loop(rng):
             np.testing.assert_allclose(
                 float(batch[k][i]), float(single[k]), rtol=0, atol=POW_ATOL, err_msg=f"{k}[{i}]"
             )
+
+
+def test_annual_return_negative_compound_parity():
+    """returns < -100% make prod(1+r) negative. Both numpy and jnp give a finite
+    value when ann/n is integral and NaN when fractional — bug-for-bug parity
+    with the reference's formula (app.py:249), documented."""
+    r_int = np.array([0.5, -1.5, 0.2, 0.1])        # exponent 12/4 = 3
+    np.testing.assert_allclose(
+        float(annual_return(r_int, 12)), np_annual_return(r_int, 12), atol=POW_ATOL
+    )
+    r_frac = np.array([0.5, -1.5, 0.2, 0.1, 0.0])  # exponent 12/5 = 2.4
+    assert np.isnan(np_annual_return(r_frac, 12))
+    assert np.isnan(float(annual_return(r_frac, 12)))
