@@ -111,11 +111,19 @@ class GBMConfig:
 
 @dataclass(frozen=True)
 class SketchConfig:
-    """On-device quantile sketch for huge path counts (BASELINE.json:10)."""
+    """On-device quantile sketch for huge path counts (BASELINE.json:10).
+
+    ``space`` selects the binning coordinate: "linear" bins returns directly over
+    [lo, hi]; "log1p" bins u = log1p(r) with lo/hi given in u-space — the adaptive
+    form that covers any return scale with relative resolution (simple returns
+    live in (-1, inf)). Use :func:`mcport.ops.quantile.auto_sketch` to derive a
+    guaranteed-covering log1p config from GBM parameters.
+    """
 
     n_bins: int = 8_192
-    lo: float = -1.0                   # bin range in simple-return space
+    lo: float = -1.0                   # bin range, in `space` coordinates
     hi: float = 3.0
+    space: str = "linear"              # "linear" | "log1p"
 
 
 @dataclass(frozen=True)

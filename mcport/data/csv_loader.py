@@ -33,6 +33,7 @@ from typing import IO, Union
 import pandas as pd
 
 from mcport.config import DataConfig
+from mcport.data.messages import MSG
 
 __all__ = ["CsvFormatError", "read_csv_file", "try_read_csv_file"]
 
@@ -42,7 +43,8 @@ FileLike = Union[str, os.PathLike, IO[bytes], IO[str]]
 class CsvFormatError(ValueError):
     """A CSV could not be normalized to a (Date, Price) frame.
 
-    Mirrors the recoverable ingestion errors of app.py:106,113,119,123,130 — callers
+    Mirrors the recoverable ingestion errors of app.py:106,113,119,123,130 with the
+    reference's exact Persian messages (:mod:`mcport.data.messages`) — callers
     should skip the asset and continue (SURVEY.md §5 failure-detection semantics).
     """
 
@@ -74,14 +76,14 @@ def read_csv_file(file: FileLike, config: DataConfig = DataConfig()) -> pd.DataF
                 header_idx = i
                 break
         if header_idx is None:
-            raise CsvFormatError("no header row containing a 'date' column found")
+            raise CsvFormatError(MSG["no_header"])
         header_row = df.iloc[header_idx].tolist()
         df = df.iloc[header_idx + 1 :].reset_index(drop=True)
         df.columns = header_row
 
     date_cols = [c for c in df.columns if _norm(c) == "date"]
     if not date_cols:
-        raise CsvFormatError("no 'Date' column found")
+        raise CsvFormatError(MSG["no_date_col"])
     date_col = date_cols[0]
 
     # First matching column in file order, exactly like app.py:115-120.
@@ -89,12 +91,12 @@ def read_csv_file(file: FileLike, config: DataConfig = DataConfig()) -> pd.DataF
     if not price_candidates:
         price_candidates = [c for c in df.columns if c != date_col]
     if not price_candidates:
-        raise CsvFormatError("no usable price column found")
+        raise CsvFormatError(MSG["no_price_col"])
     price_col = price_candidates[0]
 
     df = df[[date_col, price_col]].dropna()
     if df.empty:
-        raise CsvFormatError("no data left after dropping empty rows")
+        raise CsvFormatError(MSG["empty_after_dropna"])
 
     df = df.rename(columns={date_col: "Date", price_col: "Price"})
     df["Date"] = pd.to_datetime(df["Date"], errors="coerce", format="mixed")
@@ -104,7 +106,7 @@ def read_csv_file(file: FileLike, config: DataConfig = DataConfig()) -> pd.DataF
     df["Price"] = pd.to_numeric(price, errors="coerce")
     df = df.dropna(subset=["Date", "Price"])
     if df.empty:
-        raise CsvFormatError("no valid rows left after type coercion")
+        raise CsvFormatError(MSG["empty_after_coerce"])
     return df.reset_index(drop=True)
 
 

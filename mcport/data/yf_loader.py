@@ -2,7 +2,9 @@
 
 ``get_price_dataframe_from_yf`` is a pure function over an already-downloaded frame
 and carries the reference's exact semantics: MultiIndex (multi-ticker) vs flat
-columns, price priority Close > Adj Close > Open, ``(df, err)`` result shape.
+columns, price priority Close > Adj Close > Open, ``(df, err)`` result shape, and
+the reference's Persian error messages verbatim (app.py:146,150; see
+:mod:`mcport.data.messages`).
 
 ``download_prices`` is the network boundary (app.py:407). yfinance is not part of
 this environment (and the build environment has zero egress), so the import is
@@ -15,6 +17,8 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
+
+from mcport.data.messages import MSG
 
 __all__ = ["get_price_dataframe_from_yf", "download_prices"]
 
@@ -32,15 +36,15 @@ def get_price_dataframe_from_yf(
             df_t = data[t].reset_index()
             price_col = next((c for c in price_priority if c in df_t.columns), None)
             if price_col is None:
-                return None, f"no price column (Close, Adj Close, Open) found for {t}"
+                return None, MSG["yf_no_price_col"].format(ticker=t)
             df = df_t[["Date", price_col]].rename(columns={price_col: "Price"})
             return df, None
-        return None, f"ticker {t} not present in downloaded data"
+        return None, MSG["yf_ticker_missing"].format(ticker=t)
     if "Date" not in data.columns:
         data = data.reset_index()
     price_col = next((c for c in price_priority if c in data.columns), None)
     if price_col is None:
-        return None, f"no price column (Close, Adj Close, Open) found for {t}"
+        return None, MSG["yf_no_price_col"].format(ticker=t)
     df = data[["Date", price_col]].rename(columns={price_col: "Price"})
     return df, None
 
@@ -57,15 +61,15 @@ def download_prices(
     try:
         import yfinance as yf  # lazy: not installed in the build environment
     except ImportError:
-        return [(t, None, "yfinance is not available in this environment") for t in tickers]
+        return [(t, None, MSG["yf_download_error"].format(error="yfinance is not installed")) for t in tickers]
     try:
         data = yf.download(
             tickers, start=start, end=end, progress=False, group_by="ticker", auto_adjust=True
         )
     except Exception as ex:  # network errors are recoverable (app.py:421-422)
-        return [(t, None, f"download failed: {ex}") for t in tickers]
+        return [(t, None, MSG["yf_download_error"].format(error=ex)) for t in tickers]
     if data is None or data.empty:
-        return [(t, None, "no data received") for t in tickers]
+        return [(t, None, MSG["yf_empty"]) for t in tickers]
     out = []
     for t in tickers:
         df, err = get_price_dataframe_from_yf(data, t)

@@ -27,6 +27,7 @@ from mcport.config import GBMConfig, SketchConfig
 from mcport.models.gbm import GBMParams, portfolio_terminal_returns, terminal_log_returns
 from mcport.ops.quantile import (
     MomentState,
+    auto_sketch,
     finalize_moments,
     histogram,
     sketch_var_cvar,
@@ -39,7 +40,13 @@ __all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc", "load_checkpoint"]
 
 @dataclass
 class MCCheckpoint:
-    """Serializable engine state. ``next_block`` is the resume cursor."""
+    """Serializable engine state. ``next_block`` is the resume cursor.
+
+    ``sum_c``/``outer_c`` are the Neumaier compensation terms of the moment
+    accumulators; ``shift`` is the drift centering subtracted from every sample
+    (stored so a resumed session finalizes with the exact value the accumulation
+    used). The sketch geometry is stored so a resume reconstructs the same bins.
+    """
 
     seed: int
     n_steps: int
@@ -48,9 +55,15 @@ class MCCheckpoint:
     next_block: int
     count: np.ndarray
     sum: np.ndarray
+    sum_c: np.ndarray
     outer: np.ndarray
+    outer_c: np.ndarray
+    shift: np.ndarray
     hist: np.ndarray
     port_sum: np.ndarray
+    sketch_lo: float
+    sketch_hi: float
+    sketch_space: str
     antithetic: bool = False
 
     def save(self, path: str | Path) -> None:
@@ -63,6 +76,15 @@ class MCCheckpoint:
     def done(self) -> bool:
         return self.next_block >= self.n_blocks
 
+    @property
+    def sketch(self) -> SketchConfig:
+        return SketchConfig(
+            n_bins=int(np.asarray(self.hist).shape[-1]),
+            lo=float(self.sketch_lo),
+            hi=float(self.sketch_hi),
+            space=str(self.sketch_space),
+        )
+
 
 def load_checkpoint(path: str | Path) -> MCCheckpoint:
     with np.load(path) as z:
@@ -74,9 +96,15 @@ def load_checkpoint(path: str | Path) -> MCCheckpoint:
             next_block=int(z["next_block"]),
             count=z["count"],
             sum=z["sum"],
+            sum_c=z["sum_c"],
             outer=z["outer"],
+            outer_c=z["outer_c"],
+            shift=z["shift"],
             hist=z["hist"],
             port_sum=z["port_sum"],
+            sketch_lo=float(z["sketch_lo"]),
+            sketch_hi=float(z["sketch_hi"]),
+            sketch_space=str(z["sketch_space"]),
             antithetic=bool(z["antithetic"]),
         )
 
@@ -105,6 +133,7 @@ def _blocks_update(
     mean_step: Array,
     chol_step: Array,
     weights: Array,
+    shift: Array,
     moments: MomentState,
     hist: Array,
     port_sum: Array,
@@ -140,7 +169,7 @@ def _blocks_update(
             )
         port = portfolio_terminal_returns(term, weights)
         return (
-            update_moments(moments, term),
+            update_moments(moments, term, shift=shift),
             hist + histogram(port, sketch),
             port_sum + port.sum(),
         )
@@ -154,7 +183,7 @@ def run_resumable_mc(
     params: GBMParams,
     weights: np.ndarray,
     config: GBMConfig = GBMConfig(),
-    sketch: SketchConfig = SketchConfig(),
+    sketch: SketchConfig | None = None,
     alpha: float = 0.95,
     checkpoint: MCCheckpoint | None = None,
     max_blocks: int | None = None,
@@ -162,6 +191,11 @@ def run_resumable_mc(
     dispatch_blocks: int = 16,
 ) -> tuple[RiskReport, MCCheckpoint]:
     """Run (or resume) a chunked MC risk computation.
+
+    ``sketch=None`` (default) derives an adaptive log1p-space sketch from the GBM
+    parameters via :func:`mcport.ops.quantile.auto_sketch` — guaranteed to cover
+    the return range, no silent clamping. A resumed run reuses the checkpoint's
+    stored sketch geometry (and rejects a conflicting explicit one).
 
     ``max_blocks`` bounds this call's work (preemption simulation / incremental
     runs); pass the returned checkpoint (or its saved file) to continue. Identical
@@ -177,6 +211,9 @@ def run_resumable_mc(
     n_blocks = config.n_paths // block_paths
 
     if checkpoint is None:
+        if sketch is None:
+            sketch = auto_sketch(params.mean_step, params.chol_step, config.n_steps)
+        shift_np = np.asarray(config.n_steps * np.asarray(params.mean_step, np.float64))
         ck = MCCheckpoint(
             seed=config.seed,
             n_steps=config.n_steps,
@@ -185,22 +222,37 @@ def run_resumable_mc(
             next_block=0,
             count=np.zeros(()),
             sum=np.zeros(a),
+            sum_c=np.zeros(a),
             outer=np.zeros((a, a)),
+            outer_c=np.zeros((a, a)),
+            shift=shift_np,
             hist=np.zeros(sketch.n_bins),
             port_sum=np.zeros(()),
+            sketch_lo=sketch.lo,
+            sketch_hi=sketch.hi,
+            sketch_space=sketch.space,
             antithetic=config.antithetic,
         )
     else:
         ck = checkpoint
         if (ck.n_steps, ck.block_paths, ck.n_blocks) != (config.n_steps, block_paths, n_blocks):
             raise ValueError("checkpoint is for a different run configuration")
+        if sketch is None:
+            sketch = ck.sketch
+        elif sketch != ck.sketch:
+            raise ValueError("sketch config conflicts with the checkpoint's stored sketch")
 
     dtype = jnp.dtype(config.dtype)
     mean_step = jnp.asarray(params.mean_step, dtype)
     chol_step = jnp.asarray(params.chol_step, dtype)
     w = jnp.asarray(weights, dtype)
+    shift = jnp.asarray(ck.shift, dtype)
     moments = MomentState(
-        jnp.asarray(ck.count, dtype), jnp.asarray(ck.sum, dtype), jnp.asarray(ck.outer, dtype)
+        jnp.asarray(ck.count, dtype),
+        jnp.asarray(ck.sum, dtype),
+        jnp.asarray(ck.sum_c, dtype),
+        jnp.asarray(ck.outer, dtype),
+        jnp.asarray(ck.outer_c, dtype),
     )
     hist = jnp.asarray(ck.hist, dtype)
     port_sum = jnp.asarray(ck.port_sum, dtype)
@@ -215,7 +267,7 @@ def run_resumable_mc(
         moments, hist, port_sum = _blocks_update(
             jnp.asarray(ck.seed, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
             jnp.asarray(b, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
-            mean_step, chol_step, w, moments, hist, port_sum,
+            mean_step, chol_step, w, shift, moments, hist, port_sum,
             group, block_paths, config.n_steps, use_pallas, config.antithetic, sketch,
         )
         b += group
@@ -229,16 +281,22 @@ def run_resumable_mc(
         next_block=stop,
         count=np.asarray(moments.count),
         sum=np.asarray(moments.sum),
+        sum_c=np.asarray(moments.sum_c),
         outer=np.asarray(moments.outer),
+        outer_c=np.asarray(moments.outer_c),
+        shift=np.asarray(ck.shift),
         hist=np.asarray(hist),
         port_sum=np.asarray(port_sum),
+        sketch_lo=sketch.lo,
+        sketch_hi=sketch.hi,
+        sketch_space=sketch.space,
         antithetic=ck.antithetic,
     )
     if checkpoint_path is not None:
         ck.save(checkpoint_path)
 
     n_done = int(ck.count) if int(ck.count) else 1
-    mean, cov = finalize_moments(moments)
+    mean, cov = finalize_moments(moments, shift=shift)
     v, c = sketch_var_cvar(hist, alpha, sketch)
     report = RiskReport(
         mean=np.asarray(mean),

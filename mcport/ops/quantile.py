@@ -1,16 +1,29 @@
-"""On-device streaming moments + fixed-grid quantile sketch.
+"""On-device streaming moments + mergeable quantile sketch.
 
 Purpose (BASELINE.json:10): VaR/CVaR at 16M+ paths must reduce on device and across
 chips without materializing all returns on one host. The reference's
 ``np.percentile`` (app.py:259) is exact but needs the full sample; here:
 
-- :class:`MomentState` — count/sum/outer-product accumulators. Exact, mergeable by
-  addition, so ``psum`` over a mesh gives exact global mean/cov.
-- histogram sketch — fixed-bin counts over a configured return range. Mergeable by
-  addition (psum-able); quantiles and tail means interpolate within a bin, so the
-  worst-case quantile error is one bin width ((hi-lo)/n_bins; default 4/8192 ≈
-  5e-4 in return units — far below Monte-Carlo noise at any practical path count).
-  Out-of-range values clamp into the edge bins.
+- :class:`MomentState` — count/sum/outer-product accumulators with **Neumaier
+  compensation**: each accumulator carries a low-order correction term, and batch
+  folds chunk the sample so per-chunk reductions stay short. The f32 accumulation
+  error at 16.7M paths is then far below the 1e-6 moment-parity bar (BASELINE.json:5)
+  without needing f64 (which TPUs lack in hardware). An optional ``shift``
+  (the analytically-known terminal drift) removes the ``E[x^2] - mean^2``
+  cancellation from the covariance finalization. Mergeable by addition, so
+  ``psum`` over a mesh gives the global moments (the psum itself adds one
+  ~log2(n_dev) * eps rounding on the primary term — negligible next to
+  within-device path counts).
+- histogram sketch — fixed-bin counts over a configured range, in either linear
+  return space or **log1p space** (``SketchConfig.space``). log1p space is the
+  adaptive form: simple returns live in (-1, inf), so ``u = log1p(r)`` maps any
+  return scale onto a bounded grid with *relative* price resolution — a weekly-BTC
+  252-step horizon (terminal returns spanning -99%..+10000%) sketches as well as a
+  one-year monthly one. :func:`auto_sketch` derives a guaranteed-covering range
+  from the GBM parameters (±k_sigma per-asset terminal bounds), so nothing ever
+  clamps into the edge bins. Counts are mergeable by addition (psum-able);
+  quantiles and tail means interpolate within a bin, so the worst-case error is
+  one bin width ((hi-lo)/n_bins in sketch space).
 
 Both are pure jnp and work unchanged inside ``shard_map`` (see
 :mod:`mcport.parallel.sharded_mc`).
@@ -20,7 +33,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from mcport.config import SketchConfig
@@ -31,6 +46,7 @@ __all__ = [
     "update_moments",
     "merge_moments",
     "finalize_moments",
+    "auto_sketch",
     "histogram",
     "sketch_quantile",
     "sketch_tail_mean",
@@ -39,52 +55,168 @@ __all__ = [
 
 
 class MomentState(NamedTuple):
-    """Streaming first/second moments of an (n, A) sample stream."""
+    """Streaming first/second moments of an (n, A) sample stream.
 
-    count: Array   # () float — number of samples seen
-    sum: Array     # (A,)
-    outer: Array   # (A, A) sum of x x'
+    ``sum``/``outer`` are the primary accumulators; ``sum_c``/``outer_c`` are their
+    Neumaier compensation terms (the accumulated low-order bits lost to rounding).
+    The represented values are ``sum + sum_c`` and ``outer + outer_c``. All fields
+    merge by plain addition, so a componentwise ``psum`` is a valid (near-exact)
+    cross-device merge.
+    """
+
+    count: Array    # () float — number of samples seen
+    sum: Array      # (A,)
+    sum_c: Array    # (A,) compensation
+    outer: Array    # (A, A) sum of x x'
+    outer_c: Array  # (A, A) compensation
 
 
 def init_moments(n_assets: int, dtype=jnp.float32) -> MomentState:
-    return MomentState(
-        count=jnp.zeros((), dtype),
-        sum=jnp.zeros((n_assets,), dtype),
-        outer=jnp.zeros((n_assets, n_assets), dtype),
-    )
+    z_a = jnp.zeros((n_assets,), dtype)
+    z_aa = jnp.zeros((n_assets, n_assets), dtype)
+    return MomentState(jnp.zeros((), dtype), z_a, z_a, z_aa, z_aa)
 
 
-def update_moments(state: MomentState, x: Array) -> MomentState:
-    """Fold a (n, A) batch into the accumulator (one MXU x'x per batch)."""
+def _two_sum(s: Array, x: Array) -> tuple[Array, Array]:
+    """Knuth/Neumaier branch-free two-sum: returns (fl(s+x), exact residual)."""
+    t = s + x
+    e = jnp.where(jnp.abs(s) >= jnp.abs(x), (s - t) + x, (x - t) + s)
+    return t, e
+
+
+def update_moments(
+    state: MomentState, x: Array, shift: Array | None = None, chunk: int = 512
+) -> MomentState:
+    """Fold an (n, A) batch into the accumulator.
+
+    The batch is split into ``chunk``-row sub-blocks; each sub-block reduces with
+    one MXU outer product, and sub-block results fold into the state through
+    compensated adds. Short per-chunk reductions + exact cross-chunk accumulation
+    keep the f32 error at 16.7M paths ~1e-9 relative (test_moment_scale.py).
+
+    ``shift`` (A,) is subtracted from every sample before accumulation; pass the
+    same value to :func:`finalize_moments`. Centering near E[x] makes the final
+    covariance subtraction cancellation-free.
+    """
     x = jnp.asarray(x, state.sum.dtype)
-    return MomentState(
-        count=state.count + x.shape[0],
-        sum=state.sum + x.sum(axis=0),
-        outer=state.outer + x.T @ x,
+    n, a = x.shape
+    if shift is not None:
+        x = x - jnp.asarray(shift, x.dtype)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))  # zero rows are exact no-ops for sums
+    xr = x.reshape(n_chunks, chunk, a)
+    part_sums = xr.sum(axis=1)                        # (C, A)
+    part_outers = jnp.einsum("cqa,cqb->cab", xr, xr)  # (C, A, A) batched on the MXU
+
+    def fold(carry, part):
+        s, sc, o, oc = carry
+        ds, do = part
+        s, e1 = _two_sum(s, ds)
+        o, e2 = _two_sum(o, do)
+        return (s, sc + e1, o, oc + e2), None
+
+    (s, sc, o, oc), _ = jax.lax.scan(
+        fold, (state.sum, state.sum_c, state.outer, state.outer_c),
+        (part_sums, part_outers),
     )
+    return MomentState(state.count + n, s, sc, o, oc)
 
 
 def merge_moments(a: MomentState, b: MomentState) -> MomentState:
-    """Associative merge — this is what ``psum`` applies across devices."""
-    return MomentState(a.count + b.count, a.sum + b.sum, a.outer + b.outer)
+    """Associative compensated merge of two accumulators."""
+    s, e1 = _two_sum(a.sum, b.sum)
+    o, e2 = _two_sum(a.outer, b.outer)
+    return MomentState(
+        a.count + b.count, s, a.sum_c + b.sum_c + e1, o, a.outer_c + b.outer_c + e2
+    )
 
 
-def finalize_moments(state: MomentState, ddof: int = 1) -> tuple[Array, Array]:
-    """(mean (A,), cov (A, A)) with the reference's ddof=1 (app.py:680)."""
+def finalize_moments(
+    state: MomentState, ddof: int = 1, shift: Array | None = None
+) -> tuple[Array, Array]:
+    """(mean (A,), cov (A, A)) with the reference's ddof=1 (app.py:680).
+
+    ``shift`` must equal the one passed to :func:`update_moments` (it is added back
+    to the mean; the covariance is shift-invariant).
+    """
     n = state.count
-    mean = state.sum / n
-    cov = (state.outer - n * jnp.outer(mean, mean)) / (n - ddof)
+    s = state.sum + state.sum_c
+    m2 = state.outer + state.outer_c
+    mean_c = s / n
+    cov = (m2 - n * jnp.outer(mean_c, mean_c)) / (n - ddof)
+    mean = mean_c if shift is None else mean_c + jnp.asarray(shift, s.dtype)
     return mean, cov
 
 
-# ---- fixed-grid histogram sketch --------------------------------------------
+# ---- histogram sketch --------------------------------------------------------
+#
+# SketchConfig.space selects the binning coordinate:
+#   "linear" — bins are uniform in return units over [lo, hi] (legacy behavior).
+#   "log1p"  — bins are uniform in u = log1p(r); lo/hi are stored IN u-SPACE.
+# Quantile/tail-mean results are always returned in return (value) space.
+
+_LOG1P_FLOOR = -1.0 + 1e-12
+
+
+def _to_u(x: Array, config: SketchConfig) -> Array:
+    if config.space == "log1p":
+        return jnp.log1p(jnp.maximum(x, _LOG1P_FLOOR))
+    return x
+
+
+def _from_u(u: Array, config: SketchConfig):
+    if config.space == "log1p":
+        return jnp.expm1(u)
+    return u
+
+
+def auto_sketch(
+    mean_step,
+    chol_step,
+    n_steps: int,
+    weights=None,
+    k_sigma: float = 12.0,
+    n_bins: int = 8192,
+) -> SketchConfig:
+    """Derive a guaranteed-covering log1p-space sketch from GBM parameters.
+
+    Each asset's terminal log return is N(n*m_i, n*(LL')_ii); per-asset bounds at
+    ±k_sigma (P[exceed] ~ 1e-33 at k=12) map through expm1, and a long-only
+    portfolio return is a convex combination, so it is bracketed by the weighted
+    (or worst-case, when ``weights`` is None) asset bounds regardless of
+    correlation structure. The returned config can never clamp mass into the edge
+    bins for the parameters it was built from (pinned by test_quantile_qmc).
+
+    Host-side numpy on purpose: configs are static jit arguments.
+    """
+    m = np.asarray(mean_step, np.float64).reshape(-1)
+    L = np.atleast_2d(np.asarray(chol_step, np.float64))
+    var_step = np.einsum("ij,ij->i", L, L)  # diag of LL'
+    mu = n_steps * m
+    sd = np.sqrt(n_steps * var_step)
+    lo_asset = np.expm1(mu - k_sigma * sd)
+    hi_asset = np.expm1(mu + k_sigma * sd)
+    if weights is None:
+        lo_r, hi_r = float(lo_asset.min()), float(hi_asset.max())
+    else:
+        w = np.asarray(weights, np.float64).reshape(-1)
+        lo_r, hi_r = float(w @ lo_asset), float(w @ hi_asset)
+    lo_u = np.log1p(max(lo_r, _LOG1P_FLOOR))
+    hi_u = np.log1p(hi_r)
+    pad = 1e-6 * max(1.0, hi_u - lo_u)  # keep boundary samples strictly interior
+    return SketchConfig(
+        n_bins=n_bins, lo=float(lo_u - pad), hi=float(hi_u + pad), space="log1p"
+    )
+
 
 def histogram(x: Array, config: SketchConfig = SketchConfig(), dtype=jnp.float32) -> Array:
     """Bin a sample batch into (n_bins,) counts; out-of-range clamps to edge bins."""
-    x = jnp.asarray(x).reshape(-1)
+    u = _to_u(jnp.asarray(x).reshape(-1), config)
     width = (config.hi - config.lo) / config.n_bins
     idx = jnp.clip(
-        jnp.floor((x - config.lo) / width).astype(jnp.int32), 0, config.n_bins - 1
+        jnp.floor((u - config.lo) / width).astype(jnp.int32), 0, config.n_bins - 1
     )
     return jnp.zeros((config.n_bins,), dtype).at[idx].add(1.0)
 
@@ -96,7 +228,8 @@ def _edges(config: SketchConfig, dtype) -> tuple[Array, Array]:
 
 
 def sketch_quantile(counts: Array, q: Array, config: SketchConfig = SketchConfig()) -> Array:
-    """Quantile(s) from histogram counts with within-bin linear interpolation."""
+    """Quantile(s) from histogram counts, in return space, with within-bin linear
+    interpolation (linear in sketch space)."""
     counts = jnp.asarray(counts)
     q = jnp.asarray(q, counts.dtype)
     total = counts.sum()
@@ -109,21 +242,26 @@ def sketch_quantile(counts: Array, q: Array, config: SketchConfig = SketchConfig
     below = jnp.where(bin_idx > 0, cdf[jnp.maximum(bin_idx - 1, 0)], 0.0)
     inbin = jnp.maximum(counts[bin_idx], 1.0)
     frac = jnp.clip((target - below) / inbin, 0.0, 1.0)
-    return left[bin_idx] + frac * width
+    return _from_u(left[bin_idx] + frac * width, config)
 
 
 def sketch_tail_mean(counts: Array, thresh: Array, config: SketchConfig = SketchConfig()) -> Array:
-    """Mean of samples <= thresh, from the histogram (bin-midpoint rule with a
-    fractional boundary bin). Approximation error <= one bin width."""
+    """Mean (in return space) of samples <= thresh, from the histogram.
+
+    Each bin contributes its covered fraction at the midpoint of the covered
+    sub-interval (mapped through the sketch-space transform), so the boundary bin
+    is handled without bias; approximation error <= one bin width.
+    """
     counts = jnp.asarray(counts)
     left, width = _edges(config, counts.dtype)
-    mid = left + 0.5 * width
-    # fraction of each bin below the threshold
-    frac = jnp.clip((thresh - left) / width, 0.0, 1.0)
+    u_t = _to_u(jnp.asarray(thresh, counts.dtype), config)
+    # fraction of each bin below the threshold, in sketch space
+    frac = jnp.clip((u_t - left) / width, 0.0, 1.0)
+    mid = _from_u(left + 0.5 * frac * width, config)  # midpoint of the covered part
     tail_counts = counts * frac
     n_tail = tail_counts.sum()
     mean_tail = jnp.sum(tail_counts * mid) / jnp.maximum(n_tail, 1.0)
-    return jnp.where(n_tail > 0, mean_tail, thresh)
+    return jnp.where(n_tail > 0, mean_tail, jnp.asarray(thresh, counts.dtype))
 
 
 def sketch_var_cvar(

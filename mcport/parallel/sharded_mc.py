@@ -33,6 +33,7 @@ from mcport.config import SketchConfig
 from mcport.models.gbm import portfolio_terminal_returns, terminal_log_returns
 from mcport.ops.quantile import (
     MomentState,
+    auto_sketch,
     finalize_moments,
     histogram,
     init_moments,
@@ -74,12 +75,6 @@ def _local_terminal(seed, mean_step, chol_step, n_local, n_steps, use_pallas, an
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_paths", "n_steps", "mesh", "alpha", "sketch", "use_pallas", "antithetic", "axis",
-    ),
-)
 def sharded_gbm_risk(
     seed: Array,
     mean_step: Array,
@@ -89,7 +84,7 @@ def sharded_gbm_risk(
     n_steps: int,
     mesh: Mesh,
     alpha: float = 0.95,
-    sketch: SketchConfig = SketchConfig(),
+    sketch: SketchConfig | None = None,
     use_pallas: bool = False,
     antithetic: bool = False,
     axis: str = "paths",
@@ -98,8 +93,38 @@ def sharded_gbm_risk(
 
     All inputs are replicated (tiny); the path space is partitioned by seed
     arithmetic, not by sharded inputs — the only cross-device traffic is the
-    psum of (A + A^2 + n_bins + 2) floats.
+    psum of (A + A^2 + n_bins + 2) floats. ``sketch=None`` derives the adaptive
+    log1p sketch from the parameters (identical on every device: the config is a
+    static jit argument resolved on host before tracing).
     """
+    if sketch is None:
+        sketch = auto_sketch(mean_step, chol_step, n_steps)
+    return _sharded_gbm_risk(
+        seed, mean_step, chol_step, weights, n_paths, n_steps, mesh,
+        alpha, sketch, use_pallas, antithetic, axis,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_paths", "n_steps", "mesh", "alpha", "sketch", "use_pallas", "antithetic", "axis",
+    ),
+)
+def _sharded_gbm_risk(
+    seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float,
+    sketch: SketchConfig,
+    use_pallas: bool,
+    antithetic: bool,
+    axis: str,
+) -> ShardedRisk:
     n_dev = mesh.shape[axis]
     if n_paths % n_dev:
         raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
@@ -113,13 +138,16 @@ def sharded_gbm_risk(
             dev_seed, mean_step, chol_step, n_local, n_steps, use_pallas, antithetic
         )
         port = portfolio_terminal_returns(term, weights)
-        moments = update_moments(init_moments(a, term.dtype), term)
+        # drift centering (identical on every device — replicated params), so the
+        # covariance finalization is cancellation-free; see ops.quantile.
+        shift = n_steps * mean_step
+        moments = update_moments(init_moments(a, term.dtype), term, shift=shift)
         counts = histogram(port, sketch)
         psum = lambda x: jax.lax.psum(x, axis)
         g_moments = MomentState(*map(psum, moments))
         g_counts = psum(counts)
         g_port_sum = psum(port.sum())
-        mean, cov = finalize_moments(g_moments)
+        mean, cov = finalize_moments(g_moments, shift=shift)
         v, c = sketch_var_cvar(g_counts, alpha, sketch)
         return ShardedRisk(mean, cov, g_counts, v, c, g_port_sum / n_paths)
 

@@ -1,4 +1,4 @@
-from mcport.stats.asset_stats import STAT_COLUMNS, asset_stats, asset_stats_batch
+from mcport.stats.asset_stats import DISPLAY_COLUMNS, STAT_COLUMNS, asset_stats, asset_stats_batch
 from mcport.stats.risk import (
     annual_return,
     annual_volatility,
@@ -22,4 +22,5 @@ __all__ = [
     "asset_stats",
     "asset_stats_batch",
     "STAT_COLUMNS",
+    "DISPLAY_COLUMNS",
 ]

@@ -28,8 +28,31 @@ from mcport.stats.risk import (
     var,
 )
 
-# Column order of the reference stats table (app.py:490-494).
+# All 16 computed statistics, in the reference's calc_asset_stats dict order
+# (app.py:317-334) — note min_ann/max_ann before min_month/max_month there.
 STAT_COLUMNS = (
+    "sharpe",
+    "sortino",
+    "volatility_ann",
+    "total_return_ann",
+    "implied_vol",
+    "mean_ann",
+    "mean_month",
+    "std_ann",
+    "std_month",
+    "min_ann",
+    "max_ann",
+    "min_month",
+    "max_month",
+    "max_drawdown",
+    "var_95",
+    "cvar_95",
+)
+
+# The 15 columns the tab-0 table actually DISPLAYS, in display order
+# (app.py:490-494): max_drawdown is computed but not shown, and the min/max
+# columns reorder to min_ann, min_month, max_ann, max_month.
+DISPLAY_COLUMNS = (
     "sharpe",
     "sortino",
     "volatility_ann",
@@ -43,7 +66,6 @@ STAT_COLUMNS = (
     "min_month",
     "max_ann",
     "max_month",
-    "max_drawdown",
     "var_95",
     "cvar_95",
 )

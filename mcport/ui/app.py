@@ -48,7 +48,7 @@ from mcport.options import (
     profit_loss_percent,
     strategy_legs,
 )
-from mcport.stats import STAT_COLUMNS, asset_stats_batch
+from mcport.stats import DISPLAY_COLUMNS, asset_stats_batch
 from mcport.utils import format_money, format_percent
 
 st.set_page_config(page_title="شبیه‌ساز پرتفوی حرفه‌ای", layout="wide")
@@ -183,7 +183,7 @@ else:
         st.markdown("### 📊 آمار کلیدی دارایی‌ها")
         stats = asset_stats_batch(data.stats_rets.T, ann, user_rf)
         stats_df = pd.DataFrame(
-            {k: np.asarray(stats[k]) for k in STAT_COLUMNS}, index=asset_names
+            {k: np.asarray(stats[k]) for k in DISPLAY_COLUMNS}, index=asset_names
         )
         st.write(stats_df)
 

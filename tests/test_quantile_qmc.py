@@ -85,6 +85,85 @@ def test_tail_mean_empty_tail_falls_back():
     assert got == pytest.approx(-0.9)  # empty tail → threshold itself (cvar fallback)
 
 
+# ---- adaptive log1p-space sketch (VERDICT r1 item 2) ---------------------------
+
+def test_log1p_sketch_quantiles_on_wide_range(rng):
+    """Returns spanning -99%..+5000% (weekly-BTC-like long horizon): the fixed
+    linear grid would clamp everything above hi into one bin; the log1p sketch
+    must resolve quantiles across the whole range."""
+    r = np.expm1(rng.normal(0.5, 1.5, 400_000))        # lognormal - 1, huge spread
+    cfg = SketchConfig(n_bins=8192, lo=np.log1p(-0.9999), hi=np.log1p(5000.0),
+                       space="log1p")
+    counts = histogram(r, cfg)
+    w_u = (cfg.hi - cfg.lo) / cfg.n_bins
+    for q in (0.01, 0.05, 0.5, 0.95, 0.99):
+        got = float(sketch_quantile(counts, q, cfg))
+        want = np.percentile(r, q * 100)
+        # bin width is w_u in log1p space → relative tolerance ~2*w_u on 1+r
+        assert abs(np.log1p(got) - np.log1p(want)) <= 2 * w_u, (q, got, want)
+
+
+def test_log1p_sketch_var_cvar_vs_exact(rng):
+    r = np.expm1(rng.normal(0.2, 0.9, 500_000))
+    cfg = SketchConfig(n_bins=8192, lo=np.log1p(-0.999), hi=np.log1p(200.0),
+                       space="log1p")
+    counts = histogram(r, cfg)
+    v, c = sketch_var_cvar(counts, 0.95, cfg)
+    v_exact = np.percentile(r, 5)
+    c_exact = r[r <= v_exact].mean()
+    w_u = (cfg.hi - cfg.lo) / cfg.n_bins
+    assert abs(np.log1p(float(v)) - np.log1p(v_exact)) <= 2 * w_u
+    assert abs(float(c) - c_exact) <= 4 * w_u * (1 + abs(c_exact))
+    assert float(c) <= float(v) + 1e-9
+
+
+def test_auto_sketch_never_clamps():
+    """auto_sketch's ±k-sigma analytic range must leave the edge bins empty for
+    terminals actually drawn from those parameters — clamp bias is impossible
+    by construction (replaces the old fixed-range clamp behavior)."""
+    import jax as _jax
+    from mcport.models.gbm import terminal_log_returns
+    from mcport.ops.quantile import auto_sketch
+
+    # long-horizon, high-vol parameters that overflow the old (lo=-1, hi=3) grid
+    a = 3
+    mean_step = np.array([0.004, 0.002, 0.006])
+    chol = np.diag([0.09, 0.05, 0.12])                 # weekly-crypto-scale vol
+    n_steps = 252
+    cfg = auto_sketch(mean_step, chol, n_steps, n_bins=4096)
+    assert cfg.space == "log1p"
+
+    term = terminal_log_returns(
+        _jax.random.key(0), jnp.asarray(mean_step), jnp.asarray(chol),
+        65_536, n_steps, dtype=jnp.float32,
+    )
+    port = (jnp.exp(term) - 1.0) @ jnp.asarray([0.5, 0.3, 0.2], jnp.float32)
+    counts = np.asarray(histogram(port, cfg))
+    assert counts.sum() == 65_536
+    assert counts[0] == 0 and counts[-1] == 0          # nothing clamped
+    # sanity: quantiles come out in return space and are ordered
+    q5, q95 = (float(sketch_quantile(counts, q, cfg)) for q in (0.05, 0.95))
+    assert -1.0 < q5 < q95
+
+
+def test_auto_sketch_weighted_range_is_tighter():
+    from mcport.ops.quantile import auto_sketch
+
+    mean_step = np.array([0.001, 0.001])
+    chol = np.diag([0.02, 0.30])
+    wide = auto_sketch(mean_step, chol, 64)
+    tight = auto_sketch(mean_step, chol, 64, weights=np.array([0.99, 0.01]))
+    assert tight.hi - tight.lo < wide.hi - wide.lo
+
+
+def test_linear_space_unchanged_by_default():
+    assert SketchConfig().space == "linear"
+    # legacy linear behavior: same counts as before the space field existed
+    x = np.array([-5.0, 10.0, 0.0])
+    counts = np.asarray(histogram(x, CFG))
+    assert counts[0] == 1 and counts[-1] == 1
+
+
 # ---- QMC ---------------------------------------------------------------------
 def test_halton_range_and_projection():
     u = np.asarray(halton(None, 1000, 5, jnp.float64))

@@ -46,7 +46,8 @@ def test_flat_columns_price_priority():
 def test_flat_columns_no_price_column():
     data = pd.DataFrame({"Volume": [1.0] * 3}, index=_dates(3))
     df, err = get_price_dataframe_from_yf(data, "X")
-    assert df is None and "price column" in err
+    from mcport.data.messages import MSG
+    assert df is None and err == MSG["yf_no_price_col"].format(ticker="X")
 
 
 def test_download_prices_gated_without_yfinance():
