@@ -33,7 +33,7 @@ from mcport.ops.quantile import (
     sketch_var_cvar,
     update_moments,
 )
-from mcport.parallel.sharded_mc import SEED_STRIDE
+from mcport.seeding import SEED_STRIDE
 
 __all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc", "load_checkpoint"]
 

@@ -20,7 +20,7 @@ import numpy as np
 from mcport.config import GBMConfig, SketchConfig
 from mcport.models.gbm import GBMParams, simulate_log_paths
 from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
-from mcport.parallel.sharded_mc import SEED_STRIDE
+from mcport.seeding import SEED_STRIDE
 
 __all__ = ["PathRiskReport", "run_path_risk", "DD_SKETCH"]
 

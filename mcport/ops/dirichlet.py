@@ -28,6 +28,16 @@ def constraint_mask(weights: Array, min_w: Array, max_w: Array) -> Array:
     return jnp.all(weights >= min_w, axis=-1) & jnp.all(weights <= max_w, axis=-1)
 
 
+def _dirichlet1(key: Array, n: int, a: int, dtype=jnp.float32) -> Array:
+    """Dirichlet(1, ..., 1) (uniform on the simplex) via normalized
+    Exponential(1) draws — the exact same law as ``jax.random.dirichlet`` with
+    unit alpha, but without the general gamma rejection sampler's internal
+    while_loops (a large compile-time and runtime cost at millions of rows;
+    VERDICT r1 item 3)."""
+    e = jax.random.exponential(key, (n, a), dtype)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 @partial(jax.jit, static_argnames=("n", "max_retries"))
 def sample_constrained_weights(
     key: Array,
@@ -42,17 +52,14 @@ def sample_constrained_weights(
     passed within ``max_retries`` re-draws — the reference drops them
     (app.py:706-707); callers here must mask them out of optima instead.
 
-    Dirichlet(1, ..., 1) == normalized Exponential(1) draws; we use
-    ``jax.random.dirichlet`` directly (Threefry counter-based, so the batch is
-    reproducible and splittable).
+    Draws are Threefry counter-based, so the batch is reproducible and splittable.
     """
     min_w = jnp.asarray(min_w)
     max_w = jnp.asarray(max_w)
     a = min_w.shape[-1]
-    alpha = jnp.ones((a,), jnp.float32)
 
     def draw(k: Array) -> Array:
-        return jax.random.dirichlet(k, alpha, shape=(n,))
+        return _dirichlet1(k, n, a)
 
     key, sub = jax.random.split(key)
     w0 = draw(sub)
@@ -79,8 +86,7 @@ def sample_constrained_weights(
 
 @partial(jax.jit, static_argnames=("n", "n_assets"))
 def _sample_unconstrained(key: Array, n: int, n_assets: int) -> tuple[Array, Array]:
-    w = jax.random.dirichlet(key, jnp.ones((n_assets,), jnp.float32), shape=(n,))
-    return w, jnp.ones((n,), bool)
+    return _dirichlet1(key, n, n_assets), jnp.ones((n,), bool)
 
 
 def sample_weights(

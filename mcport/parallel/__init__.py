@@ -1,9 +1,16 @@
 from mcport.parallel.auto_sharded import auto_sharded_weight_search
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
 from mcport.parallel.sharded_engines import sharded_path_risk, sharded_simulated_frontier
+from mcport.parallel.sharded_resumable import (
+    ShardedMCCheckpoint,
+    load_sharded_checkpoint,
+    run_sharded_resumable_mc,
+)
 from mcport.parallel.sharded_mc import (
+    SEARCH_OBJECTIVES,
     SEED_STRIDE,
     ShardedRisk,
+    ShardedSearchResult,
     sharded_gbm_risk,
     sharded_weight_search,
 )
@@ -13,10 +20,15 @@ __all__ = [
     "make_mesh_2d",
     "maybe_initialize_distributed",
     "ShardedRisk",
+    "ShardedSearchResult",
+    "SEARCH_OBJECTIVES",
     "sharded_gbm_risk",
     "sharded_weight_search",
     "SEED_STRIDE",
     "sharded_path_risk",
     "sharded_simulated_frontier",
     "auto_sharded_weight_search",
+    "ShardedMCCheckpoint",
+    "load_sharded_checkpoint",
+    "run_sharded_resumable_mc",
 ]

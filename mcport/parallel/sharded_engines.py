@@ -28,7 +28,7 @@ from mcport.engine.path_risk import DD_SKETCH, PathRiskReport, _lax_path_stats
 from mcport.models.gbm import terminal_log_returns
 from mcport.ops.dirichlet import sample_constrained_weights
 from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
-from mcport.parallel.sharded_mc import SEED_STRIDE
+from mcport.seeding import SEED_STRIDE
 
 __all__ = ["sharded_path_risk", "sharded_simulated_frontier"]
 

@@ -41,14 +41,10 @@ from mcport.ops.quantile import (
     update_moments,
 )
 
-__all__ = ["ShardedRisk", "sharded_gbm_risk", "sharded_weight_search"]
+from mcport.seeding import SEED_STRIDE  # re-exported; historical home
 
-# seed-space stride between independent stream owners (devices / path blocks).
-# Each owner may use up to SEED_STRIDE Pallas block-programs without collision
-# (16384 programs x 1024 lanes = 16.7M paths per dispatch), and int32 seed
-# arithmetic stays wrap-free for 2^31/SEED_STRIDE = 131072 owners
-# (x 262144-path blocks ≈ 3.4e10 total paths).
-SEED_STRIDE = 1 << 14
+__all__ = ["ShardedRisk", "ShardedSearchResult", "SEARCH_OBJECTIVES", "SEED_STRIDE",
+           "sharded_gbm_risk", "sharded_weight_search"]
 
 
 class ShardedRisk(NamedTuple):
@@ -164,6 +160,17 @@ def _sharded_gbm_risk(
     )
 
 
+class ShardedSearchResult(NamedTuple):
+    """Globally-resolved weight-search optimum (replicated on every device)."""
+
+    weights: Array   # (A,) — NaN when n_valid == 0 (the Equal-Weight/no-valid guard)
+    metric: Array    # () raw-form metric of the winner; -inf when n_valid == 0
+    n_valid: Array   # () global count of constraint-respecting candidates
+
+
+SEARCH_OBJECTIVES = ("sharpe", "var_95", "cvar_95", "target_risk", "equal_weight")
+
+
 @partial(
     jax.jit,
     static_argnames=("n_candidates", "mesh", "alpha", "objective", "axis"),
@@ -180,19 +187,37 @@ def sharded_weight_search(
     risk_free: float = 0.0,
     alpha: float = 0.95,
     objective: str = "sharpe",
+    target_risk: float = 0.30,
     axis: str = "cand",
-) -> tuple[Array, Array]:
-    """Candidate-axis-sharded weight search → (best_weights (A,), best_metric ()).
+) -> ShardedSearchResult:
+    """Candidate-axis-sharded weight search → :class:`ShardedSearchResult`.
 
     Each device samples and scores ``n_candidates / n_dev`` constrained Dirichlet
     candidates locally (the (B, A) x (A, T) series matmul stays on-device), then a
-    single ``all_gather`` of per-device (metric, weights) winners resolves the
-    global optimum — the 1M-candidate search of BASELINE.json:9 moves no candidate
-    clouds across ICI.
+    single ``all_gather`` of per-device winners resolves the global optimum — the
+    1M-candidate search of BASELINE.json:9 moves no candidate clouds across ICI.
+
+    Full objective parity with the single-chip engine (weight_search.py):
+
+    - ``sharpe`` / ``var_95`` / ``cvar_95`` — argmax (var/cvar raw-form maximize ==
+      the reference's argmin of the stored negated metric, app.py:673-674);
+    - ``target_risk`` — max return among candidates with std <= target; when no
+      candidate is feasible anywhere on the mesh, the candidate nearest the target
+      risk (the single-chip fallback of weight_search._select_optimum);
+    - ``equal_weight`` — evaluates the replicated 1/A portfolio (nothing to shard);
+      exists so the mesh path covers all six reference methods.
+
+    When no candidate on any device satisfies the bounds, ``n_valid == 0`` and the
+    result carries NaN weights / -inf metric instead of the reference's IndexError
+    (SURVEY.md §2 Equal-Weight guard).
     """
     from mcport.engine.weight_search import evaluate_portfolios
-    from mcport.ops.dirichlet import sample_constrained_weights
+    from mcport.ops.dirichlet import constraint_mask, sample_constrained_weights
 
+    if objective not in SEARCH_OBJECTIVES:
+        raise ValueError(
+            f"unknown objective {objective!r}; expected one of {SEARCH_OBJECTIVES}"
+        )
     n_dev = mesh.shape[axis]
     if n_candidates % n_dev:
         raise ValueError(f"n_candidates {n_candidates} not divisible by axis {n_dev}")
@@ -200,32 +225,54 @@ def sharded_weight_search(
 
     def local(key, returns, mean_ann, cov_ann, min_w, max_w):
         idx = jax.lax.axis_index(axis)
-        k = jax.random.fold_in(key, idx)
-        w, valid = sample_constrained_weights(k, n_local, min_w, max_w)
-        w = w.astype(returns.dtype)
-        ev = evaluate_portfolios(w, returns, mean_ann, cov_ann, risk_free, alpha)
-        if objective == "sharpe":
-            metric = ev.sharpe
-        elif objective == "var_95":
-            metric = ev.var_95     # maximize (least-negative tail)
-        elif objective == "cvar_95":
-            metric = ev.cvar_95
+        if objective == "equal_weight":
+            a = mean_ann.shape[-1]
+            w = jnp.full((1, a), 1.0 / a, returns.dtype)
+            valid = constraint_mask(w, min_w, max_w)
         else:
-            raise ValueError(f"unknown objective {objective!r}")
-        metric = jnp.where(valid, metric, -jnp.inf)
-        best = jnp.argmax(metric)
-        best_metric = metric[best]
-        best_w = w[best]
-        all_metrics = jax.lax.all_gather(best_metric, axis)     # (n_dev,)
-        all_w = jax.lax.all_gather(best_w, axis)                # (n_dev, A)
-        g = jnp.argmax(all_metrics)
-        return all_w[g], all_metrics[g]
+            k = jax.random.fold_in(key, idx)
+            w, valid = sample_constrained_weights(k, n_local, min_w, max_w)
+            w = w.astype(returns.dtype)
+        ev = evaluate_portfolios(w, returns, mean_ann, cov_ann, risk_free, alpha)
+        neg_inf = jnp.asarray(-jnp.inf, ev.ret.dtype)
+        nan = jnp.asarray(jnp.nan, w.dtype)
+        psum = lambda x: jax.lax.psum(x, axis)
+        n_valid = psum(valid.sum().astype(jnp.int32))
+
+        def pick(score, value):
+            """Global argmax of ``score``; returns (weights, value) of the winner."""
+            i = jnp.argmax(score)
+            g_s = jax.lax.all_gather(score[i], axis)       # (n_dev,)
+            g_v = jax.lax.all_gather(value[i], axis)
+            g_w = jax.lax.all_gather(w[i], axis)           # (n_dev, A)
+            g = jnp.argmax(g_s)
+            return g_w[g], g_s[g], g_v[g]
+
+        if objective == "target_risk":
+            feasible = valid & (ev.std <= target_risk)
+            fw, fs, fr = pick(jnp.where(feasible, ev.ret, neg_inf), ev.ret)
+            nw, _, nr = pick(jnp.where(valid, -jnp.abs(ev.std - target_risk), neg_inf),
+                             ev.ret)
+            any_feas = fs > neg_inf
+            best_w = jnp.where(any_feas, fw, nw)
+            best_m = jnp.where(any_feas, fr, nr)
+        else:
+            metric = {"sharpe": ev.sharpe, "var_95": ev.var_95, "cvar_95": ev.cvar_95,
+                      "equal_weight": ev.sharpe}[objective]
+            best_w, best_m, _ = pick(jnp.where(valid, metric, neg_inf), metric)
+
+        ok = n_valid > 0
+        return ShardedSearchResult(
+            jnp.where(ok, best_w, nan),
+            jnp.where(ok, best_m, -jnp.inf),
+            n_valid,
+        )
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=ShardedSearchResult(P(), P(), P()),
         check_vma=False,  # replicated by the final all_gather+argmax
     )
     return fn(

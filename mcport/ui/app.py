@@ -208,45 +208,45 @@ else:
                 kwargs = {}
                 if strategy in ("Married Put", "Protective Put"):
                     kwargs = dict(
-                        strike_put=st.number_input("قیمت اعمال پوت", value=spot * 0.9, key=f"sp_{name}"),
-                        premium_put=st.number_input("پریمیوم پوت", value=0.0, key=f"pp_{name}"),
-                        qty_contract=st.number_input("مقدار قرارداد پوت", value=1.0, key=f"qc_{name}"),
+                        strike_put=st.number_input("قیمت اعمال پوت", value=spot * 0.9, key=f"mp_sp_{name}"),
+                        premium_put=st.number_input("پریمیوم پوت", value=0.0, key=f"mp_pp_{name}"),
+                        qty_contract=st.number_input("مقدار قرارداد پوت", value=1.0, key=f"mp_qc_{name}"),
                     )
                 elif strategy == "Covered Call":
                     kwargs = dict(
-                        strike_call=st.number_input("قیمت اعمال کال", value=spot * 1.1, key=f"sc_{name}"),
-                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"pc_{name}"),
-                        qty_contract=st.number_input("مقدار قرارداد کال", value=1.0, key=f"qc_{name}"),
+                        strike_call=st.number_input("قیمت اعمال کال", value=spot * 1.1, key=f"cc_sc_{name}"),
+                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"cc_pc_{name}"),
+                        qty_contract=st.number_input("مقدار قرارداد کال", value=1.0, key=f"cc_qc_{name}"),
                     )
                 elif strategy == "Collar":
                     kwargs = dict(
-                        strike_put=st.number_input("قیمت اعمال پوت", value=spot * 0.9, key=f"sp_{name}"),
-                        premium_put=st.number_input("پریمیوم پوت", value=0.0, key=f"pp_{name}"),
-                        strike_call=st.number_input("قیمت اعمال کال", value=spot * 1.1, key=f"sc_{name}"),
-                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"pc_{name}"),
-                        qty_contract=st.number_input("مقدار قرارداد پوت/کال", value=1.0, key=f"qc_{name}"),
+                        strike_put=st.number_input("قیمت اعمال پوت", value=spot * 0.9, key=f"col_sp_{name}"),
+                        premium_put=st.number_input("پریمیوم پوت", value=0.0, key=f"col_pp_{name}"),
+                        strike_call=st.number_input("قیمت اعمال کال", value=spot * 1.1, key=f"col_sc_{name}"),
+                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"col_pc_{name}"),
+                        qty_contract=st.number_input("مقدار قرارداد پوت/کال", value=1.0, key=f"col_qc_{name}"),
                     )
                 elif strategy == "Bear Put Spread":
                     kwargs = dict(
-                        strike_put_high=st.number_input("قیمت اعمال پوت بالا", value=spot, key=f"sph_{name}"),
-                        premium_put_high=st.number_input("پریمیوم پوت بالا", value=0.0, key=f"pph_{name}"),
-                        strike_put_low=st.number_input("قیمت اعمال پوت پایین", value=spot * 0.9, key=f"spl_{name}"),
-                        premium_put_low=st.number_input("پریمیوم پوت پایین", value=0.0, key=f"ppl_{name}"),
-                        qty_contract=st.number_input("مقدار قرارداد پوت", value=1.0, key=f"qc_{name}"),
+                        strike_put_high=st.number_input("قیمت اعمال پوت بالا", value=spot, key=f"bps_sph_{name}"),
+                        premium_put_high=st.number_input("پریمیوم پوت بالا", value=0.0, key=f"bps_pph_{name}"),
+                        strike_put_low=st.number_input("قیمت اعمال پوت پایین", value=spot * 0.9, key=f"bps_spl_{name}"),
+                        premium_put_low=st.number_input("پریمیوم پوت پایین", value=0.0, key=f"bps_ppl_{name}"),
+                        qty_contract=st.number_input("مقدار قرارداد پوت", value=1.0, key=f"bps_qc_{name}"),
                     )
                 elif strategy == "Synthetic Put":
                     kwargs = dict(
-                        strike_call=st.number_input("قیمت اعمال کال", value=spot, key=f"sc_{name}"),
-                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"pc_{name}"),
-                        qty_contract=st.number_input("مقدار قرارداد کال", value=1.0, key=f"qc_{name}"),
+                        strike_call=st.number_input("قیمت اعمال کال", value=spot, key=f"syn_sc_{name}"),
+                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"syn_pc_{name}"),
+                        qty_contract=st.number_input("مقدار قرارداد کال", value=1.0, key=f"syn_qc_{name}"),
                     )
                 elif strategy == "Long Straddle/Strangle":
                     kwargs = dict(
-                        strike_call=st.number_input("قیمت اعمال کال", value=spot, key=f"sc_{name}"),
-                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"pc_{name}"),
-                        strike_put=st.number_input("قیمت اعمال پوت", value=spot, key=f"sp_{name}"),
-                        premium_put=st.number_input("پریمیوم پوت", value=0.0, key=f"pp_{name}"),
-                        qty_contract=st.number_input("مقدار قرارداد کال/پوت", value=1.0, key=f"qc_{name}"),
+                        strike_call=st.number_input("قیمت اعمال کال", value=spot, key=f"ls_sc_{name}"),
+                        premium_call=st.number_input("پریمیوم کال", value=0.0, key=f"ls_pc_{name}"),
+                        strike_put=st.number_input("قیمت اعمال پوت", value=spot, key=f"ls_sp_{name}"),
+                        premium_put=st.number_input("پریمیوم پوت", value=0.0, key=f"ls_pp_{name}"),
+                        qty_contract=st.number_input("مقدار قرارداد کال/پوت", value=1.0, key=f"ls_qc_{name}"),
                     )
                 legs = strategy_legs(strategy, spot, qty_asset=qty_assets[name], **kwargs)
                 if len(legs):

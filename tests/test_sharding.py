@@ -119,13 +119,14 @@ def test_sharded_weight_search(mesh, rng):
     mean_ann = rets.mean(0) * 12
     cov_ann = np.cov(rets, rowvar=False, ddof=1) * 12
     # 1-D mesh: reuse the paths axis name for candidates
-    w, metric = sharded_weight_search(
+    res = sharded_weight_search(
         jax.random.key(0), rets, mean_ann, cov_ann,
         n_candidates=4_096, mesh=mesh,
         min_weights=np.zeros(A), max_weights=np.ones(A),
         risk_free=0.03, objective="sharpe", axis="paths",
     )
-    w, metric = np.asarray(w), float(metric)
+    w, metric = np.asarray(res.weights), float(res.metric)
+    assert int(res.n_valid) == 4_096
     np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
     # deterministic cross-check: replay each device's exact stream locally and
     # confirm the all_gather'd global argmax equals the replayed global best
