@@ -34,7 +34,11 @@ def main() -> None:
     n_paths = 16_777_216 if backend == "tpu" else 1_048_576
     cfg = GBMConfig(n_paths=n_paths, n_steps=52, path_block=262_144,
                     use_pallas=backend == "tpu", antithetic=True)
-    sketch = SketchConfig(n_bins=16_384, lo=-1.0, hi=7.0)
+    # adaptive log1p sketch derived from the GBM params (r2: replaces the fixed
+    # linear grid that silently clamped long-horizon/crypto return scales)
+    from mcport.ops.quantile import auto_sketch
+    sketch = auto_sketch(params.mean_step, params.chol_step, cfg.n_steps,
+                         n_bins=16_384)
 
     t0 = time.perf_counter()
     report, ck = run_resumable_mc(params, w, cfg, sketch, alpha=0.95)
@@ -45,6 +49,7 @@ def main() -> None:
 
     var99 = float(sketch_quantile(jnp.asarray(ck.hist), 0.01, sketch))
     log.log("config4_tail_risk", backend=backend, n_paths=n_paths, seconds=dt,
+            sketch_space=sketch.space,
             paths_per_sec=n_paths / dt, var95=report.var, var99=var99,
             cvar95=report.cvar, port_mean=report.port_mean)
 

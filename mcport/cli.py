@@ -165,15 +165,42 @@ def cmd_garch_risk(args) -> None:
 def cmd_sim_frontier(args) -> None:
     import jax
 
-    from mcport.engine.simulated_frontier import simulated_weight_search
+    from mcport.engine.simulated_frontier import (
+        simulated_weight_search,
+        simulated_weight_search_streaming,
+    )
     from mcport.models import estimate_gbm
 
     d = _universe(args)
     params = estimate_gbm(d.prices)
+    min_w = np.full(d.n_assets, args.min_weight) if args.min_weight else None
+    max_w = np.full(d.n_assets, args.max_weight) if args.max_weight < 1.0 else None
+    if args.streaming:
+        r = simulated_weight_search_streaming(
+            jax.random.key(args.seed), params,
+            n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
+            objective=args.objective, alpha=args.alpha, risk_free=args.risk_free,
+            min_weights=min_w, max_weights=max_w,
+        )
+        _emit({
+            "objective": r.objective,
+            "n_candidates": r.n_candidates,
+            "n_valid": r.n_valid,
+            "n_paths": args.paths,
+            "streaming": True,
+            "weights": dict(zip(d.names, map(float, r.opt_weights))),
+            "simulated": {
+                "expected_return": r.opt_ret,
+                "volatility": r.opt_std,
+                "metric": r.opt_metric,
+            },
+        })
+        return
     r = simulated_weight_search(
         jax.random.key(args.seed), params,
         n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
         objective=args.objective, alpha=args.alpha, risk_free=args.risk_free,
+        min_weights=min_w, max_weights=max_w,
     )
     i = r.opt_idx
     _emit({
@@ -295,6 +322,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--objective", default="cvar", choices=["sharpe", "var", "cvar", "return"])
+    sp.add_argument("--streaming", action="store_true",
+                    help="constant-compile streaming engine (1M+ candidates)")
+    sp.add_argument("--min-weight", type=float, default=0.0)
+    sp.add_argument("--max-weight", type=float, default=1.0)
     sp.set_defaults(fn=cmd_sim_frontier)
 
     sp = sub.add_parser("dd-frontier", help="max return s.t. a simulated max-drawdown budget")

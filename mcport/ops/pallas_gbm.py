@@ -82,7 +82,86 @@ def _boxmuller(u1: Array, u2: Array) -> tuple[Array, Array]:
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _make_normal_pair(interpret: bool, seed_ref, shape):
+def _boxmuller_sqrtsin(u1: Array, u2: Array) -> tuple[Array, Array]:
+    """Box-Muller with sin recovered from cos: sin(theta) = ±sqrt(1 - cos^2),
+    the sign read off u2 directly (theta < pi ⟺ u2 < 0.5) — one fewer EUP
+    transcendental per normal pair (roofline attempt, VERDICT r1 item 10).
+    Identical distribution; absolute error vs true sin ≤ ~1e-6 near theta≈0/pi
+    where |sin| is tiny (far below MC noise at any path count)."""
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    c = jnp.cos(theta)
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    s = jnp.where(u2 < 0.5, s, -s)
+    return r * c, r * s
+
+
+def _ln_poly(u: Array) -> Array:
+    """ln(u) for u in (2^-23, 1] via exponent extraction + VPU FMA polynomial
+    (no EUP transcendental). Bit-exact range reduction: u = m * 2^-e with
+    m in [1, 2); fold m >= sqrt(2) down one octave so the polynomial argument
+    x = m' - 1 lives in [-0.293, 0.414]; ln u = ln(1+x) - e' * ln 2.
+    Max abs error ~1e-7 (degree-10 Chebyshev fit, validated in tests)."""
+    bits = jax.lax.bitcast_convert_type(u, jnp.uint32)
+    e = (bits >> 23).astype(jnp.int32) - 127           # u <= 1 → e <= 0
+    m = jax.lax.bitcast_convert_type(
+        (bits & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000), jnp.float32
+    )                                                   # [1, 2)
+    big = m >= 1.4142135
+    m = jnp.where(big, 0.5 * m, m)
+    ef = e.astype(jnp.float32) + jnp.where(big, 1.0, 0.0)
+    x = m - 1.0
+    # Chebyshev-fit coefficients for ln(1+x) on [sqrt(2)/2 - 1, sqrt(2) - 1]
+    p = _LN1P_COEF[0]
+    for c in _LN1P_COEF[1:]:
+        p = p * x + c
+    return p * x + ef * 0.6931471805599453
+
+
+# degree-10 Chebyshev fit of ln(1+x)/x on [sqrt(2)/2-1, sqrt(2)-1], highest
+# coefficient first (Horner); max abs error of x*P(x) vs ln(1+x): 5.1e-8 in f32
+# (fitted/validated in benchmarks — see tests/test_pallas_gbm poly-law test).
+_LN1P_COEF = (
+    0.0665224252, -0.115752432, 0.118808561, -0.124213966, 0.142213354,
+    -0.166670732, 0.200021019, -0.250000367, 0.333333095, -0.499999997, 1.0,
+)
+
+
+def _sincos_poly(u: Array) -> tuple[Array, Array]:
+    """(cos, sin)(2*pi*u) for u in [0, 1) via quadrant reduction + Taylor
+    polynomials on [-pi/4, pi/4] — VPU FMAs only, no EUP."""
+    t = 4.0 * u
+    q = jnp.floor(t + 0.5)                              # 0..4
+    r = (t - q) * (0.5 * math.pi)                       # [-pi/4, pi/4]
+    r2 = r * r
+    # sin: odd Taylor to r^9; cos: even Taylor to r^8 (errs < 3e-8 on the range)
+    s = r * (1.0 + r2 * (-1.0 / 6 + r2 * (1.0 / 120 + r2 * (-1.0 / 5040 + r2 / 362880))))
+    c = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24 + r2 * (-1.0 / 720 + r2 / 40320)))
+    q = jnp.where(q == 4.0, 0.0, q)                     # wrap the top edge
+    q1, q2, q3 = q == 1.0, q == 2.0, q == 3.0
+    cos_t = jnp.where(q1, -s, jnp.where(q2, -c, jnp.where(q3, s, c)))
+    sin_t = jnp.where(q1, c, jnp.where(q2, -s, jnp.where(q3, -c, s)))
+    return cos_t, sin_t
+
+
+def _boxmuller_poly(u1: Array, u2: Array) -> tuple[Array, Array]:
+    """Box-Muller with ln and sincos as VPU polynomials; only sqrt stays on the
+    EUP. Tail quality preserved: the exponent-extraction log is accurate to
+    ~1e-7 absolute over the full (2^-23, 1] range, so 5%-tail (and 5.6-sigma
+    extreme) draws keep full f32 fidelity (roofline attempt, VERDICT r1 item 10)."""
+    r = jnp.sqrt(-2.0 * _ln_poly(u1))
+    c, s = _sincos_poly(u2)
+    return r * c, r * s
+
+
+_BM_VARIANTS = {
+    "exact": _boxmuller,
+    "sqrtsin": _boxmuller_sqrtsin,
+    "poly": _boxmuller_poly,
+}
+
+
+def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "exact"):
     """Normal-pair generator factory.
 
     Compiled (TPU): the on-core hardware PRNG, seeded once per block program
@@ -94,13 +173,14 @@ def _make_normal_pair(interpret: bool, seed_ref, shape):
     compiled stream, and runnable anywhere. Only the bit source differs; all
     kernel math is shared between the two modes.
     """
+    boxmuller = _BM_VARIANTS[bm]
     if not interpret:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
         def pair(_i: Array) -> tuple[Array, Array]:
             u1 = _bits_to_unit(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
             u2 = _bits_to_unit(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-            return _boxmuller(u1, u2)
+            return boxmuller(u1, u2)
 
         return pair
 
@@ -113,7 +193,7 @@ def _make_normal_pair(interpret: bool, seed_ref, shape):
         eps = 0.5 / (1 << 25)
         u1 = jax.random.uniform(k1, shape, jnp.float32, eps, 1.0)
         u2 = jax.random.uniform(k2, shape, jnp.float32, eps, 1.0)
-        return _boxmuller(u1, u2)
+        return boxmuller(u1, u2)
 
     return pair
 
@@ -122,9 +202,10 @@ def _make_normal_pair(interpret: bool, seed_ref, shape):
 # terminal-only sampler
 # ---------------------------------------------------------------------------
 
-def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret: bool):
+def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret: bool,
+                           bm: str = "exact"):
     a_pad, block = out_ref.shape
-    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
 
     n_pairs = n_steps // 2
     odd = n_steps % 2 == 1
@@ -142,7 +223,7 @@ def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret")
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "bm")
 )
 def gbm_terminal_noise(
     seed: Array,
@@ -151,6 +232,7 @@ def gbm_terminal_noise(
     n_steps: int,
     block: int = 1024,
     interpret: bool = False,
+    bm: str = "exact",
 ) -> Array:
     """Correlated terminal noise ``L · sum_t z_t`` → (A_pad, n_paths) float32.
 
@@ -166,7 +248,7 @@ def gbm_terminal_noise(
     grid = n_pad // block
 
     out = pl.pallas_call(
-        functools.partial(_terminal_noise_kernel, n_steps=n_steps, interpret=interpret),
+        functools.partial(_terminal_noise_kernel, n_steps=n_steps, interpret=interpret, bm=bm),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
