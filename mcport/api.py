@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcport.config import Config
+from mcport.config import Config, SketchConfig
 from mcport.data.pipeline import PriceData, load_universe
 from mcport.engine.mc_engine import MCCheckpoint, RiskReport, run_resumable_mc
 from mcport.engine.simulate import SimulationOutput, run_simulation
@@ -30,7 +30,7 @@ from mcport.models.gbm import (
     portfolio_terminal_returns,
 )
 from mcport.models.qmc import qmc_normals
-from mcport.ops.quantile import histogram, sketch_var_cvar
+from mcport.ops.quantile import auto_sketch, histogram, sketch_var_cvar
 from mcport.stats.asset_stats import STAT_COLUMNS, asset_stats_batch
 
 __all__ = [
@@ -67,10 +67,16 @@ def gbm_risk(
     weights: Sequence[float] | np.ndarray | None = None,
     config: Config = Config(),
     mesh=None,
-    checkpoint: MCCheckpoint | None = None,
+    checkpoint=None,
     checkpoint_path=None,
 ) -> RiskReport:
-    """Correlated-GBM tail risk for one portfolio, engine chosen by config."""
+    """Correlated-GBM tail risk for one portfolio, engine chosen by config.
+
+    ``mesh`` alone → the one-shot shard_map engine; ``mesh`` plus
+    ``checkpoint``/``checkpoint_path`` → the sharded resumable engine
+    (:mod:`mcport.parallel.sharded_resumable`; checkpoint must be a
+    ShardedMCCheckpoint). Without a mesh, checkpoints use the single-chip
+    resumable engine (MCCheckpoint)."""
     params = data if isinstance(data, GBMParams) else estimate_gbm(data.prices)
     a = params.n_assets
     w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
@@ -78,6 +84,19 @@ def gbm_risk(
         raise ValueError(f"weights must have shape ({a},)")
     g = config.gbm
     alpha = config.simulation.alpha
+    # default sketch config → adaptive log1p range derived from the fitted
+    # params (auto_sketch); a customized config.sketch is honored verbatim
+    sketch = None if config.sketch == SketchConfig() else config.sketch
+
+    if mesh is not None and (checkpoint is not None or checkpoint_path is not None):
+        # sharded + resumable composition (per-device cursors, bit-exact resume)
+        from mcport.parallel.sharded_resumable import run_sharded_resumable_mc
+
+        report, _ = run_sharded_resumable_mc(
+            params, w, mesh, g, sketch, alpha=alpha,
+            checkpoint=checkpoint, checkpoint_path=checkpoint_path,
+        )
+        return report
 
     if mesh is not None:
         from mcport.parallel.sharded_mc import sharded_gbm_risk
@@ -87,7 +106,7 @@ def gbm_risk(
             jnp.asarray(params.chol_step, jnp.dtype(g.dtype)),
             jnp.asarray(w, jnp.dtype(g.dtype)),
             n_paths=g.n_paths, n_steps=g.n_steps, mesh=mesh, alpha=alpha,
-            sketch=config.sketch, use_pallas=g.use_pallas and jax.default_backend() == "tpu",
+            sketch=sketch, use_pallas=g.use_pallas and jax.default_backend() == "tpu",
             antithetic=g.antithetic,
         )
         return RiskReport(
@@ -97,14 +116,16 @@ def gbm_risk(
         )
 
     if g.qmc != "none":
+        if sketch is None:
+            sketch = auto_sketch(params.mean_step, params.chol_step, g.n_steps)
         dtype = jnp.dtype(g.dtype)
         z = qmc_normals(g.n_paths, a, g.qmc, g.seed, dtype)
         scale = jnp.sqrt(jnp.asarray(g.n_steps, dtype))
         lt = jnp.asarray(params.chol_step, dtype).T
         term = g.n_steps * jnp.asarray(params.mean_step, dtype) + scale * (z @ lt)
         port = portfolio_terminal_returns(term, jnp.asarray(w, dtype))
-        counts = histogram(port, config.sketch)
-        v, c = sketch_var_cvar(counts, alpha, config.sketch)
+        counts = histogram(port, sketch)
+        v, c = sketch_var_cvar(counts, alpha, sketch)
         mean = term.mean(0)
         centred = term - mean
         cov = centred.T @ centred / (g.n_paths - 1)
@@ -114,7 +135,7 @@ def gbm_risk(
         )
 
     report, _ = run_resumable_mc(
-        params, w, g, config.sketch, alpha=alpha,
+        params, w, g, sketch, alpha=alpha,
         checkpoint=checkpoint, checkpoint_path=checkpoint_path,
     )
     return report

@@ -30,18 +30,24 @@ per-block streams (deterministic, resumable by block index).
 Distribution-level parity with :mod:`mcport.models.gbm` (different RNG stream, same
 law) is asserted in tests; both express per-step log increments ``m + L z``.
 
-Performance (measured, v5e, 1M paths x 252 steps x 15 assets, f32):
-~3.9e9 path-steps/s terminal, ~2.2e9 full path-stats — vs the 1e9 target.
-Bottleneck analysis (isolation benchmarks): hardware PRNG + uniform bit-mapping
-is ~10% of step time; the Box-Muller transcendentals (log/sqrt/cos/sin on the
-EUP) are the roofline. Unrolling RNG draws across steps and block-size changes
-(512-8192) move throughput <10%, i.e. the kernel is transcendental-bound, not
-overhead-bound. Cheaper normal generators were evaluated and rejected: CLT
-uniform sums need 6-12x more RNG words, inverse-CDF polynomials still need
-log/sqrt in the 5% tail that VaR depends on, and Wallace-style pool mixing
-(MXU-generated normals) introduces temporal correlation across steps that is
-unacceptable for path sums. Faster terminal-only sampling should use
-``terminal_log_returns_exact`` (1 draw/path) instead of this kernel.
+Performance (measured, v5e, 1M paths x 252 steps x 15 assets, f32): round 1
+measured ~3.9e9 path-steps/s terminal with EUP Box-Muller (log/sqrt/cos/sin)
+and concluded "transcendental-bound". Round 2 broke that roofline: the "poly"
+Box-Muller variant (default) evaluates ln via exponent extraction + a degree-10
+VPU FMA polynomial and sincos via quadrant reduction + Taylor polynomials,
+leaving only sqrt on the EUP — measured **7.9e9 path-steps/s terminal (2x+)**
+with ≤1.7e-6 absolute deviation per draw and full 5.6-sigma tail fidelity
+(bench_kernel_variants.py; law re-verified on-chip by the tpu test tier). The
+path-stats kernel rose 2.2e9 → ~3.5e9 from the same change. Variants measured
+and kept selectable via ``bm=``: "exact" (round-1 EUP form), "sqrtsin"
+(sin = ±sqrt(1-cos²); 1.0x — sin was never the lever), "polyall" (+polynomial
+sqrt; 0.95x — the lone EUP sqrt overlaps fine). A polynomial exp for the
+path-stats portfolio value measured 0.97x vs EUP exp in a same-process A/B
+(kept behind ``poly_exp=``); same-process A/Bs are mandatory here — tunnel
+noise between processes exceeds 20%. Still rejected: CLT uniform sums (6-12x
+more RNG words), Wallace pool mixing (temporal correlation across steps).
+Faster terminal-only sampling should use ``terminal_log_returns_exact``
+(1 draw/path) instead of this kernel.
 """
 
 from __future__ import annotations
@@ -154,14 +160,73 @@ def _boxmuller_poly(u1: Array, u2: Array) -> tuple[Array, Array]:
     return r * c, r * s
 
 
+# degree-6 Chebyshev fit of sqrt(m) on [1, 2), highest first; 6.2e-7 max rel err
+_SQRT_COEF = (
+    -0.00253070742, 0.0276991097, -0.131733464, 0.360613935, -0.65507394,
+    1.13190115, 0.269124385,
+)
+_SQRT2 = math.sqrt(2.0)
+
+
+def _sqrt_poly(y: Array) -> Array:
+    """sqrt(y) for y > 0 via exponent split + VPU polynomial (no EUP):
+    y = m * 2^e, sqrt(y) = P(m) * 2^(e>>1) * (sqrt(2) if e odd). 6.2e-7 rel."""
+    bits = jax.lax.bitcast_convert_type(y, jnp.uint32)
+    e = (bits >> 23).astype(jnp.int32) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000), jnp.float32
+    )
+    h = e >> 1                                          # arithmetic shift: floor/2
+    odd = (e & 1) == 1
+    scale = jax.lax.bitcast_convert_type(
+        ((h + 127) << 23).astype(jnp.uint32), jnp.float32
+    )
+    p = _SQRT_COEF[0]
+    for c in _SQRT_COEF[1:]:
+        p = p * m + c
+    return p * scale * jnp.where(odd, _SQRT2, 1.0)
+
+
+def _boxmuller_polyall(u1: Array, u2: Array) -> tuple[Array, Array]:
+    """Fully EUP-free Box-Muller: polynomial ln, sincos, AND sqrt."""
+    r = _sqrt_poly(jnp.maximum(-2.0 * _ln_poly(u1), 1e-30))
+    c, s = _sincos_poly(u2)
+    return r * c, r * s
+
+
 _BM_VARIANTS = {
     "exact": _boxmuller,
     "sqrtsin": _boxmuller_sqrtsin,
     "poly": _boxmuller_poly,
+    "polyall": _boxmuller_polyall,
 }
 
+_LOG2E = 1.4426950408889634
+# degree-6 Taylor/fit of 2^f on [-0.5, 0.5] in ln2 powers (exp(f ln2)), Horner
+_EXP2_COEF = (
+    0.000154653149, 0.00133952823, 0.00961803994, 0.0555034068, 0.240226511,
+    0.6931472, 1.0,
+)
 
-def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "exact"):
+
+def _exp_poly(x: Array) -> Array:
+    """exp(x) via exponent split + VPU polynomial (no EUP): x = (k + f) ln 2,
+    k integer, f in [-0.5, 0.5]; exp(x) = 2^k * P(f). Rel err ~1e-7; k clamped
+    to the normal-float range (underflow → ~0, like exp)."""
+    t = x * _LOG2E
+    k = jnp.round(t)
+    f = t - k
+    k = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((k + 127) << 23).astype(jnp.uint32), jnp.float32
+    )
+    p = _EXP2_COEF[0]
+    for c in _EXP2_COEF[1:]:
+        p = p * f + c
+    return p * scale
+
+
+def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "poly"):
     """Normal-pair generator factory.
 
     Compiled (TPU): the on-core hardware PRNG, seeded once per block program
@@ -203,7 +268,7 @@ def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "exact"):
 # ---------------------------------------------------------------------------
 
 def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret: bool,
-                           bm: str = "exact"):
+                           bm: str = "poly"):
     a_pad, block = out_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
 
@@ -232,7 +297,7 @@ def gbm_terminal_noise(
     n_steps: int,
     block: int = 1024,
     interpret: bool = False,
-    bm: str = "exact",
+    bm: str = "poly",
 ) -> Array:
     """Correlated terminal noise ``L · sum_t z_t`` → (A_pad, n_paths) float32.
 
@@ -294,8 +359,10 @@ def pallas_terminal_log_returns(
 # ---------------------------------------------------------------------------
 
 def _path_stats_kernel(
-    seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int, interpret: bool
+    seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
+    interpret: bool, poly_exp: bool = False
 ):
+    exp = _exp_poly if poly_exp else jnp.exp
     a_pad, block = term_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
 
@@ -307,7 +374,9 @@ def _path_stats_kernel(
         acc, peak, dd = carry
         y = jnp.dot(lt, z, preferred_element_type=jnp.float32)  # correlate: L z_t
         acc = acc + m + y                                       # log prices
-        v = jnp.sum(w * jnp.exp(acc), axis=0, keepdims=True)    # (1, block) V_t
+        # VPU-polynomial exp (the EUP exp was the per-step bottleneck once the
+        # normal draws went polynomial — see module docstring)
+        v = jnp.sum(w * exp(acc), axis=0, keepdims=True)       # (1, block) V_t
         peak = jnp.maximum(peak, v)
         dd = jnp.minimum(dd, v / peak - 1.0)
         return acc, peak, dd
@@ -329,14 +398,14 @@ def _path_stats_kernel(
         acc, peak, dd = one_step(z1, (acc, peak, dd))
 
     term_ref[:] = acc
-    v_t = jnp.sum(w * jnp.exp(acc), axis=0, keepdims=True)
+    v_t = jnp.sum(w * exp(acc), axis=0, keepdims=True)
     stats_ref[0:1, :] = v_t - 1.0        # portfolio terminal simple return
     stats_ref[1:2, :] = dd               # max drawdown of portfolio value
     stats_ref[2:, :] = jnp.zeros((stats_ref.shape[0] - 2, block), jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret")
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "poly_exp")
 )
 def gbm_path_stats(
     seed: Array,
@@ -347,6 +416,7 @@ def gbm_path_stats(
     n_steps: int,
     block: int = 1024,
     interpret: bool = False,
+    poly_exp: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
@@ -366,7 +436,8 @@ def gbm_path_stats(
     grid = n_pad // block
 
     term, stats = pl.pallas_call(
-        functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret),
+        functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
+                          poly_exp=poly_exp),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

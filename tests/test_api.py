@@ -55,3 +55,22 @@ def test_gbm_risk_sharded_dispatch(data, eight_devices):
 def test_gbm_risk_rejects_bad_weights(data):
     with pytest.raises(ValueError, match="weights"):
         gbm_risk(data, [1.0], Config())
+
+
+def test_gbm_risk_mesh_checkpoint_composition(tmp_path):
+    """mesh + checkpoint_path routes to the sharded resumable engine, whose
+    block streams equal the single-chip engine's → identical VaR."""
+    import jax
+
+    from mcport.models.gbm import GBMParams
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = GBMParams(s0=np.ones(2), mean_step=np.array([0.002, 0.001]),
+                       chol_step=np.diag([0.03, 0.02]))
+    cfg = Config(gbm=GBMConfig(n_paths=8_192, n_steps=8, path_block=1_024,
+                               use_pallas=False))
+    single = gbm_risk(params, [0.5, 0.5], cfg)
+    sharded = gbm_risk(params, [0.5, 0.5], cfg, mesh=make_mesh(),
+                       checkpoint_path=tmp_path / "ck.npz")
+    assert sharded.var == single.var and sharded.cvar == single.cvar

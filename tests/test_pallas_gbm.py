@@ -123,3 +123,57 @@ def test_wide_universe_padding():
     assert out.shape == (4_000, a)
     want_sd = np.sqrt(np.diag(chol @ chol.T) * 8)
     np.testing.assert_allclose(out.std(0), want_sd, rtol=0.12)
+
+
+# ---- polynomial Box-Muller variants (roofline work, r2) -------------------------
+
+def test_poly_helpers_match_reference_math():
+    """_ln_poly/_sincos_poly/_exp_poly/_sqrt_poly vs numpy over their domains."""
+    from mcport.ops.pallas_gbm import _exp_poly, _ln_poly, _sincos_poly, _sqrt_poly
+
+    rng = np.random.default_rng(0)
+    u = rng.uniform(2**-23, 1.0, 100_000).astype(np.float32)
+    assert np.max(np.abs(np.asarray(_ln_poly(jnp.asarray(u)))
+                         - np.log(u.astype(np.float64)))) < 2e-6
+    u2 = rng.uniform(0, 1, 100_000).astype(np.float32)
+    c, s = _sincos_poly(jnp.asarray(u2))
+    th = 2 * np.pi * u2.astype(np.float64)
+    assert np.max(np.abs(np.asarray(c) - np.cos(th))) < 2e-7
+    assert np.max(np.abs(np.asarray(s) - np.sin(th))) < 2e-7
+    x = rng.uniform(-25, 10, 100_000).astype(np.float32)
+    rel = np.abs(np.asarray(_exp_poly(jnp.asarray(x))).astype(np.float64)
+                 / np.exp(x.astype(np.float64)) - 1)
+    assert rel.max() < 5e-6
+    y = rng.uniform(1e-7, 32.0, 100_000).astype(np.float32)
+    rel = np.abs(np.asarray(_sqrt_poly(jnp.asarray(y))).astype(np.float64)
+                 / np.sqrt(y.astype(np.float64)) - 1)
+    assert rel.max() < 2e-6
+
+
+def test_poly_boxmuller_matches_exact_per_draw():
+    """Same uniforms through poly and exact Box-Muller → same normals to ~2e-6
+    absolute (the adopted default changes throughput, not the distribution)."""
+    from mcport.ops.pallas_gbm import _BM_VARIANTS
+
+    rng = np.random.default_rng(1)
+    u1 = rng.uniform(2**-23, 1.0, 200_000).astype(np.float32)
+    u2 = rng.uniform(0, 1, 200_000).astype(np.float32)
+    z1e, z2e = _BM_VARIANTS["exact"](jnp.asarray(u1), jnp.asarray(u2))
+    # sqrtsin's sin = sqrt(1-c^2) loses absolute accuracy ~eps/(2 sin) where
+    # sin ≈ 0 (z2 itself ≈ 0 there) — bounded by ~1e-3 and distribution-neutral
+    tol2 = {"poly": 3e-6, "polyall": 3e-6, "sqrtsin": 2e-3}
+    for name in ("poly", "polyall", "sqrtsin"):
+        z1, z2 = _BM_VARIANTS[name](jnp.asarray(u1), jnp.asarray(u2))
+        assert float(jnp.max(jnp.abs(z1 - z1e))) < 3e-6, name
+        assert float(jnp.max(jnp.abs(z2 - z2e))) < tol2[name], name
+
+
+def test_terminal_kernel_variants_same_law_interpret():
+    """All bm variants produce the same distribution through the kernel
+    (interpret mode shares the Threefry bit source, so draws are comparable)."""
+    from mcport.ops.pallas_gbm import gbm_terminal_noise
+
+    chol = np.diag([0.02, 0.03]).astype(np.float32)
+    base = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True, bm="exact"))
+    poly = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True, bm="poly"))
+    np.testing.assert_allclose(poly, base, atol=2e-5)
