@@ -38,7 +38,9 @@ VPU FMA polynomial and sincos via quadrant reduction + Taylor polynomials,
 leaving only sqrt on the EUP — measured **7.9e9 path-steps/s terminal (2x+)**
 with ≤1.7e-6 absolute deviation per draw and full 5.6-sigma tail fidelity
 (bench_kernel_variants.py; law re-verified on-chip by the tpu test tier). The
-path-stats kernel rose 2.2e9 → ~3.5e9 from the same change. Variants measured
+path-stats kernel rose 2.2e9 → ~3.5e9 from the same change; unrolling 4
+Box-Muller pairs per loop iteration adds another 5-8% (8.1-8.3e9 measured,
+same-process A/B over unroll 1/2/4). Variants measured
 and kept selectable via ``bm=``: "exact" (round-1 EUP form), "sqrtsin"
 (sin = ±sqrt(1-cos²); 1.0x — sin was never the lever), "polyall" (+polynomial
 sqrt; 0.95x — the lone EUP sqrt overlaps fine). A polynomial exp for the
@@ -268,18 +270,26 @@ def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "poly"):
 # ---------------------------------------------------------------------------
 
 def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret: bool,
-                           bm: str = "poly"):
+                           bm: str = "poly", unroll: int = 4):
     a_pad, block = out_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
 
     n_pairs = n_steps // 2
     odd = n_steps % 2 == 1
+    n_major = n_pairs // unroll          # unrolled iterations (ILP for the
+    n_rem = n_pairs % unroll             # polynomial pipeline; indices stay
+                                         # counter-addressed in interpret mode)
 
     def body(i, acc):
-        z1, z2 = normal_pair(i)
-        return acc + z1 + z2
+        for j in range(unroll):
+            z1, z2 = normal_pair(i * unroll + j)
+            acc = acc + (z1 + z2)
+        return acc
 
-    acc = jax.lax.fori_loop(0, n_pairs, body, jnp.zeros((a_pad, block), jnp.float32))
+    acc = jax.lax.fori_loop(0, n_major, body, jnp.zeros((a_pad, block), jnp.float32))
+    for j in range(n_rem):
+        z1, z2 = normal_pair(jnp.asarray(n_major * unroll + j, jnp.int32))
+        acc = acc + (z1 + z2)
     if odd:
         z1, _ = normal_pair(jnp.asarray(n_pairs, jnp.int32))
         acc = acc + z1
@@ -288,7 +298,7 @@ def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "bm")
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "bm", "unroll")
 )
 def gbm_terminal_noise(
     seed: Array,
@@ -298,6 +308,7 @@ def gbm_terminal_noise(
     block: int = 1024,
     interpret: bool = False,
     bm: str = "poly",
+    unroll: int = 4,
 ) -> Array:
     """Correlated terminal noise ``L · sum_t z_t`` → (A_pad, n_paths) float32.
 
@@ -313,7 +324,8 @@ def gbm_terminal_noise(
     grid = n_pad // block
 
     out = pl.pallas_call(
-        functools.partial(_terminal_noise_kernel, n_steps=n_steps, interpret=interpret, bm=bm),
+        functools.partial(_terminal_noise_kernel, n_steps=n_steps, interpret=interpret,
+                          bm=bm, unroll=unroll),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
