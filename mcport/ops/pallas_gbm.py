@@ -43,10 +43,13 @@ Box-Muller pairs per loop iteration adds another 5-8% (8.1-8.3e9 measured,
 same-process A/B over unroll 1/2/4). Variants measured
 and kept selectable via ``bm=``: "exact" (round-1 EUP form), "sqrtsin"
 (sin = ±sqrt(1-cos²); 1.0x — sin was never the lever), "polyall" (+polynomial
-sqrt; 0.95x — the lone EUP sqrt overlaps fine). A polynomial exp for the
-path-stats portfolio value measured 0.97x vs EUP exp in a same-process A/B
-(kept behind ``poly_exp=``); same-process A/Bs are mandatory here — tunnel
-noise between processes exceeds 20%. Still rejected: CLT uniform sums (6-12x
+sqrt; 0.95x — the lone EUP sqrt overlaps fine). Path-stats pipeline
+alternatives measured and rejected (same-process A/B, kept behind ``impl=``):
+full-range polynomial exp 0.97x; portfolio reduction as a (1,A)x(A,block) MXU
+dot 0.5-0.7x (tiny-dot overhead beats the sublane sum's cost); multiplicative
+price-level state with a degree-8 small-range exp polynomial 0.5-0.7x. The
+sublane-sum + EUP-exp form stays the default. Same-process A/Bs are mandatory
+here — tunnel noise between processes exceeds 20%. Still rejected: CLT uniform sums (6-12x
 more RNG words), Wallace pool mixing (temporal correlation across steps).
 Faster terminal-only sampling should use ``terminal_log_returns_exact``
 (1 draw/path) instead of this kernel.
@@ -370,28 +373,67 @@ def pallas_terminal_log_returns(
 # full path-evolution kernel with path-dependent statistics
 # ---------------------------------------------------------------------------
 
+# degree-8 Chebyshev fit of exp(x) on [-1, 1] (per-step log increments are
+# tiny: |x| = 1 is >=11 sigma for any sane per-step vol); 2.7e-7 max rel err
+_EXPS_COEF = (
+    2.54621205e-05, 0.000204326063, 0.00138834274, 0.00832917564, 0.0416668491,
+    0.166667735, 0.499999979, 0.999999927, 1.0,
+)
+
+
+def _exp_small(x: Array) -> Array:
+    """exp(x) for |x| <= ~1 as a pure FMA polynomial (clamped outside — a >11
+    sigma single-step move for typical per-step vols, P < 1e-28)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    p = _EXPS_COEF[0]
+    for c in _EXPS_COEF[1:]:
+        p = p * x + c
+    return p
+
+
 def _path_stats_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
-    interpret: bool, poly_exp: bool = False
+    interpret: bool, impl: str = "eup_sum"
 ):
-    exp = _exp_poly if poly_exp else jnp.exp
+    """impl selects the per-step portfolio-value pipeline (same math, same
+    draws; see the module docstring A/B table):
+
+    - "eup_sum"   — exp on the EUP, sublane-sum reduction on the VPU (round 1)
+    - "eup_dot"   — exp on the EUP, reduction as a (1, A)x(A, block) MXU dot
+    - "lvl_dot"   — multiplicative price-level state updated by a degree-8
+                    polynomial of the SMALL per-step increment (no exp at all),
+                    MXU-dot reduction; term log returns kept separately
+    - "poly_sum"  — full-range polynomial exp + VPU sum (r2 experiment, kept)
+    """
     a_pad, block = term_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
 
     m = m_ref[:]          # (a_pad, 1) per-step mean log return
     lt = lt_ref[:]        # (a_pad, a_pad) Cholesky (lower)
     w = w_ref[:]          # (a_pad, 1) portfolio weights (zero on padding)
+    w_row = w.reshape(1, a_pad)
+    use_lvl = impl == "lvl_dot"
+    exp = _exp_poly if impl == "poly_sum" else jnp.exp
+
+    def value(acc, lvl):
+        if use_lvl:
+            return jnp.dot(w_row, lvl, preferred_element_type=jnp.float32)
+        e = exp(acc)
+        if impl == "eup_dot":
+            return jnp.dot(w_row, e, preferred_element_type=jnp.float32)
+        return jnp.sum(w * e, axis=0, keepdims=True)
 
     def one_step(z, carry):
-        acc, peak, dd = carry
+        acc, lvl, peak, dd = carry
         y = jnp.dot(lt, z, preferred_element_type=jnp.float32)  # correlate: L z_t
-        acc = acc + m + y                                       # log prices
-        # VPU-polynomial exp (the EUP exp was the per-step bottleneck once the
-        # normal draws went polynomial — see module docstring)
-        v = jnp.sum(w * exp(acc), axis=0, keepdims=True)       # (1, block) V_t
+        x = m + y                                               # per-step increment
+        acc = acc + x                                           # log prices
+        if use_lvl:
+            lvl = lvl * _exp_small(x)                           # price levels
+        v = value(acc, lvl)                                     # (1, block) V_t
         peak = jnp.maximum(peak, v)
         dd = jnp.minimum(dd, v / peak - 1.0)
-        return acc, peak, dd
+        return acc, lvl, peak, dd
 
     def body(i, carry):
         z1, z2 = normal_pair(i)
@@ -401,23 +443,24 @@ def _path_stats_kernel(
 
     init = (
         jnp.zeros((a_pad, block), jnp.float32),
-        jnp.ones((1, block), jnp.float32),   # V_0 = sum w = 1
+        jnp.ones((a_pad, block), jnp.float32),   # price levels (lvl mode)
+        jnp.ones((1, block), jnp.float32),       # V_0 = sum w = 1
         jnp.zeros((1, block), jnp.float32),
     )
-    acc, peak, dd = jax.lax.fori_loop(0, n_steps // 2, body, init)
+    acc, lvl, peak, dd = jax.lax.fori_loop(0, n_steps // 2, body, init)
     if n_steps % 2 == 1:
         z1, _ = normal_pair(jnp.asarray(n_steps // 2, jnp.int32))
-        acc, peak, dd = one_step(z1, (acc, peak, dd))
+        acc, lvl, peak, dd = one_step(z1, (acc, lvl, peak, dd))
 
     term_ref[:] = acc
-    v_t = jnp.sum(w * exp(acc), axis=0, keepdims=True)
+    v_t = value(acc, lvl)
     stats_ref[0:1, :] = v_t - 1.0        # portfolio terminal simple return
     stats_ref[1:2, :] = dd               # max drawdown of portfolio value
     stats_ref[2:, :] = jnp.zeros((stats_ref.shape[0] - 2, block), jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "poly_exp")
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "impl")
 )
 def gbm_path_stats(
     seed: Array,
@@ -428,7 +471,7 @@ def gbm_path_stats(
     n_steps: int,
     block: int = 1024,
     interpret: bool = False,
-    poly_exp: bool = False,
+    impl: str = "eup_sum",
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
@@ -449,7 +492,7 @@ def gbm_path_stats(
 
     term, stats = pl.pallas_call(
         functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
-                          poly_exp=poly_exp),
+                          impl=impl),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
