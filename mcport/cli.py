@@ -10,6 +10,7 @@ Commands:
   simulate   random-weight portfolio search, all methods (tab 2)
   gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
                (--path-stats adds the simulated max-drawdown distribution)
+  bootstrap-risk distribution-free tail risk from resampled historical paths
   sim-frontier weight search scored against simulated GBM paths
   dd-frontier  max return subject to a simulated max-drawdown budget
   forecast     ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
@@ -159,6 +160,35 @@ def cmd_garch_risk(args) -> None:
         "portfolio_mean_return": float(port.mean()),
         "garch_alpha": params.alpha.tolist(),
         "garch_beta": params.beta.tolist(),
+    })
+
+
+def cmd_bootstrap_risk(args) -> None:
+    import jax
+
+    from mcport.models.bootstrap import bootstrap_risk
+
+    d = _universe(args)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    out = bootstrap_risk(
+        jax.random.key(args.seed), d.port_rets, w,
+        n_paths=args.paths, n_steps=args.steps,
+        p_restart=args.p_restart, alpha=args.alpha,
+    )
+    _emit({
+        "engine": "stationary-block-bootstrap",
+        "n_paths": args.paths,
+        "horizon_steps": args.steps,
+        "expected_block_len": 1.0 / args.p_restart,
+        "weights": dict(zip(d.names, map(float, w))),
+        "var": float(out.var),
+        "cvar": float(out.cvar),
+        "portfolio_mean_return": float(out.port_mean),
+        "asset_mean_terminal": dict(zip(d.names, map(float, out.mean))),
     })
 
 
@@ -313,6 +343,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.set_defaults(fn=cmd_garch_risk)
+
+    sp = sub.add_parser("bootstrap-risk",
+                        help="distribution-free tail risk from resampled historical paths")
+    common(sp)
+    sp.add_argument("--weights", default=None, help="comma-separated, default equal")
+    sp.add_argument("--paths", type=int, default=100_000)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--p-restart", type=float, default=0.2,
+                    help="block restart probability (expected block len = 1/p)")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_bootstrap_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
     common(sp)

@@ -8,6 +8,11 @@ from mcport.models.gbm import (
 )
 from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
 from mcport.models.bridge import bridge_schedule, brownian_bridge, qmc_gbm_log_paths
+from mcport.models.bootstrap import (
+    BootstrapRisk,
+    bootstrap_risk,
+    bootstrap_terminal_returns,
+)
 from mcport.models.forecast import HorizonForecast, forecast_prices
 from mcport.models.garch import Garch11Fit, fit_garch_11, forecast_garch_variance
 from mcport.models.garch_mc import (
@@ -36,6 +41,9 @@ __all__ = [
     "forecast_garch_variance",
     "HorizonForecast",
     "forecast_prices",
+    "BootstrapRisk",
+    "bootstrap_risk",
+    "bootstrap_terminal_returns",
     "bridge_schedule",
     "brownian_bridge",
     "qmc_gbm_log_paths",

@@ -1,6 +1,10 @@
 from mcport.parallel.auto_sharded import auto_sharded_weight_search
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
-from mcport.parallel.sharded_engines import sharded_path_risk, sharded_simulated_frontier
+from mcport.parallel.sharded_engines import (
+    sharded_bootstrap_risk,
+    sharded_path_risk,
+    sharded_simulated_frontier,
+)
 from mcport.parallel.sharded_resumable import (
     ShardedMCCheckpoint,
     load_sharded_checkpoint,
@@ -26,6 +30,7 @@ __all__ = [
     "sharded_weight_search",
     "SEED_STRIDE",
     "sharded_path_risk",
+    "sharded_bootstrap_risk",
     "sharded_simulated_frontier",
     "auto_sharded_weight_search",
     "ShardedMCCheckpoint",

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -30,7 +31,7 @@ from mcport.ops.dirichlet import sample_constrained_weights
 from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
-__all__ = ["sharded_path_risk", "sharded_simulated_frontier"]
+__all__ = ["sharded_path_risk", "sharded_simulated_frontier", "sharded_bootstrap_risk"]
 
 
 def sharded_path_risk(
@@ -156,3 +157,57 @@ def sharded_simulated_frontier(
                    out_specs=(P(), P()), check_vma=False)
     return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
               jnp.asarray(min_weights), jnp.asarray(max_weights))
+
+
+def sharded_bootstrap_risk(
+    key: Array,
+    returns: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    p_restart: float = 0.2,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    axis: str = "paths",
+):
+    """Mesh-sharded stationary-bootstrap tail risk (psum'd histogram sketch).
+
+    Same zero-input-communication pattern as the GBM engines: every device
+    resamples its own path slice from ``fold_in(key, axis_index)`` and only the
+    (n_bins,) counts + two scalars cross ICI. Returns a
+    :class:`mcport.models.bootstrap.BootstrapRisk` (replicated).
+    """
+    from mcport.models.bootstrap import (
+        BootstrapRisk,
+        _auto_sketch_from_history,
+        bootstrap_terminal_returns,
+    )
+    from mcport.ops.quantile import histogram, sketch_var_cvar
+
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    if sketch is None:
+        sketch = _auto_sketch_from_history(np.asarray(returns), n_steps)
+
+    def local(key, returns, weights):
+        idx = jax.lax.axis_index(axis)
+        term = bootstrap_terminal_returns(
+            jax.random.fold_in(key, idx), returns, n_local, n_steps, p_restart
+        )
+        port = term @ weights
+        psum = lambda x: jax.lax.psum(x, axis)
+        counts = psum(histogram(port, sketch))
+        port_sum = psum(port.sum())
+        mean = psum(term.sum(axis=0)) / n_paths
+        v, c = sketch_var_cvar(counts, alpha, sketch)
+        return BootstrapRisk(v, c, port_sum / n_paths, mean, counts)
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=BootstrapRisk(P(), P(), P(), P(), P()), check_vma=False,
+    ))
+    return fn(key, jnp.asarray(returns, jnp.float32),
+              jnp.asarray(weights, jnp.float32))

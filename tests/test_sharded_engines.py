@@ -92,3 +92,30 @@ def test_indivisible_raises(mesh):
             jnp.asarray(PARAMS.chol_step, jnp.float32), jnp.asarray(W),
             n_paths=1_001, n_steps=4, mesh=mesh, sketch=SK,
         )
+
+
+def test_sharded_bootstrap_risk(mesh, rng):
+    from mcport.models.bootstrap import bootstrap_risk
+    from mcport.parallel.sharded_engines import sharded_bootstrap_risk
+
+    hist = (rng.standard_t(5, (150, 3)) * 0.02 + 0.002).astype(np.float32)
+    w = np.array([0.5, 0.3, 0.2], np.float32)
+    out = sharded_bootstrap_risk(
+        jax.random.key(0), hist, w, n_paths=32_768, n_steps=8, mesh=mesh,
+    )
+    v, c = float(out.var), float(out.cvar)
+    assert c <= v and np.isfinite(c)
+    assert float(out.hist.sum()) == 32_768
+    # statistical agreement with the single-chip engine (different streams)
+    single = bootstrap_risk(jax.random.key(0), hist, w, n_paths=32_768, n_steps=8)
+    assert abs(float(out.port_mean) - float(single.port_mean)) < 0.02
+    assert abs(v - float(single.var)) < 0.05
+
+
+def test_sharded_bootstrap_indivisible_raises(mesh, rng):
+    from mcport.parallel.sharded_engines import sharded_bootstrap_risk
+
+    hist = rng.normal(0, 0.02, (50, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_bootstrap_risk(jax.random.key(0), hist, np.array([0.5, 0.5]),
+                               n_paths=1001, n_steps=2, mesh=mesh)
