@@ -35,7 +35,8 @@ from mcport.ops.quantile import (
 )
 from mcport.seeding import SEED_STRIDE
 
-__all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc", "load_checkpoint"]
+__all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc",
+           "run_resumable_mc_with_recovery", "load_checkpoint"]
 
 
 @dataclass
@@ -307,3 +308,51 @@ def run_resumable_mc(
         n_paths=int(ck.count),
     )
     return report, ck
+
+
+def run_resumable_mc_with_recovery(
+    params: GBMParams,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig | None = None,
+    alpha: float = 0.95,
+    checkpoint_path: str | Path = "mc_checkpoint.npz",
+    segment_blocks: int = 64,
+    max_restarts: int = 3,
+    dispatch_blocks: int = 16,
+) -> RiskReport:
+    """Elastic driver: run in checkpointed segments, surviving transient device
+    failures (SURVEY.md §5 "failure detection / elastic recovery").
+
+    The tunneled-TPU backend can abort mid-run (observed in practice:
+    ``JaxRuntimeError: ABORTED: TPU backend error``); because every block is
+    counter-addressed, recovery is simply "reload the last checkpoint and
+    continue" — results are bit-identical to an uninterrupted run regardless of
+    where the failures land. ``max_restarts`` bounds consecutive failed
+    segments (progress resets the budget); a permanently-failing device
+    re-raises the last error.
+    """
+    import jax
+
+    checkpoint_path = Path(checkpoint_path)
+    ck = load_checkpoint(checkpoint_path) if checkpoint_path.exists() else None
+    failures = 0
+    while True:
+        try:
+            report, ck = run_resumable_mc(
+                params, weights, config, sketch, alpha=alpha,
+                checkpoint=ck, max_blocks=segment_blocks,
+                checkpoint_path=checkpoint_path,
+                dispatch_blocks=dispatch_blocks,
+            )
+            failures = 0
+        except jax.errors.JaxRuntimeError:
+            failures += 1
+            if failures > max_restarts:
+                raise
+            # the device state is gone; resume from the last durable checkpoint
+            ck = (load_checkpoint(checkpoint_path)
+                  if checkpoint_path.exists() else None)
+            continue
+        if ck.done:
+            return report

@@ -94,12 +94,21 @@ def _auto_sketch_from_history(returns: np.ndarray, n_steps: int,
                         space="log1p")
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "alpha", "sketch", "dtype"))
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "p_restart", "alpha",
+                                   "sketch", "dtype", "use_pallas"))
 def _bootstrap_risk_impl(
-    key, returns, weights, n_paths, n_steps, p_restart, alpha, sketch, dtype
+    key, seed, returns, weights, n_paths, n_steps, p_restart, alpha, sketch,
+    dtype, use_pallas
 ):
-    term = bootstrap_terminal_returns(key, returns, n_paths, n_steps,
-                                      p_restart, dtype)
+    if use_pallas:
+        from mcport.ops.pallas_bootstrap import pallas_bootstrap_terminal_returns
+
+        term = pallas_bootstrap_terminal_returns(
+            seed, returns, n_paths, n_steps, p_restart
+        ).astype(dtype)
+    else:
+        term = bootstrap_terminal_returns(key, returns, n_paths, n_steps,
+                                          p_restart, dtype)
     port = term @ jnp.asarray(weights, dtype)
     counts = histogram(port, sketch)
     v, c = sketch_var_cvar(counts, alpha, sketch)
@@ -116,15 +125,23 @@ def bootstrap_risk(
     alpha: float = 0.95,
     sketch: SketchConfig | None = None,
     dtype=jnp.float32,
+    use_pallas: bool | None = None,
+    seed: int = 0,
 ) -> BootstrapRisk:
     """Distribution-free portfolio tail risk from resampled historical paths.
 
     ``sketch=None`` derives a guaranteed-covering log1p range from the history
     (the compounded best/worst rows bound every possible path).
+    ``use_pallas=None`` auto-selects the fused one-hot-MXU kernel on TPU (the
+    lax gather path is ~50x slower there); the kernel uses ``seed`` for its
+    counter-addressed hardware-PRNG streams instead of ``key``.
     """
     if sketch is None:
         sketch = _auto_sketch_from_history(returns, n_steps)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     return _bootstrap_risk_impl(
-        key, jnp.asarray(returns), jnp.asarray(weights),
-        n_paths, n_steps, p_restart, alpha, sketch, dtype,
+        key, jnp.asarray(seed, jnp.int32), jnp.asarray(returns),
+        jnp.asarray(weights), n_paths, n_steps, p_restart, alpha, sketch,
+        dtype, use_pallas,
     )

@@ -70,3 +70,48 @@ def test_seed_changes_results():
         PARAMS, W, GBMConfig(**{**CFG.__dict__, "seed": 6}), SKETCH
     )
     assert r1.var != r2.var
+
+
+def test_recovery_driver_survives_transient_aborts(tmp_path, monkeypatch):
+    """Inject transient device failures between segments; the recovery driver
+    must produce results bit-identical to an uninterrupted run."""
+    import jax
+
+    import mcport.engine.mc_engine as eng
+
+    baseline, _ = run_resumable_mc(PARAMS, W, CFG, SKETCH)
+
+    real = eng.run_resumable_mc
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] in (2, 4):  # fail the 2nd and 4th segments
+            raise jax.errors.JaxRuntimeError("ABORTED: TPU backend error (Aborted).")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(eng, "run_resumable_mc", flaky)
+    report = eng.run_resumable_mc_with_recovery(
+        PARAMS, W, CFG, SKETCH, checkpoint_path=tmp_path / "r.npz",
+        segment_blocks=2, max_restarts=2,
+    )
+    assert calls["n"] > 4  # failures actually happened and were retried
+    assert report.var == baseline.var and report.cvar == baseline.cvar
+    np.testing.assert_array_equal(report.mean, baseline.mean)
+    np.testing.assert_array_equal(report.cov, baseline.cov)
+
+
+def test_recovery_driver_gives_up_on_permanent_failure(tmp_path, monkeypatch):
+    import jax
+
+    import mcport.engine.mc_engine as eng
+
+    def always_fail(*args, **kwargs):
+        raise jax.errors.JaxRuntimeError("ABORTED: TPU backend error (Aborted).")
+
+    monkeypatch.setattr(eng, "run_resumable_mc", always_fail)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        eng.run_resumable_mc_with_recovery(
+            PARAMS, W, CFG, SKETCH, checkpoint_path=tmp_path / "p.npz",
+            segment_blocks=2, max_restarts=2,
+        )
