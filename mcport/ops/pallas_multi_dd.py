@@ -96,6 +96,20 @@ def gbm_multi_portfolio_dd(
     chol = jnp.asarray(chol_step, jnp.float32)
     w = jnp.asarray(weights, jnp.float32)
     w_cnt, a = w.shape
+    # VMEM guard: past ~512 candidate rows the per-step (W, block) peak/dd
+    # state spills registers and the Mosaic compile aborts (observed: 264M of
+    # 128M vmem at W=8192). Auto-chunk — every chunk re-derives the SAME paths
+    # (same seed → same per-block streams), so cross-chunk scores are exact.
+    max_w = 256
+    if w_cnt > max_w:
+        parts = [
+            gbm_multi_portfolio_dd(seed, mean_step, chol_step,
+                                   w[i:i + max_w], n_paths, n_steps,
+                                   block, interpret)
+            for i in range(0, w_cnt, max_w)
+        ]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0))
     a_pad = max(8, _round_up(a, 8))
     w_pad = max(8, _round_up(w_cnt, 8))
     m_p = jnp.zeros((a_pad, 1), jnp.float32).at[:a, 0].set(m)
