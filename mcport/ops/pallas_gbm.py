@@ -51,8 +51,13 @@ price-level state with a degree-8 small-range exp polynomial 0.5-0.7x. The
 sublane-sum + EUP-exp form stays the default. Same-process A/Bs are mandatory
 here — tunnel noise between processes exceeds 20%. Still rejected: CLT uniform sums (6-12x
 more RNG words), Wallace pool mixing (temporal correlation across steps).
-Faster terminal-only sampling should use ``terminal_log_returns_exact``
-(1 draw/path) instead of this kernel.
+Roofline decomposition (isolation kernels, on-chip): PRNG+bit-mapping alone
+25.6e9 path-steps/s; the ln polynomial costs ~43% of step time, sincos ~29%,
+sqrt fully overlaps. Additive model predicts 7.2e9 vs 7.9e9 measured — the
+kernel is VPU-polynomial-bound against a ~25.6e9 PRNG ceiling; shaving the ln
+degree trades tail accuracy for ~3% and was declined. Faster terminal-only
+sampling should use ``terminal_log_returns_exact`` (1 draw/path) instead of
+this kernel.
 """
 
 from __future__ import annotations
