@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcport.config import Config, SketchConfig
+from mcport.config import Config
 from mcport.data.pipeline import PriceData, load_universe
 from mcport.engine.mc_engine import MCCheckpoint, RiskReport, run_resumable_mc
 from mcport.engine.simulate import SimulationOutput, run_simulation
@@ -84,9 +84,10 @@ def gbm_risk(
         raise ValueError(f"weights must have shape ({a},)")
     g = config.gbm
     alpha = config.simulation.alpha
-    # default sketch config → adaptive log1p range derived from the fitted
-    # params (auto_sketch); a customized config.sketch is honored verbatim
-    sketch = None if config.sketch == SketchConfig() else config.sketch
+    # GBMConfig.auto_sketch (default True) derives the adaptive log1p range
+    # from the fitted params; set it False to use Config.sketch verbatim
+    # (e.g. to reproduce fixed-grid bin geometry).
+    sketch = None if g.auto_sketch else config.sketch
 
     if mesh is not None and (checkpoint is not None or checkpoint_path is not None):
         # sharded + resumable composition (per-device cursors, bit-exact resume)

@@ -177,7 +177,7 @@ def cmd_bootstrap_risk(args) -> None:
     out = bootstrap_risk(
         jax.random.key(args.seed), d.port_rets, w,
         n_paths=args.paths, n_steps=args.steps,
-        p_restart=args.p_restart, alpha=args.alpha,
+        p_restart=args.p_restart, alpha=args.alpha, seed=args.seed,
     )
     _emit({
         "engine": "stationary-block-bootstrap",

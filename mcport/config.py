@@ -107,6 +107,9 @@ class GBMConfig:
     dtype: str = "float32"
     path_block: int = 8_192            # paths per device-side block (chunked scan)
     use_pallas: bool = True            # fused Pallas kernel on TPU, lax fallback
+    auto_sketch: bool = True           # derive the quantile-sketch range from the
+                                       # fitted params (log1p space); False = use
+                                       # Config.sketch verbatim
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,21 @@ __all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc",
            "run_resumable_mc_with_recovery", "load_checkpoint"]
 
 
+def _run_digest(params: GBMParams, weights, config: GBMConfig) -> str:
+    """Binds a checkpoint to the exact computation: params, weights, seed, grid.
+    Resuming with anything else is a different run and must be rejected, not
+    silently continued (a stale checkpoint under a reused path would otherwise
+    return the previous run's results)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for arr in (params.mean_step, params.chol_step, np.asarray(weights, np.float64)):
+        h.update(np.ascontiguousarray(arr, np.float64).tobytes())
+    h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
+             f"{config.path_block}|{config.antithetic}".encode())
+    return h.hexdigest()
+
+
 @dataclass
 class MCCheckpoint:
     """Serializable engine state. ``next_block`` is the resume cursor.
@@ -66,6 +81,7 @@ class MCCheckpoint:
     sketch_hi: float
     sketch_space: str
     antithetic: bool = False
+    digest: str = ""
 
     def save(self, path: str | Path) -> None:
         np.savez(
@@ -89,6 +105,14 @@ class MCCheckpoint:
 
 def load_checkpoint(path: str | Path) -> MCCheckpoint:
     with np.load(path) as z:
+        missing = {"sum_c", "outer_c", "shift", "sketch_lo"} - set(z.files)
+        if missing:
+            raise ValueError(
+                f"checkpoint {path} was written by an older mcport version "
+                f"(missing fields {sorted(missing)}); it cannot be resumed by "
+                "this version — rerun from scratch or keep the old version to "
+                "finish it"
+            )
         return MCCheckpoint(
             seed=int(z["seed"]),
             n_steps=int(z["n_steps"]),
@@ -107,6 +131,7 @@ def load_checkpoint(path: str | Path) -> MCCheckpoint:
             sketch_hi=float(z["sketch_hi"]),
             sketch_space=str(z["sketch_space"]),
             antithetic=bool(z["antithetic"]),
+            digest=str(z["digest"]) if "digest" in z.files else "",
         )
 
 
@@ -211,6 +236,7 @@ def run_resumable_mc(
         raise ValueError(f"n_paths {config.n_paths} not divisible by path_block {block_paths}")
     n_blocks = config.n_paths // block_paths
 
+    digest = _run_digest(params, weights, config)
     if checkpoint is None:
         if sketch is None:
             sketch = auto_sketch(params.mean_step, params.chol_step, config.n_steps)
@@ -233,11 +259,17 @@ def run_resumable_mc(
             sketch_hi=sketch.hi,
             sketch_space=sketch.space,
             antithetic=config.antithetic,
+            digest=digest,
         )
     else:
         ck = checkpoint
         if (ck.n_steps, ck.block_paths, ck.n_blocks) != (config.n_steps, block_paths, n_blocks):
             raise ValueError("checkpoint is for a different run configuration")
+        if ck.digest and ck.digest != digest:
+            raise ValueError(
+                "checkpoint was written for different parameters/weights/seed "
+                "(digest mismatch) — refusing to resume a different computation"
+            )
         if sketch is None:
             sketch = ck.sketch
         elif sketch != ck.sketch:
@@ -292,6 +324,7 @@ def run_resumable_mc(
         sketch_hi=sketch.hi,
         sketch_space=sketch.space,
         antithetic=ck.antithetic,
+        digest=digest,
     )
     if checkpoint_path is not None:
         ck.save(checkpoint_path)

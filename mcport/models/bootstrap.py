@@ -27,6 +27,7 @@ import numpy as np
 from jax import Array
 
 from mcport.config import SketchConfig
+from mcport.seeding import SEED_STRIDE
 from mcport.ops.quantile import histogram, sketch_var_cvar
 
 __all__ = ["BootstrapRisk", "bootstrap_terminal_returns", "bootstrap_risk"]
@@ -103,8 +104,10 @@ def _bootstrap_risk_impl(
     if use_pallas:
         from mcport.ops.pallas_bootstrap import pallas_bootstrap_terminal_returns
 
+        # stride user seeds so each owns SEED_STRIDE disjoint block-program
+        # streams (seeding.py policy; the kernel adds program_id per block)
         term = pallas_bootstrap_terminal_returns(
-            seed, returns, n_paths, n_steps, p_restart
+            seed * SEED_STRIDE, returns, n_paths, n_steps, p_restart
         ).astype(dtype)
     else:
         term = bootstrap_terminal_returns(key, returns, n_paths, n_steps,

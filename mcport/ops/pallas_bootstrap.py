@@ -28,33 +28,9 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mcport.ops.pallas_gbm import _bits_to_unit, _round_up
+from mcport.ops.pallas_gbm import _make_uniform_grid, _round_up
 
 __all__ = ["pallas_bootstrap_terminal_returns"]
-
-
-def _make_uniform_grid(interpret: bool, seed_ref, shape):
-    """(8, block) uniform grids in (0, 1]; compiled = hardware PRNG, interpret
-    = counter-addressed Threefry (same mapping downstream)."""
-    if not interpret:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-        def grid(_i: Array) -> Array:
-            return _bits_to_unit(
-                pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            )
-
-        return grid
-
-    base = jax.random.fold_in(jax.random.PRNGKey(0), seed_ref[0])
-    base = jax.random.fold_in(base, pl.program_id(0))
-
-    def grid(i: Array) -> Array:
-        eps = 0.5 / (1 << 25)
-        return jax.random.uniform(jax.random.fold_in(base, i), shape,
-                                  jnp.float32, eps, 1.0)
-
-    return grid
 
 
 def _bootstrap_kernel(

@@ -236,6 +236,31 @@ def _exp_poly(x: Array) -> Array:
     return p * scale
 
 
+def _make_uniform_grid(interpret: bool, seed_ref, shape):
+    """Uniform-grid factory sharing _make_normal_pair's dual bit-source
+    convention (compiled = hardware PRNG seeded seed+program_id; interpret =
+    counter-addressed Threefry) — keep the two factories in lock-step."""
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def grid(_i: Array) -> Array:
+            return _bits_to_unit(
+                pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            )
+
+        return grid
+
+    base = jax.random.fold_in(jax.random.PRNGKey(0), seed_ref[0])
+    base = jax.random.fold_in(base, pl.program_id(0))
+
+    def grid(i: Array) -> Array:
+        eps = 0.5 / (1 << 25)
+        return jax.random.uniform(jax.random.fold_in(base, i), shape,
+                                  jnp.float32, eps, 1.0)
+
+    return grid
+
+
 def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "poly"):
     """Normal-pair generator factory.
 
@@ -440,15 +465,21 @@ def _path_stats_kernel(
         dd = jnp.minimum(dd, v / peak - 1.0)
         return acc, lvl, peak, dd
 
+    # lvl is real state only in lvl_dot mode; elsewhere a (1, 1) placeholder
+    # keeps the carry structure without hauling a dead (a_pad, block) buffer
+    # through the step loop
+
     def body(i, carry):
         z1, z2 = normal_pair(i)
         carry = one_step(z1, carry)
         carry = one_step(z2, carry)
         return carry
 
+    lvl0 = (jnp.ones((a_pad, block), jnp.float32) if use_lvl
+            else jnp.zeros((1, 1), jnp.float32))
     init = (
         jnp.zeros((a_pad, block), jnp.float32),
-        jnp.ones((a_pad, block), jnp.float32),   # price levels (lvl mode)
+        lvl0,
         jnp.ones((1, block), jnp.float32),       # V_0 = sum w = 1
         jnp.zeros((1, block), jnp.float32),
     )

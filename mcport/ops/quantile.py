@@ -157,7 +157,11 @@ def finalize_moments(
 #   "log1p"  — bins are uniform in u = log1p(r); lo/hi are stored IN u-SPACE.
 # Quantile/tail-mean results are always returned in return (value) space.
 
-_LOG1P_FLOOR = -1.0 + 1e-12
+# floor must be representable in f32: -1 + 1e-12 rounds to exactly -1.0 there,
+# letting log1p produce -inf whose int cast is backend-defined. -1 + 1e-6 is
+# f32-exactly -0.999999 and maps to u = -13.8 — safely inside any sketch's
+# bottom clamp.
+_LOG1P_FLOOR = -1.0 + 1e-6
 
 
 def _to_u(x: Array, config: SketchConfig) -> Array:

@@ -38,7 +38,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mcport.config import GBMConfig, SketchConfig
-from mcport.engine.mc_engine import RiskReport
+from mcport.engine.mc_engine import RiskReport, _run_digest
 from mcport.models.gbm import GBMParams, portfolio_terminal_returns, terminal_log_returns
 from mcport.ops.quantile import (
     MomentState,
@@ -80,6 +80,7 @@ class ShardedMCCheckpoint:
     sketch_hi: float
     sketch_space: str
     antithetic: bool = False
+    digest: str = ""
 
     def save(self, path: str | Path) -> None:
         np.savez(
@@ -103,13 +104,15 @@ class ShardedMCCheckpoint:
 
 def load_sharded_checkpoint(path: str | Path) -> ShardedMCCheckpoint:
     with np.load(path) as z:
-        kw = {f.name: z[f.name] for f in dataclasses.fields(ShardedMCCheckpoint)}
+        kw = {f.name: z[f.name] for f in dataclasses.fields(ShardedMCCheckpoint)
+              if f.name in z.files}
     for name in ("seed", "n_steps", "block_paths", "n_blocks", "next_block", "n_dev"):
         kw[name] = int(kw[name])
     for name in ("sketch_lo", "sketch_hi"):
         kw[name] = float(kw[name])
     kw["sketch_space"] = str(kw["sketch_space"])
     kw["antithetic"] = bool(kw["antithetic"])
+    kw["digest"] = str(kw.get("digest", ""))
     return ShardedMCCheckpoint(**kw)
 
 
@@ -227,6 +230,7 @@ def run_sharded_resumable_mc(
     if n_blocks % n_dev:
         raise ValueError(f"n_blocks {n_blocks} not divisible by mesh size {n_dev}")
 
+    digest = _run_digest(params, weights, config)
     if checkpoint is None:
         if sketch is None:
             sketch = auto_sketch(params.mean_step, params.chol_step, config.n_steps)
@@ -250,11 +254,17 @@ def run_sharded_resumable_mc(
             sketch_hi=sketch.hi,
             sketch_space=sketch.space,
             antithetic=config.antithetic,
+            digest=digest,
         )
     else:
         ck = checkpoint
         if (ck.n_steps, ck.block_paths, ck.n_blocks) != (config.n_steps, block_paths, n_blocks):
             raise ValueError("checkpoint is for a different run configuration")
+        if ck.digest and ck.digest != digest:
+            raise ValueError(
+                "checkpoint was written for different parameters/weights/seed "
+                "(digest mismatch) — refusing to resume a different computation"
+            )
         if ck.n_dev != n_dev:
             raise ValueError(
                 f"checkpoint was written on a {ck.n_dev}-device mesh; this mesh has {n_dev}"
@@ -314,6 +324,7 @@ def run_sharded_resumable_mc(
         sketch_hi=sketch.hi,
         sketch_space=sketch.space,
         antithetic=ck.antithetic,
+        digest=digest,
     )
     if checkpoint_path is not None:
         ck.save(checkpoint_path)

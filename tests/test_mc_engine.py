@@ -115,3 +115,23 @@ def test_recovery_driver_gives_up_on_permanent_failure(tmp_path, monkeypatch):
             PARAMS, W, CFG, SKETCH, checkpoint_path=tmp_path / "p.npz",
             segment_blocks=2, max_restarts=2,
         )
+
+
+def test_stale_checkpoint_for_other_run_rejected(tmp_path):
+    """A checkpoint bound to one (params, weights, seed) must not silently
+    resume a different computation (digest guard)."""
+    path = tmp_path / "d.npz"
+    run_resumable_mc(PARAMS, W, CFG, SKETCH, max_blocks=2, checkpoint_path=path)
+    ck = load_checkpoint(path)
+    other_w = np.array([0.2, 0.3, 0.5])
+    with pytest.raises(ValueError, match="digest"):
+        run_resumable_mc(PARAMS, other_w, CFG, SKETCH, checkpoint=ck)
+
+
+def test_old_format_checkpoint_clear_error(tmp_path):
+    path = tmp_path / "old.npz"
+    np.savez(path, seed=0, n_steps=8, block_paths=1024, n_blocks=8, next_block=1,
+             count=np.zeros(()), sum=np.zeros(3), outer=np.zeros((3, 3)),
+             hist=np.zeros(64), port_sum=np.zeros(()), antithetic=False)
+    with pytest.raises(ValueError, match="older mcport version"):
+        load_checkpoint(path)

@@ -97,3 +97,12 @@ def test_resume_guards(mesh, tmp_path):
         bad = GBMConfig(n_paths=1_024 * 9, n_steps=8, path_block=1_024,
                         use_pallas=False)  # 9 blocks % 8 devices != 0
         run_sharded_resumable_mc(PARAMS, W, mesh, bad)
+
+
+def test_sharded_digest_guard(mesh, tmp_path):
+    path = tmp_path / "dg.npz"
+    run_sharded_resumable_mc(PARAMS, W, mesh, CFG, max_blocks=8, checkpoint_path=path)
+    ck = load_sharded_checkpoint(path)
+    with pytest.raises(ValueError, match="digest"):
+        run_sharded_resumable_mc(PARAMS, np.array([0.1, 0.2, 0.7]), mesh, CFG,
+                                 checkpoint=ck)
