@@ -10,6 +10,7 @@ Commands:
   simulate   random-weight portfolio search, all methods (tab 2)
   gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
                (--path-stats adds the simulated max-drawdown distribution)
+  exact-frontier exact box-constrained mean-variance frontier (PGD QP)
   bootstrap-risk distribution-free tail risk from resampled historical paths
   sim-frontier weight search scored against simulated GBM paths
   dd-frontier  max return subject to a simulated max-drawdown budget
@@ -160,6 +161,38 @@ def cmd_garch_risk(args) -> None:
         "portfolio_mean_return": float(port.mean()),
         "garch_alpha": params.alpha.tolist(),
         "garch_beta": params.beta.tolist(),
+    })
+
+
+def cmd_exact_frontier(args) -> None:
+    import jax  # noqa: F401  (backend init consistency with the other commands)
+
+    from mcport.engine.frontier_opt import (
+        exact_frontier, max_sharpe_exact, min_variance_exact, target_risk_exact,
+    )
+
+    d = _universe(args)
+    rets = d.port_rets
+    mean_ann = rets.mean(axis=0) * d.ann_factor
+    cov_ann = np.cov(rets, rowvar=False, ddof=1) * d.ann_factor
+    a = d.n_assets
+    min_w = np.full(a, args.min_weight)
+    max_w = np.full(a, args.max_weight)
+    f = exact_frontier(mean_ann, np.atleast_2d(cov_ann), min_w, max_w,
+                       risk_free=args.risk_free, n_lambda=args.n_lambda)
+
+    def pack(sel):
+        w, ret, std = sel
+        return {"weights": dict(zip(d.names, map(float, w))),
+                "expected_return": ret, "volatility": std,
+                "sharpe": (ret - args.risk_free) / std if std > 0 else 0.0}
+
+    _emit({
+        "engine": "exact-projected-gradient-frontier",
+        "n_lambda": args.n_lambda,
+        "max_sharpe": pack(max_sharpe_exact(f)),
+        "min_variance": pack(min_variance_exact(f)),
+        "target_risk": pack(target_risk_exact(f, args.target_risk)),
     })
 
 
@@ -343,6 +376,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.set_defaults(fn=cmd_garch_risk)
+
+    sp = sub.add_parser("exact-frontier",
+                        help="exact box-constrained mean-variance frontier (PGD QP)")
+    common(sp)
+    sp.add_argument("--min-weight", type=float, default=0.0)
+    sp.add_argument("--max-weight", type=float, default=1.0)
+    sp.add_argument("--n-lambda", type=int, default=64)
+    sp.add_argument("--target-risk", type=float, default=0.30)
+    sp.set_defaults(fn=cmd_exact_frontier)
 
     sp = sub.add_parser("bootstrap-risk",
                         help="distribution-free tail risk from resampled historical paths")

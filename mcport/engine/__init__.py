@@ -6,6 +6,14 @@ from mcport.engine.mc_engine import (
     run_resumable_mc,
 )
 from mcport.engine.drawdown_frontier import DrawdownFrontierResult, drawdown_frontier_search
+from mcport.engine.frontier_opt import (
+    ExactFrontier,
+    exact_frontier,
+    max_sharpe_exact,
+    min_variance_exact,
+    project_capped_simplex,
+    target_risk_exact,
+)
 from mcport.engine.path_risk import PathRiskReport, run_path_risk
 from mcport.engine.simulated_frontier import SimFrontierResult, simulated_weight_search
 from mcport.engine.weight_search import (
@@ -20,6 +28,12 @@ from mcport.engine.weight_search import (
 )
 
 __all__ = [
+    "ExactFrontier",
+    "exact_frontier",
+    "max_sharpe_exact",
+    "min_variance_exact",
+    "project_capped_simplex",
+    "target_risk_exact",
     "METHODS",
     "MethodResult",
     "PortfolioEval",
