@@ -19,7 +19,8 @@ from mcport.config import PayoffConfig, PortfolioConfig, SimulationConfig, Sketc
 def __getattr__(name):
     """Lazy re-exports of the workflow API (mcport.load_universe, mcport.simulate,
     ...) without importing jax/pandas at package-import time."""
-    _API = ("load_universe", "compute_stats", "simulate", "gbm_risk", "forecast")
+    _API = ("load_universe", "compute_stats", "simulate", "gbm_risk",
+            "bootstrap_tail_risk", "exact_mv_frontier", "forecast")
     if name in _API:
         import mcport.api as _api
 

@@ -38,6 +38,8 @@ __all__ = [
     "compute_stats",
     "simulate",
     "gbm_risk",
+    "bootstrap_tail_risk",
+    "exact_mv_frontier",
     "forecast",
     "Config",
 ]
@@ -140,6 +142,48 @@ def gbm_risk(
         checkpoint=checkpoint, checkpoint_path=checkpoint_path,
     )
     return report
+
+
+def bootstrap_tail_risk(
+    data: PriceData,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+    p_restart: float = 0.2,
+):
+    """Distribution-free tail risk by stationary block bootstrap over the
+    assembled historical returns (models.bootstrap; fused kernel on TPU)."""
+    import jax as _jax
+
+    from mcport.models.bootstrap import bootstrap_risk
+
+    a = len(data.names)
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
+    g = config.gbm
+    return bootstrap_risk(
+        _jax.random.key(g.seed), data.port_rets, w,
+        n_paths=g.n_paths, n_steps=g.n_steps, p_restart=p_restart,
+        alpha=config.simulation.alpha, seed=g.seed,
+    )
+
+
+def exact_mv_frontier(
+    data: PriceData,
+    config: Config = Config(),
+    n_lambda: int = 64,
+):
+    """Exact box-constrained mean-variance frontier over the assembled returns
+    (engine.frontier_opt; PGD QP sweep)."""
+    from mcport.engine.frontier_opt import exact_frontier
+
+    rets = data.port_rets
+    mean_ann = rets.mean(axis=0) * data.ann_factor
+    cov_ann = np.atleast_2d(np.cov(rets, rowvar=False, ddof=1)) * data.ann_factor
+    pc = config.portfolio
+    a = len(data.names)
+    min_w = np.zeros(a) if pc.min_weights is None else np.asarray(pc.min_weights)
+    max_w = np.ones(a) if pc.max_weights is None else np.asarray(pc.max_weights)
+    return exact_frontier(mean_ann, cov_ann, min_w, max_w,
+                          risk_free=pc.risk_free, n_lambda=n_lambda)
 
 
 def forecast(
