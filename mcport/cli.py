@@ -99,9 +99,15 @@ def cmd_gbm_risk(args) -> None:
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
+    t_dof = 6.0
+    if args.innovations == "student_t":
+        from mcport.models.gbm import estimate_t_dof
+
+        t_dof = estimate_t_dof(d.prices)
     cfg = GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
                     antithetic=args.antithetic, path_block=min(args.paths, 8192),
-                    use_pallas=not args.no_pallas)
+                    use_pallas=not args.no_pallas,
+                    innovations=args.innovations, t_dof=t_dof)
     ck = load_checkpoint(args.checkpoint) if args.resume else None
     report, ck_out = run_resumable_mc(
         params, w, cfg, alpha=args.alpha, checkpoint=ck,
@@ -110,6 +116,8 @@ def cmd_gbm_risk(args) -> None:
     out = {
         "n_paths": report.n_paths,
         "horizon_steps": args.steps,
+        "innovations": args.innovations
+                       + (f" (dof={t_dof:.2f})" if args.innovations != "normal" else ""),
         "weights": dict(zip(d.names, map(float, w))),
         "var": report.var,
         "cvar": report.cvar,
@@ -361,6 +369,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--antithetic", action="store_true")
+    sp.add_argument("--innovations", default="normal", choices=["normal", "student_t"],
+                    help="student_t fits dof by method of moments (fat tails)")
     sp.add_argument("--path-stats", action="store_true",
                     help="also simulate full paths for the max-drawdown distribution")
     sp.add_argument("--no-pallas", action="store_true", help="force the lax engine")

@@ -24,7 +24,12 @@ import numpy as np
 from jax import Array
 
 from mcport.config import GBMConfig, SketchConfig
-from mcport.models.gbm import GBMParams, portfolio_terminal_returns, terminal_log_returns
+from mcport.models.gbm import (
+    GBMParams,
+    portfolio_terminal_returns,
+    terminal_log_returns,
+    terminal_log_returns_t,
+)
 from mcport.ops.quantile import (
     MomentState,
     auto_sketch,
@@ -50,7 +55,8 @@ def _run_digest(params: GBMParams, weights, config: GBMConfig) -> str:
     for arr in (params.mean_step, params.chol_step, np.asarray(weights, np.float64)):
         h.update(np.ascontiguousarray(arr, np.float64).tobytes())
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
-             f"{config.path_block}|{config.antithetic}".encode())
+             f"{config.path_block}|{config.antithetic}|"
+             f"{config.innovations}|{config.t_dof}".encode())
     return h.hexdigest()
 
 
@@ -150,7 +156,8 @@ class RiskReport:
 @partial(
     jax.jit,
     static_argnames=(
-        "n_dispatch_blocks", "block_paths", "n_steps", "use_pallas", "antithetic", "sketch",
+        "n_dispatch_blocks", "block_paths", "n_steps", "use_pallas", "antithetic",
+        "sketch", "innovations", "t_dof",
     ),
 )
 def _blocks_update(
@@ -169,6 +176,8 @@ def _blocks_update(
     use_pallas: bool,
     antithetic: bool,
     sketch: SketchConfig,
+    innovations: str = "normal",
+    t_dof: float = 6.0,
 ):
     """Fold ``n_dispatch_blocks`` consecutive path blocks in ONE device dispatch.
 
@@ -186,6 +195,12 @@ def _blocks_update(
 
             term = pallas_terminal_log_returns(
                 block_seed, mean_step, chol_step, block_paths, n_steps,
+                antithetic=antithetic,
+            )
+        elif innovations == "student_t":
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            term = terminal_log_returns_t(
+                key, mean_step, chol_step, t_dof, block_paths, n_steps,
                 antithetic=antithetic,
             )
         else:
@@ -290,7 +305,9 @@ def run_resumable_mc(
     hist = jnp.asarray(ck.hist, dtype)
     port_sum = jnp.asarray(ck.port_sum, dtype)
 
-    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+    # fat-tail innovations run the lax engine (the fused kernel is normal-only)
+    use_pallas = (config.use_pallas and jax.default_backend() == "tpu"
+                  and config.innovations == "normal")
 
     start = ck.next_block
     stop = n_blocks if max_blocks is None else min(n_blocks, start + max_blocks)
@@ -301,7 +318,8 @@ def run_resumable_mc(
             jnp.asarray(ck.seed, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
             jnp.asarray(b, jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
             mean_step, chol_step, w, shift, moments, hist, port_sum,
-            group, block_paths, config.n_steps, use_pallas, config.antithetic, sketch,
+            group, block_paths, config.n_steps, use_pallas, config.antithetic,
+            sketch, config.innovations, config.t_dof,
         )
         b += group
 

@@ -8,6 +8,7 @@ from mcport.models.gbm import (
 )
 from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
 from mcport.models.bridge import bridge_schedule, brownian_bridge, qmc_gbm_log_paths
+from mcport.models.gbm import estimate_t_dof, terminal_log_returns_t  # noqa: F401
 from mcport.models.bootstrap import (
     BootstrapRisk,
     bootstrap_risk,
@@ -44,6 +45,8 @@ __all__ = [
     "BootstrapRisk",
     "bootstrap_risk",
     "bootstrap_terminal_returns",
+    "estimate_t_dof",
+    "terminal_log_returns_t",
     "bridge_schedule",
     "brownian_bridge",
     "qmc_gbm_log_paths",

@@ -133,3 +133,107 @@ def test_reproducible_and_key_sensitivity(params):
     c = terminal_log_returns(jax.random.key(8), params.mean_step, params.chol_step, **kw)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+# ---- Student-t innovations (fat tails, r2) --------------------------------------
+
+def test_t_dof_method_of_moments(rng):
+    """Recover nu from synthetic t-return prices within estimator noise."""
+    from mcport.models.gbm import estimate_t_dof
+
+    nu = 8.0
+    t = rng.standard_t(nu, (20_000, 2))
+    z = t / np.sqrt(nu / (nu - 2))
+    logret = 0.001 + 0.02 * z
+    prices = np.exp(np.cumsum(np.vstack([np.zeros(2), logret]), axis=0))
+    got = estimate_t_dof(prices)
+    assert 5.5 < got < 12.0  # kurtosis estimator is noisy; bracket generously
+
+
+def test_t_terminal_law(rng):
+    """Unit-variance t shocks keep mean/cov exactly; tails get fatter."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.models.gbm import terminal_log_returns, terminal_log_returns_t
+
+    a, n, steps, df = 2, 200_000, 4, 5.0
+    m = np.array([0.001, 0.002])
+    chol = np.array([[0.02, 0.0], [0.01, 0.015]])
+    term_t = np.asarray(terminal_log_returns_t(
+        jax.random.key(0), m, chol, df, n, steps, dtype=jnp.float64))
+    term_n = np.asarray(terminal_log_returns(
+        jax.random.key(0), m, chol, n, steps, dtype=jnp.float64))
+    cov_true = steps * (chol @ chol.T)
+    # same first/second moments within MC error
+    se = np.sqrt(np.diag(cov_true) / n)
+    assert np.all(np.abs(term_t.mean(0) - steps * m) < 6 * se)
+    np.testing.assert_allclose(np.cov(term_t, rowvar=False), cov_true, rtol=0.05)
+    # fatter tails: kurtosis above normal's, extreme quantiles wider
+    zt = (term_t[:, 0] - term_t[:, 0].mean()) / term_t[:, 0].std()
+    zn = (term_n[:, 0] - term_n[:, 0].mean()) / term_n[:, 0].std()
+    assert np.mean(zt**4) > np.mean(zn**4) + 0.5
+    assert np.quantile(zt, 0.001) < np.quantile(zn, 0.001) - 0.2
+
+
+def test_t_antithetic_mirror():
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.models.gbm import terminal_log_returns_t
+
+    m = np.array([0.002, 0.001])
+    chol = np.diag([0.02, 0.03])
+    term = np.asarray(terminal_log_returns_t(
+        jax.random.key(1), m, chol, 6.0, 1_000, 6, antithetic=True,
+        dtype=jnp.float64))
+    drift = 6 * m
+    np.testing.assert_allclose(term[:500] + term[500:],
+                               np.broadcast_to(2 * drift, (500, 2)), atol=1e-12)
+
+
+def test_engine_student_t_var_fatter_than_normal():
+    """End-to-end: the resumable engine with student_t innovations reports a
+    (weakly) worse VaR/CVaR than normal GBM at matched moments."""
+    from mcport.config import GBMConfig
+    from mcport.engine.mc_engine import run_resumable_mc
+    from mcport.models.gbm import GBMParams
+
+    a = 2
+    params = GBMParams(s0=np.ones(a), mean_step=np.array([0.0, 0.0]),
+                       chol_step=np.diag([0.03, 0.02]))
+    w = np.array([0.5, 0.5])
+    base = GBMConfig(n_paths=262_144, n_steps=8, path_block=16_384,
+                     use_pallas=False, seed=3)
+    fat = GBMConfig(n_paths=262_144, n_steps=8, path_block=16_384,
+                    use_pallas=False, seed=3, innovations="student_t", t_dof=4.6)
+    r_n, ck_n = run_resumable_mc(params, w, base)
+    r_t, ck_t = run_resumable_mc(params, w, fat)
+    # Subtlety: a UNIT-VARIANCE t has a MILDER 5% quantile than the normal
+    # (mass moves to the extreme tail), so VaR95 is not the fat-tail signature —
+    # the tail MEAN (CVaR) and deep quantiles are:
+    assert r_t.cvar < r_n.cvar
+    from mcport.ops.quantile import sketch_quantile
+
+    v99_n = float(sketch_quantile(ck_n.hist, 0.01, ck_n.sketch))
+    v99_t = float(sketch_quantile(ck_t.hist, 0.01, ck_t.sketch))
+    assert v99_t < v99_n          # 99% VaR fatter under t
+    # matched second moments (unit-variance t): cov agrees within MC error
+    np.testing.assert_allclose(r_t.cov, r_n.cov, rtol=0.08, atol=2e-5)
+
+
+def test_digest_separates_innovations(tmp_path):
+    from mcport.config import GBMConfig
+    from mcport.engine.mc_engine import load_checkpoint, run_resumable_mc
+    from mcport.models.gbm import GBMParams
+
+    params = GBMParams(s0=np.ones(2), mean_step=np.zeros(2),
+                       chol_step=np.diag([0.02, 0.02]))
+    w = np.array([0.5, 0.5])
+    cfg_n = GBMConfig(n_paths=4_096, n_steps=4, path_block=1_024, use_pallas=False)
+    cfg_t = GBMConfig(n_paths=4_096, n_steps=4, path_block=1_024, use_pallas=False,
+                      innovations="student_t")
+    path = tmp_path / "n.npz"
+    run_resumable_mc(params, w, cfg_n, max_blocks=2, checkpoint_path=path)
+    with pytest.raises(ValueError, match="digest"):
+        run_resumable_mc(params, w, cfg_t, checkpoint=load_checkpoint(path))
