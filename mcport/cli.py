@@ -11,6 +11,7 @@ Commands:
   gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
                (--path-stats adds the simulated max-drawdown distribution)
   exact-frontier exact box-constrained mean-variance frontier (PGD QP)
+  jump-risk    Merton systemic-jump tail risk (threshold-calibrated)
   bootstrap-risk distribution-free tail risk from resampled historical paths
   sim-frontier weight search scored against simulated GBM paths
   dd-frontier  max return subject to a simulated max-drawdown budget
@@ -201,6 +202,37 @@ def cmd_exact_frontier(args) -> None:
         "max_sharpe": pack(max_sharpe_exact(f)),
         "min_variance": pack(min_variance_exact(f)),
         "target_risk": pack(target_risk_exact(f, args.target_risk)),
+    })
+
+
+def cmd_jump_risk(args) -> None:
+    import jax
+
+    from mcport.models.jump import estimate_merton_common, merton_risk
+
+    d = _universe(args)
+    params = estimate_merton_common(d.prices, threshold=args.threshold)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    out = merton_risk(jax.random.key(args.seed), params, w,
+                      n_paths=args.paths, n_steps=args.steps, alpha=args.alpha)
+    _emit({
+        "engine": "merton-common-jump",
+        "n_paths": args.paths,
+        "horizon_steps": args.steps,
+        "calibration": {
+            "jump_rate_per_step": params.jump_rate,
+            "jump_mean": dict(zip(d.names, map(float, params.jump_mean))),
+            "jump_vol": dict(zip(d.names, map(float, params.jump_vol))),
+        },
+        "weights": dict(zip(d.names, map(float, w))),
+        "var": float(out.var),
+        "cvar": float(out.cvar),
+        "portfolio_mean_return": float(out.port_mean),
+        "paths_with_jump_frac": float(out.jump_frac),
     })
 
 
@@ -395,6 +427,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-lambda", type=int, default=64)
     sp.add_argument("--target-risk", type=float, default=0.30)
     sp.set_defaults(fn=cmd_exact_frontier)
+
+    sp = sub.add_parser("jump-risk",
+                        help="Merton systemic-jump tail risk (threshold-calibrated)")
+    common(sp)
+    sp.add_argument("--weights", default=None, help="comma-separated, default equal")
+    sp.add_argument("--paths", type=int, default=262_144)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--threshold", type=float, default=3.0,
+                    help="systemic-jump z-score threshold (cross-sectional median)")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_jump_risk)
 
     sp = sub.add_parser("bootstrap-risk",
                         help="distribution-free tail risk from resampled historical paths")

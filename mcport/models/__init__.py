@@ -9,6 +9,12 @@ from mcport.models.gbm import (
 from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
 from mcport.models.bridge import bridge_schedule, brownian_bridge, qmc_gbm_log_paths
 from mcport.models.gbm import estimate_t_dof, terminal_log_returns_t  # noqa: F401
+from mcport.models.jump import (
+    MertonParams,
+    estimate_merton_common,
+    merton_risk,
+    merton_terminal_returns,
+)
 from mcport.models.bootstrap import (
     BootstrapRisk,
     bootstrap_risk,
@@ -47,6 +53,10 @@ __all__ = [
     "bootstrap_terminal_returns",
     "estimate_t_dof",
     "terminal_log_returns_t",
+    "MertonParams",
+    "estimate_merton_common",
+    "merton_risk",
+    "merton_terminal_returns",
     "bridge_schedule",
     "brownian_bridge",
     "qmc_gbm_log_paths",
