@@ -39,10 +39,23 @@ class PathRiskReport:
     n_paths: int
 
 
-def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype):
-    """Reference path-stats: full log paths → portfolio value → running peak/dd."""
+def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
+                    rebalance: bool = False):
+    """Reference path-stats: full log paths → portfolio value → running peak/dd.
+
+    ``rebalance=False`` is buy-and-hold from normalized start (V_t = w'exp(acc));
+    ``rebalance=True`` resets to the target weights every period
+    (V_{t+1} = V_t * w'exp(x_t) — the reference's historical R·w semantics,
+    app.py:710)."""
     paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
-    v = jnp.exp(paths) @ jnp.asarray(weights, dtype)        # (n, T)
+    w = jnp.asarray(weights, dtype)
+    if rebalance:
+        increments = jnp.diff(paths, axis=1, prepend=jnp.zeros(
+            (n_paths, 1, paths.shape[-1]), dtype))
+        growth = jnp.exp(increments) @ w                    # (n, T) w'exp(x_t)
+        v = jnp.cumprod(growth, axis=1)
+    else:
+        v = jnp.exp(paths) @ w                              # (n, T)
     v = jnp.concatenate([jnp.ones((n_paths, 1), dtype), v], axis=1)
     peak = jax.lax.cummax(v, axis=1)
     dd = jnp.min(v / peak - 1.0, axis=1)
@@ -54,12 +67,13 @@ def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype)
     jax.jit,
     static_argnames=(
         "n_blocks", "block_paths", "n_steps", "use_pallas", "sketch", "dd_sketch",
+        "rebalance",
     ),
 )
 def _accumulate(
     seed, mean_step, chol_step, weights,
     n_blocks: int, block_paths: int, n_steps: int, use_pallas: bool,
-    sketch: SketchConfig, dd_sketch: SketchConfig,
+    sketch: SketchConfig, dd_sketch: SketchConfig, rebalance: bool = False,
 ):
     a = mean_step.shape[-1]
     dtype = mean_step.dtype
@@ -71,12 +85,14 @@ def _accumulate(
             from mcport.ops.pallas_gbm import gbm_path_stats
 
             _, port, dd = gbm_path_stats(
-                block_seed, mean_step, chol_step, weights, block_paths, n_steps
+                block_seed, mean_step, chol_step, weights, block_paths, n_steps,
+                rebalance=rebalance,
             )
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
             port, dd = _lax_path_stats(
-                key, mean_step, chol_step, weights, block_paths, n_steps, dtype
+                key, mean_step, chol_step, weights, block_paths, n_steps, dtype,
+                rebalance,
             )
         return (
             h_port + histogram(port, sketch),
@@ -101,8 +117,12 @@ def run_path_risk(
     sketch: SketchConfig = SketchConfig(),
     dd_sketch: SketchConfig = DD_SKETCH,
     alpha: float = 0.95,
+    rebalance: bool = False,
 ) -> PathRiskReport:
-    """Simulated path risk for one portfolio: terminal VaR/CVaR + drawdown stats."""
+    """Simulated path risk for one portfolio: terminal VaR/CVaR + drawdown stats.
+
+    ``rebalance=True`` resets to the target weights every period (the
+    reference's historical-series semantics); False is buy-and-hold."""
     block_paths = config.path_block
     if config.n_paths % block_paths:
         raise ValueError(
@@ -118,6 +138,7 @@ def run_path_risk(
         jnp.asarray(params.chol_step, dtype),
         jnp.asarray(weights, dtype),
         n_blocks, block_paths, config.n_steps, use_pallas, sketch, dd_sketch,
+        rebalance,
     )
     v, c = sketch_var_cvar(h_port, alpha, sketch)
     # dd quantiles: p95-worst = the 5th percentile of the (negative) dd sample

@@ -423,7 +423,7 @@ def _exp_small(x: Array) -> Array:
 
 def _path_stats_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
-    interpret: bool, impl: str = "eup_sum"
+    interpret: bool, impl: str = "eup_sum", rebalance: bool = False
 ):
     """impl selects the per-step portfolio-value pipeline (same math, same
     draws; see the module docstring A/B table):
@@ -442,7 +442,7 @@ def _path_stats_kernel(
     lt = lt_ref[:]        # (a_pad, a_pad) Cholesky (lower)
     w = w_ref[:]          # (a_pad, 1) portfolio weights (zero on padding)
     w_row = w.reshape(1, a_pad)
-    use_lvl = impl == "lvl_dot"
+    use_lvl = impl == "lvl_dot" and not rebalance
     exp = _exp_poly if impl == "poly_sum" else jnp.exp
 
     def value(acc, lvl):
@@ -460,7 +460,13 @@ def _path_stats_kernel(
         acc = acc + x                                           # log prices
         if use_lvl:
             lvl = lvl * _exp_small(x)                           # price levels
-        v = value(acc, lvl)                                     # (1, block) V_t
+        if rebalance:
+            # per-period rebalancing to the fixed weights (the reference's
+            # historical-series semantics, app.py:710: V_{t+1} = V_t * w'exp(x))
+            lvl = lvl * jnp.sum(w * jnp.exp(x), axis=0, keepdims=True)
+            v = lvl
+        else:
+            v = value(acc, lvl)                                 # (1, block) V_t
         peak = jnp.maximum(peak, v)
         dd = jnp.minimum(dd, v / peak - 1.0)
         return acc, lvl, peak, dd
@@ -475,8 +481,12 @@ def _path_stats_kernel(
         carry = one_step(z2, carry)
         return carry
 
-    lvl0 = (jnp.ones((a_pad, block), jnp.float32) if use_lvl
-            else jnp.zeros((1, 1), jnp.float32))
+    if rebalance:
+        lvl0 = jnp.ones((1, block), jnp.float32)   # rebalanced wealth V_t
+    elif use_lvl:
+        lvl0 = jnp.ones((a_pad, block), jnp.float32)
+    else:
+        lvl0 = jnp.zeros((1, 1), jnp.float32)
     init = (
         jnp.zeros((a_pad, block), jnp.float32),
         lvl0,
@@ -489,14 +499,15 @@ def _path_stats_kernel(
         acc, lvl, peak, dd = one_step(z1, (acc, lvl, peak, dd))
 
     term_ref[:] = acc
-    v_t = value(acc, lvl)
+    v_t = lvl if rebalance else value(acc, lvl)
     stats_ref[0:1, :] = v_t - 1.0        # portfolio terminal simple return
     stats_ref[1:2, :] = dd               # max drawdown of portfolio value
     stats_ref[2:, :] = jnp.zeros((stats_ref.shape[0] - 2, block), jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "impl")
+    jax.jit,
+    static_argnames=("n_paths", "n_steps", "block", "interpret", "impl", "rebalance")
 )
 def gbm_path_stats(
     seed: Array,
@@ -508,6 +519,7 @@ def gbm_path_stats(
     block: int = 1024,
     interpret: bool = False,
     impl: str = "eup_sum",
+    rebalance: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
@@ -528,7 +540,7 @@ def gbm_path_stats(
 
     term, stats = pl.pallas_call(
         functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
-                          impl=impl),
+                          impl=impl, rebalance=rebalance),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
