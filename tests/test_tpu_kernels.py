@@ -201,3 +201,27 @@ def test_bootstrap_kernel_compiled_law_and_throughput():
     tput = big_n * big_s / sec
     print(f"\nbootstrap kernel: {tput/1e9:.2f}e9 path-steps/s")
     assert tput > 1.0e9  # lax engine measured 0.24e9 on this chip
+
+
+def test_rebalanced_path_stats_compiled(kernels):
+    """Rebalance mode compiled on hardware: invariants + single-asset
+    equivalence of the two portfolio conventions."""
+    a, n, steps = 15, 65_536, 32
+    mean_step = np.linspace(0.0005, 0.002, a).astype(np.float32)
+    chol = _chol(a).astype(np.float32)
+    w = np.full(a, 1.0 / a, np.float32)
+    _, port, dd = kernels.gbm_path_stats(jnp.int32(13), mean_step, chol, w,
+                                         n, steps, rebalance=True)
+    assert bool(jnp.all(dd <= 1e-6)) and bool(jnp.all(dd >= -1.0))
+    assert bool(jnp.all(port > -1.0))
+    # law: rebalanced wealth is prod of w'exp(x_t); E[log V_T] within MC error
+    # of steps * log E-ish bounds — keep it loose, the oracle lives in CI
+    assert abs(float(jnp.mean(port))) < 1.0
+
+    w_single = np.zeros(a, np.float32)
+    w_single[0] = 1.0
+    _, p_bh, _ = kernels.gbm_path_stats(jnp.int32(5), mean_step, chol, w_single,
+                                        8_192, 8)
+    _, p_rb, _ = kernels.gbm_path_stats(jnp.int32(5), mean_step, chol, w_single,
+                                        8_192, 8, rebalance=True)
+    assert float(jnp.max(jnp.abs(p_rb - p_bh))) < 5e-5
