@@ -40,6 +40,7 @@ __all__ = [
     "gbm_risk",
     "bootstrap_tail_risk",
     "exact_mv_frontier",
+    "compare_tail_risk",
     "forecast",
     "Config",
 ]
@@ -184,6 +185,76 @@ def exact_mv_frontier(
     max_w = np.ones(a) if pc.max_weights is None else np.asarray(pc.max_weights)
     return exact_frontier(mean_ann, cov_ann, min_w, max_w,
                           risk_free=pc.risk_free, n_lambda=n_lambda)
+
+
+def compare_tail_risk(
+    data: PriceData,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+) -> dict[str, dict[str, float]]:
+    """One portfolio, every model family: {model: {var, cvar, mean}}.
+
+    Runs GBM (normal), GBM (student-t, moment-fitted dof), CCC-GARCH,
+    Merton systemic jumps (threshold-calibrated), and the stationary block
+    bootstrap on the same universe/weights/config — the risk-model
+    sensitivity view no single engine gives. All engines share the path
+    count/horizon from ``config.gbm`` and alpha from ``config.simulation``.
+    """
+    import dataclasses
+
+    import jax as _jax
+
+    from mcport.models.bootstrap import bootstrap_risk
+    from mcport.models.garch_mc import estimate_ccc_garch, garch_terminal_returns
+    from mcport.models.gbm import estimate_t_dof
+    from mcport.models.jump import estimate_merton_common, merton_risk
+    from mcport.ops.quantile import histogram as _hist
+    from mcport.ops.quantile import sketch_var_cvar as _svc
+
+    a = len(data.names)
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
+    g = config.gbm
+    alpha = config.simulation.alpha
+    params = estimate_gbm(data.prices)
+    out: dict[str, dict[str, float]] = {}
+
+    def pack(var, cvar, mean):
+        return {"var": float(var), "cvar": float(cvar),
+                "portfolio_mean": float(mean)}
+
+    r = gbm_risk(params, w, config)
+    out["gbm_normal"] = pack(r.var, r.cvar, r.port_mean)
+
+    t_cfg = dataclasses.replace(g, innovations="student_t",
+                                t_dof=estimate_t_dof(data.prices))
+    r = gbm_risk(params, w, dataclasses.replace(config, gbm=t_cfg))
+    out["gbm_student_t"] = pack(r.var, r.cvar, r.port_mean)
+    out["gbm_student_t"]["t_dof"] = t_cfg.t_dof
+
+    try:
+        gparams = estimate_ccc_garch(data.port_rets)
+        term = garch_terminal_returns(_jax.random.key(g.seed), gparams,
+                                      g.n_paths, g.n_steps)
+        port = term @ jnp.asarray(w, term.dtype)
+        from mcport.config import SketchConfig as _SC
+
+        gsk = _SC()  # GARCH terminal simple returns; default linear grid
+        v, c = _svc(_hist(port, gsk), alpha, gsk)
+        out["ccc_garch"] = pack(v, c, port.mean())
+    except Exception as e:  # degenerate series can break the MLE; keep going
+        out["ccc_garch"] = {"error": str(e)}
+
+    jparams = estimate_merton_common(data.prices)
+    jr = merton_risk(_jax.random.key(g.seed), jparams, w,
+                     n_paths=g.n_paths, n_steps=g.n_steps, alpha=alpha)
+    out["merton_jump"] = pack(jr.var, jr.cvar, jr.port_mean)
+    out["merton_jump"]["jump_rate_per_step"] = jparams.jump_rate
+
+    br = bootstrap_risk(_jax.random.key(g.seed), data.port_rets, w,
+                        n_paths=g.n_paths, n_steps=g.n_steps, alpha=alpha,
+                        seed=g.seed)
+    out["block_bootstrap"] = pack(br.var, br.cvar, br.port_mean)
+    return out
 
 
 def forecast(

@@ -11,6 +11,7 @@ Commands:
   gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
                (--path-stats adds the simulated max-drawdown distribution)
   exact-frontier exact box-constrained mean-variance frontier (PGD QP)
+  compare-models one portfolio, every tail-risk model family
   jump-risk    Merton systemic-jump tail risk (threshold-calibrated)
   bootstrap-risk distribution-free tail risk from resampled historical paths
   sim-frontier weight search scored against simulated GBM paths
@@ -202,6 +203,32 @@ def cmd_exact_frontier(args) -> None:
         "max_sharpe": pack(max_sharpe_exact(f)),
         "min_variance": pack(min_variance_exact(f)),
         "target_risk": pack(target_risk_exact(f, args.target_risk)),
+    })
+
+
+def cmd_compare_models(args) -> None:
+    from mcport.api import compare_tail_risk
+    from mcport.config import Config, GBMConfig, SimulationConfig
+
+    d = _universe(args)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    cfg = Config(
+        gbm=GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
+                      path_block=min(args.paths, 8192),
+                      use_pallas=not args.no_pallas),
+        simulation=SimulationConfig(alpha=args.alpha),
+    )
+    out = compare_tail_risk(d, w, cfg)
+    _emit({
+        "engine": "model-comparison",
+        "n_paths": args.paths,
+        "horizon_steps": args.steps,
+        "weights": dict(zip(d.names, map(float, w))),
+        "models": out,
     })
 
 
@@ -427,6 +454,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-lambda", type=int, default=64)
     sp.add_argument("--target-risk", type=float, default=0.30)
     sp.set_defaults(fn=cmd_exact_frontier)
+
+    sp = sub.add_parser("compare-models",
+                        help="one portfolio, every tail-risk model family")
+    common(sp)
+    sp.add_argument("--weights", default=None, help="comma-separated, default equal")
+    sp.add_argument("--paths", type=int, default=262_144)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--no-pallas", action="store_true")
+    sp.set_defaults(fn=cmd_compare_models)
 
     sp = sub.add_parser("jump-risk",
                         help="Merton systemic-jump tail risk (threshold-calibrated)")
