@@ -238,7 +238,9 @@ def compare_tail_risk(
         port = term @ jnp.asarray(w, term.dtype)
         from mcport.config import SketchConfig as _SC
 
-        gsk = _SC()  # GARCH terminal simple returns; default linear grid
+        # generous log1p grid: covers -99.99%..+100000% with relative resolution
+        gsk = _SC(n_bins=8192, lo=float(np.log1p(-0.9999)),
+                  hi=float(np.log1p(1000.0)), space="log1p")
         v, c = _svc(_hist(port, gsk), alpha, gsk)
         out["ccc_garch"] = pack(v, c, port.mean())
     except Exception as e:  # degenerate series can break the MLE; keep going

@@ -159,7 +159,9 @@ def cmd_garch_risk(args) -> None:
     else:
         term = garch_terminal_returns(jax.random.key(args.seed), params, args.paths, args.steps)
     port = term @ jnp.asarray(w, term.dtype)
-    sketch = SketchConfig()
+    # covering log1p grid (no silent clamping for long-horizon/crypto scales)
+    sketch = SketchConfig(n_bins=8192, lo=float(np.log1p(-0.9999)),
+                          hi=float(np.log1p(1000.0)), space="log1p")
     v, c = sketch_var_cvar(histogram(port, sketch), args.alpha, sketch)
     _emit({
         "model": "ccc-garch(1,1)",
