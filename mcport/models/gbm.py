@@ -24,6 +24,8 @@ the second half of each path block; Sobol/Halton terminal sampling lives in
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from functools import partial
 
@@ -225,6 +227,23 @@ def estimate_t_dof(prices: np.ndarray, min_dof: float = 4.5,
     return float(np.clip(nu, min_dof, max_dof))
 
 
+def _student_t_polar(key: Array, df: float, shape, dtype) -> Array:
+    """Exact Student-t draws via Bailey's polar transform:
+    T = sqrt(df * (U1^(-2/df) - 1)) * cos(2 pi U2) ~ t_df.
+
+    Pure elementwise (ln/exp/sqrt/cos) — ``jax.random.t``'s gamma rejection
+    sampler measured ~100x slower on TPU (the dirichlet lesson again). One t
+    per two uniforms; quantile parity vs jax.random.t pinned in tests through
+    the 0.1% tails.
+    """
+    k1, k2 = jax.random.split(key)
+    eps = 0.5 / (1 << 25)
+    u1 = jax.random.uniform(k1, shape, dtype, eps, 1.0)
+    u2 = jax.random.uniform(k2, shape, dtype)
+    r = jnp.sqrt(df * (u1 ** (-2.0 / df) - 1.0))
+    return r * jnp.cos(2.0 * math.pi * u2)
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic", "dtype"))
 def terminal_log_returns_t(
     key: Array,
@@ -241,7 +260,8 @@ def terminal_log_returns_t(
     Same step recursion and stream structure as :func:`terminal_log_returns`
     (fold_in per step; antithetic mirrors the draws), with
     ``z = t_df / sqrt(df/(df-2))`` so the per-step covariance still equals
-    ``L L'`` exactly — only tail thickness changes.
+    ``L L'`` exactly — only tail thickness changes. Draws use the polar
+    transform (:func:`_student_t_polar`), not the rejection sampler.
     """
     m = jnp.asarray(mean_step, dtype)
     lt = jnp.asarray(chol_step, dtype).T
@@ -251,7 +271,7 @@ def terminal_log_returns_t(
 
     def step(carry, t):
         zk = jax.random.fold_in(key, t)
-        z = jax.random.t(zk, df, (half, a), dtype) * scale
+        z = _student_t_polar(zk, df, (half, a), dtype) * scale
         if antithetic:
             z = jnp.concatenate([z, -z], axis=0)
         return carry + m + z @ lt, None

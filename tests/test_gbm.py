@@ -237,3 +237,20 @@ def test_digest_separates_innovations(tmp_path):
     run_resumable_mc(params, w, cfg_n, max_blocks=2, checkpoint_path=path)
     with pytest.raises(ValueError, match="digest"):
         run_resumable_mc(params, w, cfg_t, checkpoint=load_checkpoint(path))
+
+
+def test_polar_t_quantile_parity_vs_rejection_sampler(rng):
+    """Bailey polar t draws match jax.random.t through the 0.1% tails."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.models.gbm import _student_t_polar
+
+    nu, n = 5.5, 1_000_000
+    ours = np.asarray(_student_t_polar(jax.random.key(0), nu, (n,), jnp.float64))
+    ref = np.asarray(jax.random.t(jax.random.key(1), nu, (n,), jnp.float64))
+    assert abs(ours.var() - nu / (nu - 2)) < 0.05
+    for q in (0.001, 0.01, 0.05, 0.5, 0.95, 0.99, 0.999):
+        a, b = np.quantile(ours, q), np.quantile(ref, q)
+        tol = 0.06 * max(abs(b), 1.0) + 0.02
+        assert abs(a - b) < tol, (q, a, b)
