@@ -110,8 +110,8 @@ class GBMConfig:
     auto_sketch: bool = True           # derive the quantile-sketch range from the
                                        # fitted params (log1p space); False = use
                                        # Config.sketch verbatim
-    innovations: str = "normal"        # "normal" | "student_t" (fat tails; lax
-                                       # engine — the Pallas kernel is normal-only)
+    innovations: str = "normal"        # "normal" | "student_t" (fat tails; the
+                                       # fused kernel draws polar-t on TPU)
     t_dof: float = 6.0                 # Student-t degrees of freedom (see
                                        # models.gbm.estimate_t_dof)
 

@@ -196,6 +196,7 @@ def _blocks_update(
             term = pallas_terminal_log_returns(
                 block_seed, mean_step, chol_step, block_paths, n_steps,
                 antithetic=antithetic,
+                t_df=t_dof if innovations == "student_t" else None,
             )
         elif innovations == "student_t":
             key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
@@ -305,9 +306,7 @@ def run_resumable_mc(
     hist = jnp.asarray(ck.hist, dtype)
     port_sum = jnp.asarray(ck.port_sum, dtype)
 
-    # fat-tail innovations run the lax engine (the fused kernel is normal-only)
-    use_pallas = (config.use_pallas and jax.default_backend() == "tpu"
-                  and config.innovations == "normal")
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
 
     start = ck.next_block
     stop = n_blocks if max_blocks is None else min(n_blocks, start + max_blocks)

@@ -261,6 +261,49 @@ def _make_uniform_grid(interpret: bool, seed_ref, shape):
     return grid
 
 
+def _make_t_pair(interpret: bool, seed_ref, shape, df: float):
+    """Student-t draw-pair factory (Bailey polar transform, VPU polynomials).
+
+    T = sqrt(df (u^(-2/df) - 1)) cos(2 pi v), with u^(-2/df) =
+    exp_poly(-2/df * ln_poly(u)) — exact t_df draws (quantile-pinned in CI)
+    from two uniforms each, sharing the compiled/interpret bit-source
+    convention of :func:`_make_normal_pair`. Returns two independent t grids
+    per call (four uniform grids consumed).
+    """
+    neg2_over_df = -2.0 / df
+
+    def one_t(u, v):
+        p = _exp_poly(neg2_over_df * _ln_poly(u)) - 1.0
+        r = jnp.sqrt(df * jnp.maximum(p, 0.0))
+        c, _ = _sincos_poly(v)
+        return r * c
+
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def draw_u():
+            return _bits_to_unit(
+                pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            )
+
+        def pair(_i: Array) -> tuple[Array, Array]:
+            return one_t(draw_u(), draw_u()), one_t(draw_u(), draw_u())
+
+        return pair
+
+    base = jax.random.fold_in(jax.random.PRNGKey(0), seed_ref[0])
+    base = jax.random.fold_in(base, pl.program_id(0))
+
+    def pair(i: Array) -> tuple[Array, Array]:
+        k = jax.random.fold_in(base, i)
+        ks = jax.random.split(k, 4)
+        eps = 0.5 / (1 << 25)
+        us = [jax.random.uniform(kk, shape, jnp.float32, eps, 1.0) for kk in ks]
+        return one_t(us[0], us[1]), one_t(us[2], us[3])
+
+    return pair
+
+
 def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "poly"):
     """Normal-pair generator factory.
 
@@ -303,9 +346,13 @@ def _make_normal_pair(interpret: bool, seed_ref, shape, bm: str = "poly"):
 # ---------------------------------------------------------------------------
 
 def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret: bool,
-                           bm: str = "poly", unroll: int = 4):
+                           bm: str = "poly", unroll: int = 4,
+                           t_df: float | None = None):
     a_pad, block = out_ref.shape
-    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
+    if t_df is not None:
+        normal_pair = _make_t_pair(interpret, seed_ref, (a_pad, block), t_df)
+    else:
+        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
 
     n_pairs = n_steps // 2
     odd = n_steps % 2 == 1
@@ -331,7 +378,9 @@ def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "bm", "unroll")
+    jax.jit,
+    static_argnames=("n_paths", "n_steps", "block", "interpret", "bm", "unroll",
+                     "t_df")
 )
 def gbm_terminal_noise(
     seed: Array,
@@ -342,6 +391,7 @@ def gbm_terminal_noise(
     interpret: bool = False,
     bm: str = "poly",
     unroll: int = 4,
+    t_df: float | None = None,
 ) -> Array:
     """Correlated terminal noise ``L · sum_t z_t`` → (A_pad, n_paths) float32.
 
@@ -358,7 +408,7 @@ def gbm_terminal_noise(
 
     out = pl.pallas_call(
         functools.partial(_terminal_noise_kernel, n_steps=n_steps, interpret=interpret,
-                          bm=bm, unroll=unroll),
+                          bm=bm, unroll=unroll, t_df=t_df),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -380,9 +430,12 @@ def pallas_terminal_log_returns(
     antithetic: bool = False,
     block: int = 1024,
     interpret: bool = False,
+    t_df: float | None = None,
 ) -> Array:
     """Terminal cumulative log returns (n_paths, A) — Pallas counterpart of
-    :func:`mcport.models.gbm.terminal_log_returns`.
+    :func:`mcport.models.gbm.terminal_log_returns` (or, with ``t_df``, of
+    :func:`terminal_log_returns_t`: unit-variance Student-t shocks, the
+    1/sqrt(df/(df-2)) scale folded into the Cholesky factor).
 
     With ``antithetic=True`` the second half of the paths mirrors the first
     half's noise (drift - noise), computed from a single kernel pass over
@@ -391,7 +444,11 @@ def pallas_terminal_log_returns(
     m = jnp.asarray(mean_step, jnp.float32)
     a = m.shape[-1]
     half = n_paths // 2 if antithetic else n_paths
-    noise = gbm_terminal_noise(seed, chol_step, half, n_steps, block, interpret)
+    chol_eff = jnp.asarray(chol_step, jnp.float32)
+    if t_df is not None:
+        chol_eff = chol_eff / jnp.sqrt(jnp.float32(t_df / (t_df - 2.0)))
+    noise = gbm_terminal_noise(seed, chol_eff, half, n_steps, block, interpret,
+                               t_df=t_df)
     noise = noise[:a, :half].T                     # (half, A)
     drift = n_steps * m
     if antithetic:

@@ -177,3 +177,26 @@ def test_terminal_kernel_variants_same_law_interpret():
     base = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True, bm="exact"))
     poly = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True, bm="poly"))
     np.testing.assert_allclose(poly, base, atol=2e-5)
+
+
+def test_t_kernel_law_parity_vs_lax_t():
+    """Pallas t mode vs the lax polar-t engine: same law (different streams)."""
+    from mcport.models.gbm import terminal_log_returns_t
+    from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+
+    a, n, steps, df = 3, 65_536, 8, 5.5
+    m = np.full(a, 0.001, np.float32)
+    chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
+    kern = np.asarray(pallas_terminal_log_returns(
+        3, m, chol, n, steps, interpret=True, t_df=df)).astype(np.float64)
+    lax_t = np.asarray(terminal_log_returns_t(
+        jax.random.key(1), m, chol, df, n, steps, dtype=jnp.float64))
+    cov_true = steps * (chol @ chol.T).astype(np.float64)
+    se = np.sqrt(np.diag(cov_true) / n)
+    assert np.all(np.abs(kern.mean(0) - lax_t.mean(0)) < 8 * se)
+    np.testing.assert_allclose(np.cov(kern, rowvar=False), cov_true, rtol=0.06)
+    # fat tails present in both (pooled standardized kurtosis above normal's 3)
+    zk = (kern - kern.mean(0)) / kern.std(0)
+    zl = (lax_t - lax_t.mean(0)) / lax_t.std(0)
+    assert np.mean(zk**4) > 3.2 and np.mean(zl**4) > 3.2
+    assert abs(np.mean(zk**4) - np.mean(zl**4)) < 0.6

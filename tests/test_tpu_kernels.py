@@ -225,3 +225,19 @@ def test_rebalanced_path_stats_compiled(kernels):
     _, p_rb, _ = kernels.gbm_path_stats(jnp.int32(5), mean_step, chol, w_single,
                                         8_192, 8, rebalance=True)
     assert float(jnp.max(jnp.abs(p_rb - p_bh))) < 5e-5
+
+
+def test_t_kernel_compiled_law(kernels):
+    """Compiled polar-t mode: covariance and fat-tail signature on hardware."""
+    a, n, steps, df = 15, 262_144, 8, 5.5
+    mean_step = np.full(a, 1e-3, np.float32)
+    chol = _chol(a).astype(np.float32)
+    term = kernels.pallas_terminal_log_returns(jnp.int32(3), mean_step, chol,
+                                               n, steps, t_df=df)
+    cov_true = steps * (chol @ chol.T)
+    emp = jnp.cov(term.T)
+    assert float(jnp.max(jnp.abs(emp / cov_true - 1))) < 0.05
+    z = (term - jnp.mean(term, axis=0)) / jnp.std(term, axis=0)
+    kurt = float(jnp.mean(z**4))
+    # 8-step sums of t(5.5) draws: excess kurtosis 6/(df-4)/steps ≈ 0.5 → ~3.4
+    assert 3.1 < kurt < 4.0
