@@ -58,14 +58,22 @@ class ShardedRisk(NamedTuple):
     port_mean: Array  # () exact mean portfolio simple return
 
 
-def _local_terminal(seed, mean_step, chol_step, n_local, n_steps, use_pallas, antithetic):
+def _local_terminal(seed, mean_step, chol_step, n_local, n_steps, use_pallas,
+                    antithetic, t_df=None):
     if use_pallas:
         from mcport.ops.pallas_gbm import pallas_terminal_log_returns
 
         return pallas_terminal_log_returns(
-            seed, mean_step, chol_step, n_local, n_steps, antithetic=antithetic
+            seed, mean_step, chol_step, n_local, n_steps, antithetic=antithetic,
+            t_df=t_df,
         )
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    if t_df is not None:
+        from mcport.models.gbm import terminal_log_returns_t
+
+        return terminal_log_returns_t(
+            key, mean_step, chol_step, t_df, n_local, n_steps, antithetic=antithetic
+        )
     return terminal_log_returns(
         key, mean_step, chol_step, n_local, n_steps, antithetic=antithetic
     )
@@ -84,6 +92,7 @@ def sharded_gbm_risk(
     use_pallas: bool = False,
     antithetic: bool = False,
     axis: str = "paths",
+    t_df: float | None = None,
 ) -> ShardedRisk:
     """GBM tail risk over a mesh: n_paths total, split along ``axis``.
 
@@ -91,20 +100,22 @@ def sharded_gbm_risk(
     arithmetic, not by sharded inputs — the only cross-device traffic is the
     psum of (A + A^2 + n_bins + 2) floats. ``sketch=None`` derives the adaptive
     log1p sketch from the parameters (identical on every device: the config is a
-    static jit argument resolved on host before tracing).
+    static jit argument resolved on host before tracing). ``t_df`` switches to
+    unit-variance Student-t innovations (fat tails; polar transform).
     """
     if sketch is None:
         sketch = auto_sketch(mean_step, chol_step, n_steps)
     return _sharded_gbm_risk(
         seed, mean_step, chol_step, weights, n_paths, n_steps, mesh,
-        alpha, sketch, use_pallas, antithetic, axis,
+        alpha, sketch, use_pallas, antithetic, axis, t_df,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "n_paths", "n_steps", "mesh", "alpha", "sketch", "use_pallas", "antithetic", "axis",
+        "n_paths", "n_steps", "mesh", "alpha", "sketch", "use_pallas",
+        "antithetic", "axis", "t_df",
     ),
 )
 def _sharded_gbm_risk(
@@ -120,6 +131,7 @@ def _sharded_gbm_risk(
     use_pallas: bool,
     antithetic: bool,
     axis: str,
+    t_df: float | None = None,
 ) -> ShardedRisk:
     n_dev = mesh.shape[axis]
     if n_paths % n_dev:
@@ -131,7 +143,8 @@ def _sharded_gbm_risk(
         idx = jax.lax.axis_index(axis)
         dev_seed = seed + idx * SEED_STRIDE
         term = _local_terminal(
-            dev_seed, mean_step, chol_step, n_local, n_steps, use_pallas, antithetic
+            dev_seed, mean_step, chol_step, n_local, n_steps, use_pallas,
+            antithetic, t_df
         )
         port = portfolio_terminal_returns(term, weights)
         # drift centering (identical on every device — replicated params), so the

@@ -120,7 +120,7 @@ def load_sharded_checkpoint(path: str | Path) -> ShardedMCCheckpoint:
     jax.jit,
     static_argnames=(
         "mesh", "axis", "blocks_per_device", "block_paths", "n_steps",
-        "n_dev", "use_pallas", "antithetic", "sketch",
+        "n_dev", "use_pallas", "antithetic", "sketch", "innovations", "t_dof",
     ),
 )
 def _sharded_blocks_update(
@@ -142,6 +142,8 @@ def _sharded_blocks_update(
     use_pallas: bool,
     antithetic: bool,
     sketch: SketchConfig,
+    innovations: str = "normal",
+    t_dof: float = 6.0,
 ):
     """Each device folds its round-robin share of ``blocks_per_device * n_dev``
     consecutive global blocks into its OWN accumulator slice. No collectives."""
@@ -162,6 +164,15 @@ def _sharded_blocks_update(
 
                 term = pallas_terminal_log_returns(
                     block_seed, mean_step, chol_step, block_paths, n_steps,
+                    antithetic=antithetic,
+                    t_df=t_dof if innovations == "student_t" else None,
+                )
+            elif innovations == "student_t":
+                from mcport.models.gbm import terminal_log_returns_t
+
+                key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+                term = terminal_log_returns_t(
+                    key, mean_step, chol_step, t_dof, block_paths, n_steps,
                     antithetic=antithetic,
                 )
             else:
@@ -302,6 +313,7 @@ def run_sharded_resumable_mc(
             mean_step, chol_step, w, shift, moments, hist, port_sum,
             mesh, axis, (stop - start) // n_dev, block_paths, config.n_steps,
             n_dev, use_pallas, config.antithetic, sketch,
+            config.innovations, config.t_dof,
         )
         jax.block_until_ready(hist)
 

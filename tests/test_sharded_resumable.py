@@ -106,3 +106,13 @@ def test_sharded_digest_guard(mesh, tmp_path):
     with pytest.raises(ValueError, match="digest"):
         run_sharded_resumable_mc(PARAMS, np.array([0.1, 0.2, 0.7]), mesh, CFG,
                                  checkpoint=ck)
+
+
+def test_sharded_student_t_matches_single_chip(mesh):
+    """student_t innovations keep the bit-exact single-chip stream equality."""
+    cfg_t = GBMConfig(n_paths=16_384, n_steps=8, path_block=1_024, seed=9,
+                      use_pallas=False, innovations="student_t", t_dof=5.0)
+    sharded, _ = run_sharded_resumable_mc(PARAMS, W, mesh, cfg_t)
+    single, _ = run_resumable_mc(PARAMS, W, cfg_t)
+    assert sharded.var == single.var and sharded.cvar == single.cvar
+    np.testing.assert_allclose(sharded.cov, single.cov, rtol=1e-5, atol=1e-12)
