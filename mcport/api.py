@@ -112,6 +112,7 @@ def gbm_risk(
             n_paths=g.n_paths, n_steps=g.n_steps, mesh=mesh, alpha=alpha,
             sketch=sketch, use_pallas=g.use_pallas and jax.default_backend() == "tpu",
             antithetic=g.antithetic,
+            t_df=g.t_dof if g.innovations == "student_t" else None,
         )
         return RiskReport(
             mean=np.asarray(out.mean), cov=np.asarray(out.cov),
@@ -120,6 +121,11 @@ def gbm_risk(
         )
 
     if g.qmc != "none":
+        if g.innovations != "normal":
+            raise ValueError(
+                "QMC sampling draws Gaussian innovations (Sobol/Halton inverse "
+                "normal transform); student_t is not supported with qmc != 'none'"
+            )
         if sketch is None:
             sketch = auto_sketch(params.mean_step, params.chol_step, g.n_steps)
         dtype = jnp.dtype(g.dtype)
@@ -236,11 +242,7 @@ def compare_tail_risk(
         term = garch_terminal_returns(_jax.random.key(g.seed), gparams,
                                       g.n_paths, g.n_steps)
         port = term @ jnp.asarray(w, term.dtype)
-        from mcport.config import SketchConfig as _SC
-
-        # generous log1p grid: covers -99.99%..+100000% with relative resolution
-        gsk = _SC(n_bins=8192, lo=float(np.log1p(-0.9999)),
-                  hi=float(np.log1p(1000.0)), space="log1p")
+        from mcport.config import COVERING_LOG1P_SKETCH as gsk
         v, c = _svc(_hist(port, gsk), alpha, gsk)
         out["ccc_garch"] = pack(v, c, port.mean())
     except Exception as e:  # degenerate series can break the MLE; keep going

@@ -37,6 +37,11 @@ from mcport.config import (
 )
 
 
+def _round_paths(n: int, block: int = 8_192) -> int:
+    """Round a user path count up to a whole number of engine blocks."""
+    return -(-n // block) * block
+
+
 def _universe(args):
     from mcport.data import load_universe
 
@@ -106,8 +111,10 @@ def cmd_gbm_risk(args) -> None:
         from mcport.models.gbm import estimate_t_dof
 
         t_dof = estimate_t_dof(d.prices)
-    cfg = GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
-                    antithetic=args.antithetic, path_block=min(args.paths, 8192),
+    block = min(args.paths, 8192)
+    n_paths = _round_paths(args.paths, block)
+    cfg = GBMConfig(n_paths=n_paths, n_steps=args.steps, seed=args.seed,
+                    antithetic=args.antithetic, path_block=block,
                     use_pallas=not args.no_pallas,
                     innovations=args.innovations, t_dof=t_dof)
     ck = load_checkpoint(args.checkpoint) if args.resume else None
@@ -127,7 +134,12 @@ def cmd_gbm_risk(args) -> None:
         "terminal_log_mean": report.mean.tolist(),
         "done": ck_out.done,
     }
-    if args.path_stats:
+    if args.path_stats and args.innovations != "normal":
+        out["drawdown_stats"] = (
+            "unavailable: the path-stats engine draws normal innovations; "
+            "terminal VaR/CVaR above do use student_t"
+        )
+    elif args.path_stats:
         from mcport.engine.path_risk import run_path_risk
 
         pr = run_path_risk(params, w, cfg, alpha=args.alpha)
@@ -159,9 +171,8 @@ def cmd_garch_risk(args) -> None:
     else:
         term = garch_terminal_returns(jax.random.key(args.seed), params, args.paths, args.steps)
     port = term @ jnp.asarray(w, term.dtype)
-    # covering log1p grid (no silent clamping for long-horizon/crypto scales)
-    sketch = SketchConfig(n_bins=8192, lo=float(np.log1p(-0.9999)),
-                          hi=float(np.log1p(1000.0)), space="log1p")
+    from mcport.config import COVERING_LOG1P_SKETCH as sketch  # shared; no clamping
+
     v, c = sketch_var_cvar(histogram(port, sketch), args.alpha, sketch)
     _emit({
         "model": "ccc-garch(1,1)",
@@ -218,9 +229,10 @@ def cmd_compare_models(args) -> None:
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
+    block = min(args.paths, 8192)
     cfg = Config(
-        gbm=GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
-                      path_block=min(args.paths, 8192),
+        gbm=GBMConfig(n_paths=_round_paths(args.paths, block), n_steps=args.steps,
+                      seed=args.seed, path_block=block,
                       use_pallas=not args.no_pallas),
         simulation=SimulationConfig(alpha=args.alpha),
     )

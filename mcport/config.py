@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -98,7 +99,7 @@ class SimulationConfig:
 class GBMConfig:
     """Correlated-GBM path engine (new scope; BASELINE.json:5,8,10,11)."""
 
-    n_paths: int = 100_000
+    n_paths: int = 131_072             # divisible by the default path_block
     n_steps: int = 252
     dt: float = 1.0 / 252.0
     seed: int = 0
@@ -131,6 +132,17 @@ class SketchConfig:
     lo: float = -1.0                   # bin range, in `space` coordinates
     hi: float = 3.0
     space: str = "linear"              # "linear" | "log1p"
+
+
+# A generous covering log1p-space sketch for engines without an analytic range
+# (GARCH terminals, user-supplied streams): -99.99%..+100000% simple return at
+# relative resolution. One shared definition — CLI and API must not diverge.
+COVERING_LOG1P_SKETCH = SketchConfig(
+    n_bins=8_192,
+    lo=math.log1p(-0.9999),
+    hi=math.log1p(1000.0),
+    space="log1p",
+)
 
 
 @dataclass(frozen=True)

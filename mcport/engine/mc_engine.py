@@ -255,7 +255,10 @@ def run_resumable_mc(
     digest = _run_digest(params, weights, config)
     if checkpoint is None:
         if sketch is None:
-            sketch = auto_sketch(params.mean_step, params.chol_step, config.n_steps)
+            sketch = auto_sketch(
+                params.mean_step, params.chol_step, config.n_steps,
+                t_dof=config.t_dof if config.innovations == "student_t" else None,
+            )
         shift_np = np.asarray(config.n_steps * np.asarray(params.mean_step, np.float64))
         ck = MCCheckpoint(
             seed=config.seed,

@@ -1,5 +1,12 @@
 """Merton jump-diffusion with systemic (common) jumps.
 
+Reference anchor: the reference's only tail-risk estimator is the historical
+percentile of the realized return series (/root/reference/app.py:258-263) and
+its "Monte Carlo" never simulates paths (SURVEY.md §2 "GBM is implied, not
+implemented"); this module extends the BASELINE.json:5 correlated-GBM mandate
+with the standard crash-risk companion model, calibrated from the same
+ingested price matrix the reference's moments use (app.py:679-680).
+
 Model-family extension beyond GBM/Student-t/GARCH/bootstrap: crypto drawdowns
 are driven by market-wide crash events that hit every asset at once. The model
 adds a compound-Poisson SYSTEMIC jump to the correlated diffusion:
@@ -90,6 +97,12 @@ def estimate_merton_common(
         return MertonParams(diff, 0.0, np.zeros(a), np.zeros(a))
 
     calm = logret[~jump_step]
+    if calm.shape[0] < 3:
+        raise ValueError(
+            f"threshold {threshold} flags {n_jump}/{t_eff} steps as jumps, "
+            f"leaving {calm.shape[0]} calm steps — too few to estimate the "
+            "diffusion (need >= 3); raise the threshold"
+        )
     mean_step = calm.mean(axis=0)
     cov_step = np.atleast_2d(np.cov(calm, rowvar=False, ddof=1))
     a = cov_step.shape[0]
@@ -102,7 +115,7 @@ def estimate_merton_common(
     return MertonParams(diff, n_jump / t_eff, jump_mean, jump_vol)
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype", "return_jumps"))
 def merton_terminal_returns(
     key: Array,
     mean_step: Array,
@@ -113,8 +126,11 @@ def merton_terminal_returns(
     n_paths: int,
     n_steps: int,
     dtype=jnp.float32,
-) -> Array:
-    """(n_paths, A) terminal LOG returns of the common-jump Merton model.
+    return_jumps: bool = False,
+):
+    """(n_paths, A) terminal LOG returns of the common-jump Merton model
+    (with ``return_jumps=True``, also the per-path Poisson event counts —
+    callers must consume them from here, never re-derive the stream).
 
     Exact terminal sampler: diffusion is N(n m, n LL'); conditional on the
     Poisson event count N the jump sum is N(N muJ, N sigJ sigJ') (rank-one —
@@ -133,7 +149,10 @@ def merton_terminal_returns(
     scale = jnp.sqrt(jnp.asarray(n_steps, dtype))
     diffusion = n_steps * m + scale * (z @ lt)
     jumps = n_jumps[:, None] * mu_j + jnp.sqrt(n_jumps)[:, None] * u[:, None] * sig_j
-    return diffusion + jumps
+    term = diffusion + jumps
+    if return_jumps:
+        return term, n_jumps
+    return term
 
 
 from typing import NamedTuple  # noqa: E402  (single consumer below)
@@ -177,18 +196,14 @@ def merton_risk(
             hi=base.hi + max(jump_hi, 0.0),
             space="log1p",
         )
-    term = merton_terminal_returns(
+    term, n_jumps = merton_terminal_returns(
         key, params.diffusion.mean_step, params.diffusion.chol_step,
         params.jump_rate, params.jump_mean, params.jump_vol,
-        n_paths, n_steps, dtype,
+        n_paths, n_steps, dtype, return_jumps=True,
     )
     gross = jnp.exp(term) - 1.0
     port = gross @ jnp.asarray(weights, dtype)
     counts = histogram(port, sketch)
     v, c = sketch_var_cvar(counts, alpha, sketch)
-    # jump_frac from the same key's Poisson stream (re-derived; cheap)
-    _, k_n, _ = jax.random.split(key, 3)
-    lam = jnp.asarray(params.jump_rate * n_steps, jnp.float32)
-    n_jumps = jax.random.poisson(k_n, lam, (n_paths,))
     return MertonRisk(v, c, port.mean(), term.mean(axis=0),
                       (n_jumps > 0).mean(), counts)

@@ -183,6 +183,7 @@ def auto_sketch(
     weights=None,
     k_sigma: float = 12.0,
     n_bins: int = 8192,
+    t_dof: float | None = None,
 ) -> SketchConfig:
     """Derive a guaranteed-covering log1p-space sketch from GBM parameters.
 
@@ -193,6 +194,11 @@ def auto_sketch(
     correlation structure. The returned config can never clamp mass into the edge
     bins for the parameters it was built from (pinned by test_quantile_qmc).
 
+    ``t_dof`` widens the range for Student-t innovations, whose tails are
+    polynomial: the bound gains a single-extreme-shock term sized by the t
+    quantile at ~1e-13 per draw (scipy isf), since one extreme per-step shock —
+    not the Gaussian-ish sum — dominates the deep t tail.
+
     Host-side numpy on purpose: configs are static jit arguments.
     """
     m = np.asarray(mean_step, np.float64).reshape(-1)
@@ -200,8 +206,15 @@ def auto_sketch(
     var_step = np.einsum("ij,ij->i", L, L)  # diag of LL'
     mu = n_steps * m
     sd = np.sqrt(n_steps * var_step)
-    lo_asset = np.expm1(mu - k_sigma * sd)
-    hi_asset = np.expm1(mu + k_sigma * sd)
+    widen = 0.0
+    if t_dof is not None:
+        from scipy.stats import t as _t
+
+        # unit-variance single-shock quantile at 1e-13 (covers ~1e11 draws)
+        x = float(_t.isf(1e-13, t_dof)) / np.sqrt(t_dof / (t_dof - 2.0))
+        widen = x * np.sqrt(var_step)       # one extreme per-step shock
+    lo_asset = np.expm1(mu - k_sigma * sd - widen)
+    hi_asset = np.expm1(mu + k_sigma * sd + widen)
     if weights is None:
         lo_r, hi_r = float(lo_asset.min()), float(hi_asset.max())
     else:

@@ -104,7 +104,7 @@ def sharded_gbm_risk(
     unit-variance Student-t innovations (fat tails; polar transform).
     """
     if sketch is None:
-        sketch = auto_sketch(mean_step, chol_step, n_steps)
+        sketch = auto_sketch(mean_step, chol_step, n_steps, t_dof=t_df)
     return _sharded_gbm_risk(
         seed, mean_step, chol_step, weights, n_paths, n_steps, mesh,
         alpha, sketch, use_pallas, antithetic, axis, t_df,

@@ -109,3 +109,10 @@ def test_merton_risk_fatter_than_diffusion_only():
     # covering sketch: no clamped mass
     counts = np.asarray(risky.hist)
     assert counts[0] == 0 and counts[-1] == 0
+
+
+def test_degenerate_threshold_clear_error(rng):
+    logret = 0.001 + rng.normal(0, 0.01, (200, A))
+    prices = np.exp(np.cumsum(np.vstack([np.zeros(A), logret]), axis=0))
+    with pytest.raises(ValueError, match="calm steps"):
+        estimate_merton_common(prices, threshold=0.01)
