@@ -164,18 +164,24 @@ def cmd_garch_risk(args) -> None:
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
-    if jax.default_backend() == "tpu":
+    t_df = None
+    if args.innovations == "student_t":
+        from mcport.models.gbm import estimate_t_dof
+
+        t_df = estimate_t_dof(d.prices)
+    if jax.default_backend() == "tpu" and t_df is None:
         from mcport.ops.pallas_garch import pallas_garch_terminal_returns
 
         term = pallas_garch_terminal_returns(args.seed, params, args.paths, args.steps)
     else:
-        term = garch_terminal_returns(jax.random.key(args.seed), params, args.paths, args.steps)
+        term = garch_terminal_returns(jax.random.key(args.seed), params,
+                                      args.paths, args.steps, t_df=t_df)
     port = term @ jnp.asarray(w, term.dtype)
     from mcport.config import COVERING_LOG1P_SKETCH as sketch  # shared; no clamping
 
     v, c = sketch_var_cvar(histogram(port, sketch), args.alpha, sketch)
     _emit({
-        "model": "ccc-garch(1,1)",
+        "model": "ccc-garch(1,1)" + (f"-t(dof={t_df:.2f})" if t_df else ""),
         "n_paths": args.paths,
         "horizon_steps": args.steps,
         "weights": dict(zip(d.names, map(float, w))),
@@ -452,6 +458,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_gbm_risk)
 
     sp = sub.add_parser("garch-risk", help="tail risk under CCC-GARCH(1,1) stochastic vol")
+    sp.add_argument("--innovations", default="normal",
+                    choices=["normal", "student_t"],
+                    help="student_t = GARCH-t (moment-fitted dof; lax engine)")
     common(sp)
     sp.add_argument("--paths", type=int, default=100_000)
     sp.add_argument("--steps", type=int, default=52)

@@ -86,13 +86,23 @@ def _simulate(
     key: Array,
     mu, omega, alpha, beta, corr_chol_t, sigma2_0, eps2_0,
     n_paths: int, n_steps: int, full_paths: bool, dtype=jnp.float32,
+    t_df: float | None = None,
 ):
     a = mu.shape[-1]
 
     def step(carry, t):
         sigma2, eps_prev2, cum = carry
         zk = jax.random.fold_in(key, t)
-        z = jax.random.normal(zk, (n_paths, a), dtype) @ corr_chol_t  # corr'd N(0,R)
+        if t_df is not None:
+            # GARCH-t: unit-variance Student-t shocks (QMLE params stay valid —
+            # Gaussian QMLE is consistent under t errors; dof fits by moments)
+            from mcport.models.gbm import _student_t_polar
+
+            raw = _student_t_polar(zk, t_df, (n_paths, a), dtype)
+            raw = raw / jnp.sqrt(jnp.asarray(t_df / (t_df - 2.0), dtype))
+            z = raw @ corr_chol_t
+        else:
+            z = jax.random.normal(zk, (n_paths, a), dtype) @ corr_chol_t  # N(0,R)
         sigma2 = omega + alpha * eps_prev2 + beta * sigma2             # (n, A)
         eps = jnp.sqrt(jnp.maximum(sigma2, 0.0)) * z
         r_t = mu + eps
@@ -116,11 +126,14 @@ def simulate_garch_returns(
     n_steps: int,
     full_paths: bool = False,
     dtype=jnp.float32,
+    t_df: float | None = None,
 ):
     """Simulate CCC-GARCH returns.
 
     Returns ``(terminal (n_paths, A), paths (n_paths, n_steps, A) | None)`` where
-    terminal is the compounded simple return over the horizon.
+    terminal is the compounded simple return over the horizon. ``t_df`` switches
+    to unit-variance Student-t shocks (GARCH-t: clustered vol AND fat
+    conditional tails; the Gaussian-QMLE parameter estimates remain consistent).
     """
     return _simulate(
         key,
@@ -128,13 +141,15 @@ def simulate_garch_returns(
         jnp.asarray(params.alpha, dtype), jnp.asarray(params.beta, dtype),
         jnp.asarray(params.corr_chol, dtype).T,
         jnp.asarray(params.sigma2_0, dtype), jnp.asarray(params.eps2_0, dtype),
-        n_paths, n_steps, full_paths, dtype,
+        n_paths, n_steps, full_paths, dtype, t_df,
     )
 
 
 def garch_terminal_returns(
-    key: Array, params: CCCGarchParams, n_paths: int, n_steps: int, dtype=jnp.float32
+    key: Array, params: CCCGarchParams, n_paths: int, n_steps: int,
+    dtype=jnp.float32, t_df: float | None = None
 ) -> Array:
     """Terminal compounded returns only — the tail-risk workhorse."""
-    term, _ = simulate_garch_returns(key, params, n_paths, n_steps, False, dtype)
+    term, _ = simulate_garch_returns(key, params, n_paths, n_steps, False, dtype,
+                                     t_df)
     return term

@@ -96,3 +96,26 @@ def test_garch_fatter_tails_than_gbm():
 def test_estimator_input_validation():
     with pytest.raises(ValueError):
         estimate_ccc_garch(np.zeros((5, 2)))
+
+
+def test_garch_t_shocks_fatter_tails():
+    """GARCH-t vs GARCH-normal at identical params: same conditional variance
+    process law (unit-variance shocks) but fatter terminal tails."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.models.garch_mc import garch_terminal_returns
+
+    p = TRUE
+    n, steps = 200_000, 26
+    t_n = np.asarray(garch_terminal_returns(jax.random.key(0), p, n, steps,
+                                            dtype=jnp.float64))
+    t_t = np.asarray(garch_terminal_returns(jax.random.key(0), p, n, steps,
+                                            dtype=jnp.float64, t_df=4.8))
+    # matched scale within MC error
+    assert abs(t_t[:, 0].std() / t_n[:, 0].std() - 1) < 0.10
+    # deep lower tail fatter under t
+    assert np.quantile(t_t[:, 0], 0.001) < np.quantile(t_n[:, 0], 0.001)
+    z_t = (t_t[:, 0] - t_t[:, 0].mean()) / t_t[:, 0].std()
+    z_n = (t_n[:, 0] - t_n[:, 0].mean()) / t_n[:, 0].std()
+    assert np.mean(z_t**4) > np.mean(z_n**4)
