@@ -152,7 +152,9 @@ def test_terminal_throughput_above_target(kernels):
     sec = diff_timed(loop, k=3)
     throughput = n * steps / sec
     print(f"\nterminal kernel: {throughput/1e9:.2f}e9 path-steps/s")
-    assert throughput > 1.0e9
+    # BASELINE target is 1e9; rounds 1/2 measured 3.9/7.5-8.7e9. Gate at 3e9 so a
+    # regression to the EUP-transcendental path fails even under tunnel noise.
+    assert throughput > 3.0e9
 
 
 def test_bootstrap_kernel_compiled_law_and_throughput():
