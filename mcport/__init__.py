@@ -2,15 +2,18 @@
 
 A ground-up JAX/XLA/Pallas rebuild of the capabilities of
 ``mohammadmarghzari/monte-carlo-portfolio`` (a Streamlit portfolio simulator):
-data ingestion, risk statistics, option-hedging strategies, random-weight
-portfolio search, correlated-GBM path simulation with fused TPU kernels,
-mesh-sharded tail-risk reduction, ARIMA+GARCH forecasting, and a UI parity layer.
+data ingestion, risk statistics, option-hedging strategies, random-weight +
+exact (PGD QP) portfolio optimization, five tail-risk model families (GBM with
+normal or Student-t innovations, CCC-GARCH(+t), Merton systemic jumps,
+stationary block bootstrap) on fused TPU kernels, mesh-sharded reductions with
+bit-exact checkpoint/resume and elastic recovery, ARIMA (exact Kalman MLE) +
+GARCH forecasting, and a UI parity layer.
 
 Layers (SURVEY.md §7): data → stats → options → models/ops → parallel → engine →
 api/cli → ui. Everything below the pandas ingestion boundary is pure JAX.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from mcport.config import Config, DataConfig, ForecastConfig, GBMConfig, MeshConfig
 from mcport.config import PayoffConfig, PortfolioConfig, SimulationConfig, SketchConfig
