@@ -4,6 +4,7 @@ from mcport.parallel.sharded_engines import (
     sharded_bootstrap_risk,
     sharded_path_risk,
     sharded_simulated_frontier,
+    sharded_simulated_frontier_2d,
 )
 from mcport.parallel.sharded_resumable import (
     ShardedMCCheckpoint,
@@ -32,6 +33,7 @@ __all__ = [
     "sharded_path_risk",
     "sharded_bootstrap_risk",
     "sharded_simulated_frontier",
+    "sharded_simulated_frontier_2d",
     "auto_sharded_weight_search",
     "ShardedMCCheckpoint",
     "load_sharded_checkpoint",

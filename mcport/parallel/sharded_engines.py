@@ -31,7 +31,8 @@ from mcport.ops.dirichlet import sample_constrained_weights
 from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
-__all__ = ["sharded_path_risk", "sharded_simulated_frontier", "sharded_bootstrap_risk"]
+__all__ = ["sharded_path_risk", "sharded_simulated_frontier",
+           "sharded_simulated_frontier_2d", "sharded_bootstrap_risk"]
 
 
 def sharded_path_risk(
@@ -211,3 +212,95 @@ def sharded_bootstrap_risk(
     ))
     return fn(key, jnp.asarray(returns, jnp.float32),
               jnp.asarray(weights, jnp.float32))
+
+
+def sharded_simulated_frontier_2d(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    min_weights: Array,
+    max_weights: Array,
+    n_candidates: int,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    risk_free: float = 0.0,
+    alpha: float = 0.95,
+    objective: str = "cvar",
+    sketch: SketchConfig | None = None,
+    paths_axis: str = "paths",
+    cand_axis: str = "cand",
+) -> tuple[Array, Array]:
+    """Simulated-frontier search sharded over BOTH mesh axes (dp x tp).
+
+    The 1-D form (:func:`sharded_simulated_frontier`) replicates the whole path
+    set on every device; here paths shard too — each device simulates only its
+    (paths-shard x candidate-shard) tile:
+
+    - per-candidate MEAN/VAR reduce exactly via ``psum`` of (sum, sum-of-squares)
+      over the paths axis;
+    - per-candidate TAIL metrics reduce as per-candidate histogram sketches
+      (B_local x n_bins counts, psum over paths) — the same
+      no-gather-of-paths discipline as the risk engines, at one-bin-width
+      quantile accuracy;
+    - the winner resolves with one all_gather over the candidate axis.
+
+    Path draws are counter-derived per paths-shard (``fold_in(key, p_idx)``) so
+    every candidate column sees the SAME global path set regardless of the
+    candidate shard it lives in — scores are comparable across the whole mesh.
+    """
+    from mcport.ops.quantile import auto_sketch, sketch_var_cvar
+
+    n_dev_p = mesh.shape[paths_axis]
+    n_dev_c = mesh.shape[cand_axis]
+    if n_paths % n_dev_p:
+        raise ValueError(f"n_paths {n_paths} not divisible by {n_dev_p}")
+    if n_candidates % n_dev_c:
+        raise ValueError(f"n_candidates {n_candidates} not divisible by {n_dev_c}")
+    n_local_p = n_paths // n_dev_p
+    n_local_c = n_candidates // n_dev_c
+    if sketch is None:
+        sketch = auto_sketch(mean_step, chol_step, n_steps, n_bins=2048)
+
+    def local(key, mean_step, chol_step, min_w, max_w):
+        p_idx = jax.lax.axis_index(paths_axis)
+        c_idx = jax.lax.axis_index(cand_axis)
+        k_path, k_w = jax.random.split(key)
+        term = terminal_log_returns(
+            jax.random.fold_in(k_path, p_idx), mean_step, chol_step,
+            n_local_p, n_steps, dtype=mean_step.dtype,
+        )
+        gross = jnp.exp(term) - 1.0                        # (p_local, A)
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, c_idx), n_local_c, min_w, max_w
+        )
+        w = w.astype(gross.dtype)
+        port = gross @ w.T                                 # (p_local, B_local)
+
+        psum_p = lambda x: jax.lax.psum(x, paths_axis)
+        s1 = psum_p(port.sum(axis=0))                      # (B,) exact sums
+        s2 = psum_p((port * port).sum(axis=0))
+        ret = s1 / n_paths
+        var_p = jnp.maximum((s2 - n_paths * ret * ret) / (n_paths - 1), 0.0)
+        std = jnp.sqrt(var_p)
+        sharpe = jnp.where(std > 0, (ret - risk_free) / jnp.where(std > 0, std, 1.0), 0.0)
+
+        # per-candidate tail sketch: (B_local, n_bins) counts, psum over paths
+        counts = jax.vmap(lambda col: histogram(col, sketch), in_axes=1)(port)
+        counts = psum_p(counts)
+        v, c = jax.vmap(lambda h: sketch_var_cvar(h, alpha, sketch))(counts)
+
+        metric = {"sharpe": sharpe, "return": ret, "var": v, "cvar": c}[objective]
+        metric = jnp.where(valid, metric, -jnp.inf)
+        best = jnp.argmax(metric)
+        all_m = jax.lax.all_gather(metric[best], cand_axis)
+        all_w = jax.lax.all_gather(w[best], cand_axis)
+        g = jnp.argmax(all_m)
+        return all_w[g], all_m[g]
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+    return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
+              jnp.asarray(min_weights), jnp.asarray(max_weights))

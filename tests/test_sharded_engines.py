@@ -119,3 +119,69 @@ def test_sharded_bootstrap_indivisible_raises(mesh, rng):
     with pytest.raises(ValueError, match="divisible"):
         sharded_bootstrap_risk(jax.random.key(0), hist, np.array([0.5, 0.5]),
                                n_paths=1001, n_steps=2, mesh=mesh)
+
+
+def test_sharded_frontier_2d_exact_vs_replay(eight_devices, rng):
+    """2-D (paths x cand) frontier: exact equality against a single-device
+    replay of the identical per-shard streams and sketch math."""
+    from mcport.models.gbm import terminal_log_returns
+    from mcport.ops.dirichlet import sample_constrained_weights
+    from mcport.ops.quantile import auto_sketch, histogram, sketch_var_cvar
+    from mcport.parallel.mesh import make_mesh_2d
+    from mcport.parallel.sharded_engines import sharded_simulated_frontier_2d
+
+    mesh2 = make_mesh_2d(4, eight_devices)   # (paths=4, cand=2)
+    a = 3
+    mean = np.array([0.002, 0.001, 0.0015], np.float32)
+    chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
+    min_w = np.zeros(a, np.float32)
+    max_w = np.full(a, 0.6, np.float32)
+    n_paths, n_cand, steps = 4096, 512, 6
+    key = jax.random.key(5)
+
+    w_star, m_star = sharded_simulated_frontier_2d(
+        key, mean, chol, min_w, max_w, n_cand, n_paths, steps, mesh2,
+        risk_free=0.01, objective="cvar",
+    )
+
+    # single-device replay of the same streams
+    sketch = auto_sketch(mean, chol, steps, n_bins=2048)
+    k_path, k_w = jax.random.split(key)
+    gross_parts = [
+        np.asarray(jnp.exp(terminal_log_returns(
+            jax.random.fold_in(k_path, p), mean, chol, n_paths // 4, steps,
+            dtype=jnp.float32)) - 1.0)
+        for p in range(4)
+    ]
+    gross = np.concatenate(gross_parts)      # the full global path set
+    best_m, best_w = -np.inf, None
+    for c in range(2):
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, c), n_cand // 2, min_w, max_w)
+        w = np.asarray(w, np.float32)
+        port = gross @ w.T                   # (n_paths, B_local)
+        for j in range(w.shape[0]):
+            if not bool(np.asarray(valid)[j]):
+                continue
+            counts = sum(histogram(part @ w[j], sketch) for part in gross_parts)
+            _, cv = sketch_var_cvar(counts, 0.95, sketch)
+            if float(cv) > best_m:
+                best_m, best_w = float(cv), w[j]
+    np.testing.assert_allclose(np.asarray(w_star), best_w, atol=1e-7)
+    assert float(m_star) == pytest.approx(best_m, rel=1e-5)
+
+
+def test_sharded_frontier_2d_guards(eight_devices):
+    from mcport.parallel.mesh import make_mesh_2d
+    from mcport.parallel.sharded_engines import sharded_simulated_frontier_2d
+
+    mesh2 = make_mesh_2d(4, eight_devices)
+    a = 2
+    mean = np.zeros(a, np.float32)
+    chol = np.eye(a, dtype=np.float32) * 0.02
+    with pytest.raises(ValueError, match="n_paths"):
+        sharded_simulated_frontier_2d(jax.random.key(0), mean, chol,
+                                      np.zeros(a), np.ones(a), 64, 1001, 2, mesh2)
+    with pytest.raises(ValueError, match="n_candidates"):
+        sharded_simulated_frontier_2d(jax.random.key(0), mean, chol,
+                                      np.zeros(a), np.ones(a), 63, 1024, 2, mesh2)
