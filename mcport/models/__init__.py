@@ -9,6 +9,11 @@ from mcport.models.gbm import (
 from mcport.models.arima import Arima111Fit, fit_arima_111, forecast_arima
 from mcport.models.bridge import bridge_schedule, brownian_bridge, qmc_gbm_log_paths
 from mcport.models.gbm import estimate_t_dof, terminal_log_returns_t  # noqa: F401
+from mcport.models.importance import (
+    TailRisk,
+    importance_tail_risk,
+    tilted_terminal_returns,
+)
 from mcport.models.jump import (
     MertonParams,
     estimate_merton_common,
@@ -57,6 +62,9 @@ __all__ = [
     "estimate_merton_common",
     "merton_risk",
     "merton_terminal_returns",
+    "TailRisk",
+    "importance_tail_risk",
+    "tilted_terminal_returns",
     "bridge_schedule",
     "brownian_bridge",
     "qmc_gbm_log_paths",

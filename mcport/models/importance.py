@@ -1,0 +1,132 @@
+"""Importance-sampled deep-tail risk: exponential tilting of the GBM terminal.
+
+Reference anchor: the reference's VaR is a 95% historical percentile
+(/root/reference/app.py:258-263); the BASELINE.json:10 scale config pushes to
+simulated VaR99. Beyond ~99.9% plain Monte Carlo collapses — at alpha=0.9999
+a 65k-path run holds ~6 tail samples. The classic fix is exponential tilting:
+draw the terminal Gaussian from N(theta, I) shifted toward portfolio losses
+and weight every path by the likelihood ratio
+
+    LR(z) = phi(z)/phi_theta(z) = exp(-theta'z + ||theta||^2 / 2),
+
+an unbiased reweighting that concentrates samples exactly where the deep tail
+lives. The tilt direction is the most-likely-failure direction of the
+linearized portfolio, u = L'w / ||L'w||, and the magnitude targets the
+requested quantile (theta = Phi^{-1}(1 - alpha) * u).
+
+TPU mapping: one (paths, A) Gaussian draw + elementwise reweighting; tail
+statistics reduce through the SAME mergeable histogram sketch as everywhere
+else — weighted counts are just masses, so sketch quantiles/tail-means work
+unchanged (and still psum across a mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mcport.config import SketchConfig
+from mcport.models.gbm import GBMParams
+from mcport.ops.quantile import auto_sketch, sketch_tail_mean, sketch_quantile
+
+__all__ = ["TailRisk", "tilted_terminal_returns", "importance_tail_risk"]
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def tilted_terminal_returns(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    tilt: float,
+    n_paths: int,
+    n_steps: int,
+    dtype=jnp.float32,
+) -> tuple[Array, Array]:
+    """(terminal log returns (n, A), log likelihood ratios (n,)) under an
+    exponential tilt of strength ``tilt`` along the portfolio-loss direction.
+
+    ``tilt=0`` is plain MC with LR = 1.
+    """
+    m = jnp.asarray(mean_step, dtype)
+    lt = jnp.asarray(chol_step, dtype).T
+    w = jnp.asarray(weights, dtype)
+    a = m.shape[-1]
+    # most-likely-failure direction of the linearized portfolio: u ∝ L'w
+    d = jnp.asarray(chol_step, dtype).T @ w
+    u = d / jnp.maximum(jnp.linalg.norm(d), 1e-30)
+    theta = (-tilt) * u                                  # shift toward losses
+
+    z = jax.random.normal(key, (n_paths, a), dtype) + theta
+    log_lr = -(z @ theta) + 0.5 * jnp.sum(theta * theta)
+    scale = jnp.sqrt(jnp.asarray(n_steps, dtype))
+    term = n_steps * m + scale * (z @ lt)
+    return term, log_lr
+
+
+class TailRisk(NamedTuple):
+    var: Array            # () portfolio VaR at alpha (simple-return units)
+    cvar: Array           # ()
+    n_tail_samples: Array # () RAW samples at/below the VaR estimate — the
+                          # health metric that matters: plain MC gets
+                          # (1-alpha)*n of these, tilting gets ~n/2. (Global
+                          # Kish ESS is useless here: it is dominated by the
+                          # few ordinary samples with huge LR, which the tail
+                          # estimate never touches.)
+    hist: Array           # (n_bins,) weighted mass histogram
+
+
+def importance_tail_risk(
+    key: Array,
+    params: GBMParams,
+    weights: np.ndarray,
+    alpha: float = 0.9999,
+    n_paths: int = 262_144,
+    n_steps: int = 252,
+    sketch: SketchConfig | None = None,
+    tilt: float | None = None,
+    dtype=jnp.float32,
+) -> TailRisk:
+    """Deep-tail VaR/CVaR by exponential tilting (unbiased, sketch-reduced).
+
+    ``tilt=None`` targets the requested quantile: Phi^{-1}(alpha) standard
+    deviations along the loss direction, so roughly half the tilted sample
+    lands beyond the true alpha-quantile (vs (1-alpha) * n_paths plain-MC tail
+    hits); ``n_tail_samples`` reports that count as the health check.
+    """
+    from scipy.stats import norm
+
+    if tilt is None:
+        tilt = float(norm.ppf(alpha))
+    if sketch is None:
+        # tilted draws reach ~tilt + 12 sigma; widen the covering range
+        sketch = auto_sketch(params.mean_step, params.chol_step, n_steps,
+                             k_sigma=12.0 + abs(tilt))
+    term, log_lr = tilted_terminal_returns(
+        key, params.mean_step, params.chol_step, np.asarray(weights),
+        tilt, n_paths, n_steps, dtype,
+    )
+    lr = jnp.exp(log_lr)
+    port = (jnp.exp(term) - 1.0) @ jnp.asarray(weights, dtype)
+
+    # weighted histogram: masses instead of unit counts (still psum-mergeable)
+    from mcport.ops.quantile import _to_u
+
+    u = _to_u(port, sketch)
+    width = (sketch.hi - sketch.lo) / sketch.n_bins
+    idx = jnp.clip(jnp.floor((u - sketch.lo) / width).astype(jnp.int32),
+                   0, sketch.n_bins - 1)
+    hist = jnp.zeros((sketch.n_bins,), dtype).at[idx].add(lr)
+
+    # exact normalizer: E[LR] = 1, so the total mass is n_paths by construction
+    # (the empirical sum of LRs is noise-dominated by ordinary samples)
+    v = sketch_quantile(hist, 1.0 - alpha, sketch,
+                        total=jnp.asarray(n_paths, hist.dtype))
+    c = sketch_tail_mean(hist, v, sketch)
+    n_tail = jnp.sum(port <= v)
+    return TailRisk(v, c, n_tail, hist)

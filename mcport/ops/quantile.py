@@ -244,12 +244,19 @@ def _edges(config: SketchConfig, dtype) -> tuple[Array, Array]:
     return left, jnp.asarray(width, dtype)
 
 
-def sketch_quantile(counts: Array, q: Array, config: SketchConfig = SketchConfig()) -> Array:
+def sketch_quantile(counts: Array, q: Array, config: SketchConfig = SketchConfig(),
+                    total: Array | None = None) -> Array:
     """Quantile(s) from histogram counts, in return space, with within-bin linear
-    interpolation (linear in sketch space)."""
+    interpolation (linear in sketch space).
+
+    ``total`` overrides the mass normalizer. Importance-sampled (weighted)
+    histograms MUST pass the exact expected mass (n draws: E[LR] = 1): the
+    empirical sum of likelihood ratios is dominated by the few most-ordinary
+    samples and is far noisier than the tail masses being quantiled."""
     counts = jnp.asarray(counts)
     q = jnp.asarray(q, counts.dtype)
-    total = counts.sum()
+    if total is None:
+        total = counts.sum()
     cdf = jnp.cumsum(counts)
     target = q * total
     # first bin whose cumulative count reaches the target
