@@ -11,6 +11,7 @@ Commands:
   gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
                (--path-stats adds the simulated max-drawdown distribution)
   exact-frontier exact box-constrained mean-variance frontier (PGD QP)
+  tail-risk    deep-tail VaR/CVaR (importance sampling, alpha 0.9999+)
   compare-models one portfolio, every tail-risk model family
   jump-risk    Merton systemic-jump tail risk (threshold-calibrated)
   bootstrap-risk distribution-free tail risk from resampled historical paths
@@ -222,6 +223,36 @@ def cmd_exact_frontier(args) -> None:
         "max_sharpe": pack(max_sharpe_exact(f)),
         "min_variance": pack(min_variance_exact(f)),
         "target_risk": pack(target_risk_exact(f, args.target_risk)),
+    })
+
+
+def cmd_tail_risk(args) -> None:
+    import jax
+
+    from mcport.models import estimate_gbm
+    from mcport.models.importance import importance_tail_risk
+
+    d = _universe(args)
+    params = estimate_gbm(d.prices)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    out = importance_tail_risk(
+        jax.random.key(args.seed), params, w, alpha=args.alpha,
+        n_paths=args.paths, n_steps=args.steps,
+    )
+    _emit({
+        "engine": "importance-sampled-tail (exponential tilting)",
+        "alpha": args.alpha,
+        "n_paths": args.paths,
+        "horizon_steps": args.steps,
+        "weights": dict(zip(d.names, map(float, w))),
+        "var": float(out.var),
+        "cvar": float(out.cvar),
+        "tail_samples": int(out.n_tail_samples),
+        "plain_mc_would_have": int(round((1 - args.alpha) * args.paths)),
     })
 
 
@@ -477,6 +508,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-lambda", type=int, default=64)
     sp.add_argument("--target-risk", type=float, default=0.30)
     sp.set_defaults(fn=cmd_exact_frontier)
+
+    sp = sub.add_parser("tail-risk",
+                        help="deep-tail VaR/CVaR (alpha up to 0.9999+) by importance sampling")
+    common(sp)
+    sp.add_argument("--weights", default=None, help="comma-separated, default equal")
+    sp.add_argument("--paths", type=int, default=262_144)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--alpha", type=float, default=0.9999)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_tail_risk)
 
     sp = sub.add_parser("compare-models",
                         help="one portfolio, every tail-risk model family")

@@ -17,14 +17,16 @@ A = 5
 
 
 @pytest.fixture(scope="module")
-def market(rng):
+def market():
+    rng = np.random.default_rng(40)  # local: immune to suite draw order
     mu = rng.uniform(0.05, 0.45, A)
     q = rng.normal(0, 1, (A, A))
     sigma = q @ q.T / A * 0.04 + 0.01 * np.eye(A)
     return mu, sigma
 
 
-def test_projection_is_feasible_and_optimal(rng):
+def test_projection_is_feasible_and_optimal():
+    rng = np.random.default_rng(44)
     lo = np.full(A, 0.05)
     hi = np.full(A, 0.5)
     for _ in range(5):
@@ -81,7 +83,7 @@ def test_constraints_respected_and_frontier_monotone(market):
     assert np.all(np.diff(f.std) > -1e-6)
 
 
-def test_exact_dominates_random_search(market, rng):
+def test_exact_dominates_random_search(market):
     """The whole point: the exact max-Sharpe must beat 100k random candidates."""
     import jax
 

@@ -13,7 +13,8 @@ T, A = 150, 3
 
 
 @pytest.fixture(scope="module")
-def history(rng):
+def history():
+    rng = np.random.default_rng(42)  # local: immune to suite draw order
     return (rng.standard_t(5, (T, A)) * 0.02 + 0.002).astype(np.float32)
 
 

@@ -94,10 +94,11 @@ def test_indivisible_raises(mesh):
         )
 
 
-def test_sharded_bootstrap_risk(mesh, rng):
+def test_sharded_bootstrap_risk(mesh):
     from mcport.models.bootstrap import bootstrap_risk
     from mcport.parallel.sharded_engines import sharded_bootstrap_risk
 
+    rng = np.random.default_rng(45)
     hist = (rng.standard_t(5, (150, 3)) * 0.02 + 0.002).astype(np.float32)
     w = np.array([0.5, 0.3, 0.2], np.float32)
     out = sharded_bootstrap_risk(
@@ -112,16 +113,16 @@ def test_sharded_bootstrap_risk(mesh, rng):
     assert abs(v - float(single.var)) < 0.05
 
 
-def test_sharded_bootstrap_indivisible_raises(mesh, rng):
+def test_sharded_bootstrap_indivisible_raises(mesh):
     from mcport.parallel.sharded_engines import sharded_bootstrap_risk
 
-    hist = rng.normal(0, 0.02, (50, 2)).astype(np.float32)
+    hist = np.random.default_rng(46).normal(0, 0.02, (50, 2)).astype(np.float32)
     with pytest.raises(ValueError, match="divisible"):
         sharded_bootstrap_risk(jax.random.key(0), hist, np.array([0.5, 0.5]),
                                n_paths=1001, n_steps=2, mesh=mesh)
 
 
-def test_sharded_frontier_2d_exact_vs_replay(eight_devices, rng):
+def test_sharded_frontier_2d_exact_vs_replay(eight_devices):
     """2-D (paths x cand) frontier: exact equality against a single-device
     replay of the identical per-shard streams and sketch math."""
     from mcport.models.gbm import terminal_log_returns
