@@ -23,8 +23,8 @@ def __getattr__(name):
     """Lazy re-exports of the workflow API (mcport.load_universe, mcport.simulate,
     ...) without importing jax/pandas at package-import time."""
     _API = ("load_universe", "compute_stats", "simulate", "gbm_risk",
-            "bootstrap_tail_risk", "exact_mv_frontier", "compare_tail_risk",
-            "forecast")
+            "bootstrap_tail_risk", "exact_mv_frontier", "exact_cvar_frontier",
+            "compare_tail_risk", "forecast")
     if name in _API:
         import mcport.api as _api
 

@@ -40,6 +40,7 @@ __all__ = [
     "gbm_risk",
     "bootstrap_tail_risk",
     "exact_mv_frontier",
+    "exact_cvar_frontier",
     "compare_tail_risk",
     "forecast",
     "Config",
@@ -191,6 +192,44 @@ def exact_mv_frontier(
     max_w = np.ones(a) if pc.max_weights is None else np.asarray(pc.max_weights)
     return exact_frontier(mean_ann, cov_ann, min_w, max_w,
                           risk_free=pc.risk_free, n_lambda=n_lambda)
+
+
+def exact_cvar_frontier(
+    data: PriceData,
+    config: Config = Config(),
+    scenarios: str = "simulated",
+    n_lambda: int = 33,
+):
+    """Exact mean-CVaR frontier (Rockafellar-Uryasev PGD sweep over scenarios).
+
+    ``scenarios="simulated"`` draws correlated-GBM terminal returns from the
+    estimated universe (``config.gbm`` controls paths/steps/seed) — the exact
+    counterpart of the random simulated-frontier search.
+    ``scenarios="historical"`` optimizes against the assembled per-period
+    return rows (the reference's historical-CVaR convention, app.py:258-263,
+    with top-k tail means in place of percentile interpolation).
+    """
+    import jax as _jax
+
+    from mcport.engine.cvar_opt import cvar_frontier, simulated_cvar_frontier
+
+    pc = config.portfolio
+    a = len(data.names)
+    min_w = np.zeros(a) if pc.min_weights is None else np.asarray(pc.min_weights)
+    max_w = np.ones(a) if pc.max_weights is None else np.asarray(pc.max_weights)
+    alpha = config.simulation.alpha
+    if scenarios == "simulated":
+        g = config.gbm
+        params = estimate_gbm(data.prices)
+        return simulated_cvar_frontier(
+            _jax.random.key(g.seed), params, n_paths=g.n_paths, n_steps=g.n_steps,
+            alpha=alpha, min_weights=min_w, max_weights=max_w, n_lambda=n_lambda,
+        )
+    if scenarios == "historical":
+        return cvar_frontier(
+            data.port_rets, min_w, max_w, alpha=alpha, n_lambda=n_lambda,
+        )
+    raise ValueError(f"scenarios must be 'simulated' or 'historical', got {scenarios!r}")
 
 
 def compare_tail_risk(

@@ -11,6 +11,8 @@ Commands:
   gbm-risk     correlated-GBM tail risk with the chunked/resumable engine
                (--path-stats adds the simulated max-drawdown distribution)
   exact-frontier exact box-constrained mean-variance frontier (PGD QP)
+  cvar-frontier exact mean-CVaR frontier (Rockafellar-Uryasev) over simulated
+               or historical scenarios
   tail-risk    deep-tail VaR/CVaR (importance sampling, alpha 0.9999+)
   compare-models one portfolio, every tail-risk model family
   jump-risk    Merton systemic-jump tail risk (threshold-calibrated)
@@ -223,6 +225,45 @@ def cmd_exact_frontier(args) -> None:
         "max_sharpe": pack(max_sharpe_exact(f)),
         "min_variance": pack(min_variance_exact(f)),
         "target_risk": pack(target_risk_exact(f, args.target_risk)),
+    })
+
+
+def cmd_cvar_frontier(args) -> None:
+    import jax
+
+    from mcport.api import exact_cvar_frontier
+    from mcport.engine.cvar_opt import max_return_at_cvar, min_cvar_exact
+
+    d = _universe(args)
+    cfg = Config(
+        portfolio=PortfolioConfig(
+            risk_free=args.risk_free,
+            min_weights=(args.min_weight,) * d.n_assets,
+            max_weights=(args.max_weight,) * d.n_assets,
+        ),
+        simulation=SimulationConfig(alpha=args.alpha),
+        gbm=GBMConfig(n_paths=_round_paths(args.paths), n_steps=args.steps,
+                      seed=args.seed),
+    )
+    f = exact_cvar_frontier(d, cfg, scenarios=args.scenarios,
+                            n_lambda=args.n_lambda)
+
+    def pack(sel):
+        w, ret, cvar = sel
+        return {"weights": dict(zip(d.names, map(float, w))),
+                "expected_return": ret, "cvar": cvar}
+
+    _emit({
+        "engine": "exact-rockafellar-uryasev-frontier",
+        "scenarios": args.scenarios,
+        "alpha": args.alpha,
+        "n_lambda": args.n_lambda,
+        "min_cvar": pack(min_cvar_exact(f)),
+        "max_return_at_budget": pack(max_return_at_cvar(f, args.cvar_budget)),
+        "frontier": [
+            {"lam": float(l), "ret": float(r), "cvar": float(c), "std": float(s)}
+            for l, r, c, s in zip(f.lams, f.ret, f.cvar, f.std)
+        ],
     })
 
 
@@ -508,6 +549,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-lambda", type=int, default=64)
     sp.add_argument("--target-risk", type=float, default=0.30)
     sp.set_defaults(fn=cmd_exact_frontier)
+
+    sp = sub.add_parser("cvar-frontier",
+                        help="exact mean-CVaR frontier (Rockafellar-Uryasev PGD)")
+    common(sp)
+    sp.add_argument("--scenarios", default="simulated",
+                    choices=["simulated", "historical"])
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--min-weight", type=float, default=0.0)
+    sp.add_argument("--max-weight", type=float, default=1.0)
+    sp.add_argument("--n-lambda", type=int, default=33)
+    sp.add_argument("--cvar-budget", type=float, default=-0.25,
+                    help="tail budget in return convention (e.g. -0.25)")
+    sp.add_argument("--paths", type=int, default=16_384)
+    sp.add_argument("--steps", type=int, default=252)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_cvar_frontier)
 
     sp = sub.add_parser("tail-risk",
                         help="deep-tail VaR/CVaR (alpha up to 0.9999+) by importance sampling")

@@ -14,6 +14,13 @@ from mcport.engine.frontier_opt import (
     project_capped_simplex,
     target_risk_exact,
 )
+from mcport.engine.cvar_opt import (
+    CVaRFrontier,
+    cvar_frontier,
+    max_return_at_cvar,
+    min_cvar_exact,
+    simulated_cvar_frontier,
+)
 from mcport.engine.path_risk import PathRiskReport, run_path_risk
 from mcport.engine.simulated_frontier import SimFrontierResult, simulated_weight_search
 from mcport.engine.weight_search import (
@@ -55,4 +62,9 @@ __all__ = [
     "simulated_weight_search",
     "DrawdownFrontierResult",
     "drawdown_frontier_search",
+    "CVaRFrontier",
+    "cvar_frontier",
+    "min_cvar_exact",
+    "max_return_at_cvar",
+    "simulated_cvar_frontier",
 ]

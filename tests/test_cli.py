@@ -59,6 +59,20 @@ def test_gbm_risk_command_with_checkpoint(eth, tmp_path):
     assert out2["var"] == pytest.approx(out["var"], abs=1e-12)
 
 
+def test_cvar_frontier_command(btc, eth):
+    out = run_cli(["cvar-frontier", btc, eth, "--period", "W",
+                   "--scenarios", "historical", "--n-lambda", "9"])
+    assert out["engine"] == "exact-rockafellar-uryasev-frontier"
+    w = np.array(list(out["min_cvar"]["weights"].values()))
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-4)
+    # min-CVaR point has the smallest tail loss on the frontier
+    cvars = [pt["cvar"] for pt in out["frontier"]]
+    assert out["min_cvar"]["cvar"] == pytest.approx(max(cvars), abs=1e-6)
+    # max-return-at-budget respects feasibility when anything is feasible
+    if any(c >= -0.25 for c in cvars):
+        assert out["max_return_at_budget"]["cvar"] >= -0.25 - 1e-6
+
+
 def test_forecast_command(eth):
     out = run_cli(["forecast", eth, "--period", "W", "--horizons", "1,2"])
     f = out["forecasts"]["ETH_USD 7 Years Weekly"]
