@@ -41,6 +41,7 @@ __all__ = [
     "bootstrap_tail_risk",
     "exact_mv_frontier",
     "exact_cvar_frontier",
+    "risk_based_weights",
     "compare_tail_risk",
     "forecast",
     "Config",
@@ -230,6 +231,44 @@ def exact_cvar_frontier(
             data.port_rets, min_w, max_w, alpha=alpha, n_lambda=n_lambda,
         )
     raise ValueError(f"scenarios must be 'simulated' or 'historical', got {scenarios!r}")
+
+
+def risk_based_weights(
+    data: PriceData,
+    config: Config = Config(),
+    method: str = "erc",
+    budgets: Sequence[float] | np.ndarray | None = None,
+) -> dict[str, object]:
+    """Risk-based allocation over the assembled universe (engine.risk_parity).
+
+    method: "erc" (equal/budgeted risk contributions, Newton on-device),
+    "hrp" (hierarchical risk parity), or "ivp" (inverse variance). Returns
+    weights plus fractional risk contributions and portfolio volatility, all
+    from the reference's annualized moment estimates (app.py:679-680).
+    """
+    from mcport.engine.risk_parity import (
+        hierarchical_risk_parity, inverse_variance, risk_contributions, risk_parity,
+    )
+
+    rets = data.port_rets
+    cov_ann = np.atleast_2d(np.cov(rets, rowvar=False, ddof=1)) * data.ann_factor
+    if method == "erc":
+        w = risk_parity(cov_ann, None if budgets is None else np.asarray(budgets))
+    elif method == "hrp":
+        w = hierarchical_risk_parity(cov_ann)
+    elif method == "ivp":
+        w = inverse_variance(cov_ann)
+    else:
+        raise ValueError(f"method must be 'erc', 'hrp' or 'ivp', got {method!r}")
+    rc = risk_contributions(w, cov_ann)
+    mean_ann = rets.mean(axis=0) * data.ann_factor
+    return {
+        "method": method,
+        "weights": dict(zip(data.names, map(float, w))),
+        "risk_contributions": dict(zip(data.names, map(float, rc))),
+        "expected_return": float(w @ mean_ann),
+        "volatility": float(np.sqrt(max(w @ cov_ann @ w, 0.0))),
+    }
 
 
 def compare_tail_risk(

@@ -13,6 +13,7 @@ Commands:
   exact-frontier exact box-constrained mean-variance frontier (PGD QP)
   cvar-frontier exact mean-CVaR frontier (Rockafellar-Uryasev) over simulated
                or historical scenarios
+  risk-parity  risk-based allocation: ERC (budgeted Newton), HRP, inverse var
   tail-risk    deep-tail VaR/CVaR (importance sampling, alpha 0.9999+)
   compare-models one portfolio, every tail-risk model family
   jump-risk    Merton systemic-jump tail risk (threshold-calibrated)
@@ -265,6 +266,21 @@ def cmd_cvar_frontier(args) -> None:
             for l, r, c, s in zip(f.lams, f.ret, f.cvar, f.std)
         ],
     })
+
+
+def cmd_risk_parity(args) -> None:
+    from mcport.api import risk_based_weights
+
+    d = _universe(args)
+    budgets = None
+    if args.budgets:
+        budgets = np.asarray([float(x) for x in args.budgets.split(",")])
+        if len(budgets) != d.n_assets:
+            raise SystemExit(
+                f"--budgets needs {d.n_assets} comma-separated values, got {len(budgets)}"
+            )
+    out = risk_based_weights(d, method=args.method, budgets=budgets)
+    _emit(out)
 
 
 def cmd_tail_risk(args) -> None:
@@ -549,6 +565,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-lambda", type=int, default=64)
     sp.add_argument("--target-risk", type=float, default=0.30)
     sp.set_defaults(fn=cmd_exact_frontier)
+
+    sp = sub.add_parser("risk-parity",
+                        help="risk-based allocation: ERC / HRP / inverse variance")
+    common(sp)
+    sp.add_argument("--method", default="erc", choices=["erc", "hrp", "ivp"])
+    sp.add_argument("--budgets", default=None,
+                    help="comma-separated risk budgets (erc only; default equal)")
+    sp.set_defaults(fn=cmd_risk_parity)
 
     sp = sub.add_parser("cvar-frontier",
                         help="exact mean-CVaR frontier (Rockafellar-Uryasev PGD)")

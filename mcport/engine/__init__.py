@@ -22,6 +22,12 @@ from mcport.engine.cvar_opt import (
     simulated_cvar_frontier,
 )
 from mcport.engine.path_risk import PathRiskReport, run_path_risk
+from mcport.engine.risk_parity import (
+    hierarchical_risk_parity,
+    inverse_variance,
+    risk_contributions,
+    risk_parity,
+)
 from mcport.engine.simulated_frontier import SimFrontierResult, simulated_weight_search
 from mcport.engine.weight_search import (
     METHODS,
@@ -62,6 +68,10 @@ __all__ = [
     "simulated_weight_search",
     "DrawdownFrontierResult",
     "drawdown_frontier_search",
+    "risk_parity",
+    "risk_contributions",
+    "hierarchical_risk_parity",
+    "inverse_variance",
     "CVaRFrontier",
     "cvar_frontier",
     "min_cvar_exact",

@@ -59,6 +59,20 @@ def test_gbm_risk_command_with_checkpoint(eth, tmp_path):
     assert out2["var"] == pytest.approx(out["var"], abs=1e-12)
 
 
+def test_risk_parity_command(btc, eth):
+    out = run_cli(["risk-parity", btc, eth, "--period", "W"])
+    rc = np.array(list(out["risk_contributions"].values()))
+    np.testing.assert_allclose(rc, 0.5, atol=1e-6)
+    w = np.array(list(out["weights"].values()))
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-8)
+    out_b = run_cli(["risk-parity", btc, eth, "--period", "W",
+                     "--budgets", "3,1"])
+    rc_b = np.array(list(out_b["risk_contributions"].values()))
+    np.testing.assert_allclose(rc_b, [0.75, 0.25], atol=1e-6)
+    out_h = run_cli(["risk-parity", btc, eth, "--period", "W", "--method", "hrp"])
+    assert abs(sum(out_h["weights"].values()) - 1.0) < 1e-8
+
+
 def test_cvar_frontier_command(btc, eth):
     out = run_cli(["cvar-frontier", btc, eth, "--period", "W",
                    "--scenarios", "historical", "--n-lambda", "9"])
