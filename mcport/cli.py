@@ -467,7 +467,7 @@ def cmd_dd_frontier(args) -> None:
     r = drawdown_frontier_search(
         jax.random.key(args.seed), params, dd_budget=args.dd_budget,
         n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
-        alpha=args.alpha,
+        alpha=args.alpha, score_dtype=args.score_dtype,
     )
     out = {
         "dd_budget": r.dd_budget,
@@ -658,6 +658,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=252)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--score-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 screens candidates with bf16 MXU operands "
+                         "(+15-30%% on TPU), then re-scores the leaders at f32")
     sp.set_defaults(fn=cmd_dd_frontier)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")

@@ -55,12 +55,14 @@ def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype):
 @partial(
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "w_block",
-                     "use_pallas", "dtype", "trivial_bounds"),
+                     "use_pallas", "dtype", "trivial_bounds", "score_dtype",
+                     "interpret"),
 )
 def _score(
     key, mean_step, chol_step, min_w, max_w,
     n_candidates: int, n_paths: int, n_steps: int, alpha: float,
     w_block: int, use_pallas: bool, dtype, trivial_bounds: bool = False,
+    score_dtype: str = "float32", interpret: bool = False,
 ):
     k_path_seed, k_w = jax.random.split(key)
     if trivial_bounds:
@@ -81,7 +83,8 @@ def _score(
 
             seed = jax.random.randint(k_path_seed, (), 0, 1 << 30)
             term, dd = gbm_multi_portfolio_dd(
-                seed, mean_step, chol_step, w_blk, n_paths, n_steps
+                seed, mean_step, chol_step, w_blk, n_paths, n_steps,
+                interpret=interpret, score_dtype=score_dtype,
             )
         else:
             term, dd = _lax_multi_dd(
@@ -109,28 +112,66 @@ def drawdown_frontier_search(
     max_weights: np.ndarray | None = None,
     w_block: int = 128,
     dtype=jnp.float32,
+    score_dtype: str = "float32",
+    rescore_top: int = 32,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> DrawdownFrontierResult:
     """Max expected simulated return s.t. the p95-worst drawdown >= -dd_budget.
 
     Every candidate chunk sees the SAME simulated paths (shared path key), so
     candidate comparisons are exact, not noisy across chunks.
+
+    ``score_dtype="bfloat16"`` screens candidates with bf16 MXU operands in
+    the Pallas kernel (+15-30% measured on the v5e —
+    benchmarks/bench_multi_dd_bf16.py), then re-scores the ``rescore_top``
+    highest-return bf16-feasible candidates (plus any within one bf16 dd ulp
+    of the budget) at f32 over the SAME paths, so the reported optimum and its
+    metrics are exact f32. ``use_pallas``/``interpret`` default to backend
+    auto-detection; tests force the kernel path on CPU via
+    ``use_pallas=True, interpret=True``.
     """
     a = params.n_assets
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
-    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
+    mean_j, chol_j = jnp.asarray(params.mean_step), jnp.asarray(params.chol_step)
     w, valid, ret, dd_p95 = _score(
-        key, jnp.asarray(params.mean_step), jnp.asarray(params.chol_step),
+        key, mean_j, chol_j,
         min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas,
-        dtype, trivial,
+        dtype, trivial, score_dtype if use_pallas else "float32", interpret,
     )
     w, valid = np.asarray(w), np.asarray(valid)
-    ret, dd_p95 = np.asarray(ret), np.asarray(dd_p95)
-    feasible = valid & (dd_p95 >= -abs(dd_budget))
+    ret, dd_p95 = np.array(ret), np.array(dd_p95)   # writable: rescore updates
+    budget = abs(dd_budget)
+
+    if use_pallas and score_dtype == "bfloat16" and rescore_top > 0:
+        # exact pass: the top-return candidates that bf16 called feasible,
+        # plus near-budget ones a ~2e-3 dd perturbation could flip either way
+        margin = 4e-3
+        cand_mask = valid & (dd_p95 >= -(budget + margin))
+        idx = np.nonzero(cand_mask)[0]
+        if idx.size:
+            from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+            order = idx[np.argsort(-ret[idx])][:rescore_top]
+            k_path_seed, _ = jax.random.split(key)
+            seed = jax.random.randint(k_path_seed, (), 0, 1 << 30)
+            term_x, dd_x = gbm_multi_portfolio_dd(
+                seed, mean_j, chol_j, jnp.asarray(w[order]), n_paths, n_steps,
+                interpret=interpret,
+            )
+            k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
+            ret[order] = np.asarray(term_x.mean(axis=1))
+            worst, _ = jax.lax.top_k(-dd_x, k_tail)
+            dd_p95[order] = np.asarray(-worst[:, -1])
+
+    feasible = valid & (dd_p95 >= -budget)
     opt_idx = int(np.argmax(np.where(feasible, ret, -np.inf))) if feasible.any() else -1
     return DrawdownFrontierResult(
         weights=w, valid=valid, ret=ret, dd_p95=dd_p95, feasible=feasible,
-        opt_idx=opt_idx, dd_budget=abs(dd_budget),
+        opt_idx=opt_idx, dd_budget=budget,
     )

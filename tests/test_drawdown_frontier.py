@@ -100,3 +100,18 @@ def test_multi_dd_bf16_scoring_fidelity():
     assert dd_err.max() < 8e-3
     # per-candidate mean drawdown (the screening statistic) barely moves
     assert np.abs(np.asarray(f32[1]).mean(1) - np.asarray(b16[1]).mean(1)).max() < 2e-3
+
+
+def test_frontier_bf16_screen_exact_rescore():
+    """bf16 screening + f32 top-candidate rescore finds the same optimum as a
+    full-f32 search, with bit-exact reported metrics at the optimum (same
+    seed → same paths; the rescore re-derives them at f32)."""
+    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=2048, n_steps=26,
+              use_pallas=True, interpret=True)
+    r32 = drawdown_frontier_search(jax.random.key(2), PARAMS, **kw)
+    rb16 = drawdown_frontier_search(jax.random.key(2), PARAMS,
+                                    score_dtype="bfloat16", **kw)
+    assert r32.opt_idx >= 0
+    assert rb16.opt_idx == r32.opt_idx
+    assert rb16.ret[rb16.opt_idx] == r32.ret[r32.opt_idx]
+    assert rb16.dd_p95[rb16.opt_idx] == r32.dd_p95[r32.opt_idx]
