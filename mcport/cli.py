@@ -468,6 +468,7 @@ def cmd_dd_frontier(args) -> None:
         jax.random.key(args.seed), params, dd_budget=args.dd_budget,
         n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
         alpha=args.alpha, score_dtype=args.score_dtype,
+        rebalance=args.rebalance,
     )
     out = {
         "dd_budget": r.dd_budget,
@@ -662,6 +663,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="float32",
                     help="bfloat16 screens candidates with bf16 MXU operands "
                          "(+15-30%% on TPU), then re-scores the leaders at f32")
+    sp.add_argument("--rebalance", action="store_true",
+                    help="rebalance candidates to target weights every period "
+                         "(reference historical semantics) instead of buy-and-hold")
     sp.set_defaults(fn=cmd_dd_frontier)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")

@@ -40,10 +40,19 @@ class DrawdownFrontierResult:
         return None if self.opt_idx < 0 else self.weights[self.opt_idx]
 
 
-def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype):
-    """Reference: full paths → per-(path, candidate) value paths → dd + terminal."""
+def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
+                  rebalance: bool = False):
+    """Reference: full paths → per-(path, candidate) value paths → dd + terminal.
+
+    ``rebalance=True`` compounds the per-step candidate gross factor
+    (V_{t+1} = V_t · w'exp(x_t)) instead of holding the initial allocation."""
     paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
-    v = jnp.einsum("pta,wa->wpt", jnp.exp(paths), w)         # (W, P, T)
+    if rebalance:
+        x = jnp.diff(paths, axis=1, prepend=jnp.zeros_like(paths[:, :1]))
+        f = jnp.einsum("pta,wa->wpt", jnp.exp(x), w)          # per-step factors
+        v = jnp.cumprod(f, axis=2)
+    else:
+        v = jnp.einsum("pta,wa->wpt", jnp.exp(paths), w)      # (W, P, T)
     ones = jnp.ones(v.shape[:2] + (1,), dtype)
     v = jnp.concatenate([ones, v], axis=2)
     peak = jax.lax.cummax(v, axis=2)
@@ -56,13 +65,14 @@ def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype):
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "w_block",
                      "use_pallas", "dtype", "trivial_bounds", "score_dtype",
-                     "interpret"),
+                     "interpret", "rebalance"),
 )
 def _score(
     key, mean_step, chol_step, min_w, max_w,
     n_candidates: int, n_paths: int, n_steps: int, alpha: float,
     w_block: int, use_pallas: bool, dtype, trivial_bounds: bool = False,
     score_dtype: str = "float32", interpret: bool = False,
+    rebalance: bool = False,
 ):
     k_path_seed, k_w = jax.random.split(key)
     if trivial_bounds:
@@ -85,11 +95,12 @@ def _score(
             term, dd = gbm_multi_portfolio_dd(
                 seed, mean_step, chol_step, w_blk, n_paths, n_steps,
                 interpret=interpret, score_dtype=score_dtype,
+                rebalance=rebalance,
             )
         else:
             term, dd = _lax_multi_dd(
                 k_path_seed, mean_step.astype(dtype), chol_step.astype(dtype),
-                w_blk, n_paths, n_steps, dtype,
+                w_blk, n_paths, n_steps, dtype, rebalance,
             )
         ret = term.mean(axis=1)
         worst_dd, _ = jax.lax.top_k(-dd, k_tail)              # (B, k) biggest drawdowns
@@ -116,6 +127,7 @@ def drawdown_frontier_search(
     rescore_top: int = 32,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    rebalance: bool = False,
 ) -> DrawdownFrontierResult:
     """Max expected simulated return s.t. the p95-worst drawdown >= -dd_budget.
 
@@ -130,6 +142,12 @@ def drawdown_frontier_search(
     metrics are exact f32. ``use_pallas``/``interpret`` default to backend
     auto-detection; tests force the kernel path on CPU via
     ``use_pallas=True, interpret=True``.
+
+    ``rebalance=True`` scores per-period-rebalanced candidates
+    (V_{t+1} = V_t · w'exp(x_t), the reference's historical R·w convention)
+    instead of buy-and-hold; same kernel cost. Under bf16 screening the
+    rebalanced recursion compounds rounding (~sqrt(T)·1e-3), so the rescore
+    margin widens accordingly.
     """
     a = params.n_assets
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
@@ -143,6 +161,7 @@ def drawdown_frontier_search(
         key, mean_j, chol_j,
         min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas,
         dtype, trivial, score_dtype if use_pallas else "float32", interpret,
+        rebalance,
     )
     w, valid = np.asarray(w), np.asarray(valid)
     ret, dd_p95 = np.array(ret), np.array(dd_p95)   # writable: rescore updates
@@ -151,7 +170,8 @@ def drawdown_frontier_search(
     if use_pallas and score_dtype == "bfloat16" and rescore_top > 0:
         # exact pass: the top-return candidates that bf16 called feasible,
         # plus near-budget ones a ~2e-3 dd perturbation could flip either way
-        margin = 4e-3
+        # (rebalance mode compounds bf16 rounding ~sqrt(T)·1e-3 — widen)
+        margin = 4e-3 + (1.5e-3 * math.sqrt(n_steps) if rebalance else 0.0)
         cand_mask = valid & (dd_p95 >= -(budget + margin))
         idx = np.nonzero(cand_mask)[0]
         if idx.size:
@@ -162,7 +182,7 @@ def drawdown_frontier_search(
             seed = jax.random.randint(k_path_seed, (), 0, 1 << 30)
             term_x, dd_x = gbm_multi_portfolio_dd(
                 seed, mean_j, chol_j, jnp.asarray(w[order]), n_paths, n_steps,
-                interpret=interpret,
+                interpret=interpret, rebalance=rebalance,
             )
             k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
             ret[order] = np.asarray(term_x.mean(axis=1))

@@ -33,7 +33,8 @@ __all__ = ["gbm_multi_portfolio_dd"]
 
 def _multi_dd_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, dd_ref, *, n_steps: int,
-    interpret: bool, prefetch: bool = False, score_dtype: str = "float32"
+    interpret: bool, prefetch: bool = False, score_dtype: str = "float32",
+    rebalance: bool = False
 ):
     w_pad, block = term_ref.shape
     a_pad = m_ref.shape[0]
@@ -47,10 +48,39 @@ def _multi_dd_kernel(
     # (f32 MXU accumulation) — the asset state and peak/dd carries stay f32, so
     # only the scoring value picks up the ~2^-9 operand rounding (|dd error|
     # ~2e-3 absolute; candidate RANKING is MC-noise-dominated well above that —
-    # see test_multi_dd_bf16 and benchmarks/RESULTS.md). Terminal returns are
-    # always computed in f32 from the exact f32 asset state.
+    # see test_multi_dd_bf16 and benchmarks/RESULTS.md). For buy-and-hold,
+    # terminal returns are always computed in f32 from the exact f32 asset
+    # state; in rebalance mode the wealth recursion compounds the per-step
+    # scoring factor, so bf16 error accumulates (~sqrt(T) x 1e-3 relative)
+    # into BOTH dd and terminal — screen with it, re-score winners at f32.
     sd = jnp.bfloat16 if score_dtype == "bfloat16" else jnp.float32
     w_s = w.astype(sd)
+
+    if rebalance:
+        # per-period rebalancing to the candidate weights (the reference's
+        # historical R·w convention, app.py:710): V_{t+1} = V_t · (W exp(x_t))
+        # — same matmul shape as buy-and-hold scoring, but of the per-STEP
+        # gross factor, with (w_pad, block) wealth as the carried state.
+        def one_step(z, carry):
+            v, peak, dd = carry
+            x = m + jnp.dot(lt, z, preferred_element_type=jnp.float32)
+            f = jnp.dot(w_s, jnp.exp(x).astype(sd),
+                        preferred_element_type=jnp.float32)  # (w_pad, block)
+            v = v * f
+            peak = jnp.maximum(peak, v)
+            dd = jnp.minimum(dd, v / peak - 1.0)
+            return v, peak, dd
+
+        init = (
+            jnp.ones((w_pad, block), jnp.float32),   # V_0 = 1
+            jnp.ones((w_pad, block), jnp.float32),
+            jnp.zeros((w_pad, block), jnp.float32),
+        )
+        v, peak, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
+                                       prefetch)
+        term_ref[:] = v - 1.0
+        dd_ref[:] = dd
+        return
 
     def one_step(z, carry):
         acc, peak, dd = carry
@@ -81,7 +111,7 @@ def _multi_dd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "prefetch",
-                              "score_dtype")
+                              "score_dtype", "rebalance")
 )
 def gbm_multi_portfolio_dd(
     seed: Array,
@@ -94,6 +124,7 @@ def gbm_multi_portfolio_dd(
     interpret: bool = False,
     prefetch: bool = False,
     score_dtype: str = "float32",
+    rebalance: bool = False,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
@@ -105,6 +136,12 @@ def gbm_multi_portfolio_dd(
     below per-candidate MC noise for ranking — while terminal returns stay
     exact f32. Use it for screening; re-evaluate winners at f32 if the dd
     VALUE matters (see engine/drawdown_frontier.py).
+
+    ``rebalance=True`` rebalances every candidate to its target weights each
+    period (V_{t+1} = V_t · w'exp(x_t), the reference's historical-series
+    semantics — /root/reference/app.py:710) instead of buy-and-hold; same
+    per-step matmul cost. With bf16 the compounding recursion accumulates
+    operand rounding into terminal returns too (~sqrt(T)·1e-3 relative).
 
     Padded-peak note: padded candidate rows have V_0 = 1 from init but V_t = 0
     afterwards, giving dd = -1 on padding; those rows are sliced away here.
@@ -122,7 +159,8 @@ def gbm_multi_portfolio_dd(
         parts = [
             gbm_multi_portfolio_dd(seed, mean_step, chol_step,
                                    w[i:i + max_w], n_paths, n_steps,
-                                   block, interpret, prefetch, score_dtype)
+                                   block, interpret, prefetch, score_dtype,
+                                   rebalance)
             for i in range(0, w_cnt, max_w)
         ]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
@@ -137,7 +175,8 @@ def gbm_multi_portfolio_dd(
 
     term, dd = pl.pallas_call(
         functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret,
-                          prefetch=prefetch, score_dtype=score_dtype),
+                          prefetch=prefetch, score_dtype=score_dtype,
+                          rebalance=rebalance),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -115,3 +115,45 @@ def test_frontier_bf16_screen_exact_rescore():
     assert rb16.opt_idx == r32.opt_idx
     assert rb16.ret[rb16.opt_idx] == r32.ret[r32.opt_idx]
     assert rb16.dd_p95[rb16.opt_idx] == r32.dd_p95[r32.opt_idx]
+
+
+def test_multi_dd_rebalance_matches_path_stats_kernel():
+    """W=1 rebalanced multi-dd == the single-portfolio kernel's rebalance
+    mode: identical streams, same V_{t+1} = V_t * w'exp(x_t) recursion."""
+    w = np.array([[0.5, 0.3, 0.2]], np.float32)
+    for steps in (9, 10):
+        term_m, dd_m = gbm_multi_portfolio_dd(9, MEAN, CHOL, w, 512, steps,
+                                              rebalance=True, **KW)
+        _, port_s, dd_s = gbm_path_stats(9, MEAN, CHOL, w[0], 512, steps,
+                                         rebalance=True, **KW)
+        np.testing.assert_allclose(np.asarray(term_m[0]), np.asarray(port_s), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dd_m[0]), np.asarray(dd_s), atol=1e-5)
+
+
+def test_multi_dd_rebalance_law_vs_lax():
+    """Rebalanced kernel scores agree in law with the lax cumprod reference."""
+    w = np.asarray(jax.random.dirichlet(jax.random.key(0), jnp.ones(A), (8,)), np.float32)
+    term, dd = gbm_multi_portfolio_dd(3, MEAN, CHOL, w, 4096, 12,
+                                      rebalance=True, **KW)
+    ref_term, ref_dd = map(np.asarray, _lax_multi_dd(
+        jax.random.key(7), jnp.asarray(MEAN), jnp.asarray(CHOL),
+        jnp.asarray(w), 4096, 12, jnp.float32, True))
+    term, dd = np.asarray(term), np.asarray(dd)
+    se = term.std(1).max() / np.sqrt(4096)
+    np.testing.assert_allclose(term.mean(1), ref_term.mean(1), atol=float(6 * se))
+    np.testing.assert_allclose(dd.mean(1), ref_dd.mean(1), atol=0.02)
+    assert (dd <= 1e-6).all() and (dd >= -1).all()
+
+
+def test_frontier_rebalance_mode():
+    """Rebalanced search runs end-to-end on the kernel path and differs from
+    buy-and-hold scoring (single-asset candidates aside, the metrics move)."""
+    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=2048, n_steps=26,
+              use_pallas=True, interpret=True)
+    rb = drawdown_frontier_search(jax.random.key(2), PARAMS, rebalance=True, **kw)
+    bh = drawdown_frontier_search(jax.random.key(2), PARAMS, **kw)
+    assert rb.opt_idx >= 0
+    assert not np.allclose(rb.ret, bh.ret)
+    # rebalanced and buy-and-hold agree for near-single-asset candidates only;
+    # the same candidate set is sampled (same key) either way
+    np.testing.assert_array_equal(rb.weights, bh.weights)
