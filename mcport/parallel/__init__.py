@@ -2,6 +2,7 @@ from mcport.parallel.auto_sharded import auto_sharded_weight_search
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
 from mcport.parallel.sharded_engines import (
     sharded_bootstrap_risk,
+    sharded_drawdown_frontier,
     sharded_path_risk,
     sharded_simulated_frontier,
     sharded_simulated_frontier_2d,
@@ -34,6 +35,7 @@ __all__ = [
     "sharded_bootstrap_risk",
     "sharded_simulated_frontier",
     "sharded_simulated_frontier_2d",
+    "sharded_drawdown_frontier",
     "auto_sharded_weight_search",
     "ShardedMCCheckpoint",
     "load_sharded_checkpoint",

@@ -32,7 +32,8 @@ from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
 __all__ = ["sharded_path_risk", "sharded_simulated_frontier",
-           "sharded_simulated_frontier_2d", "sharded_bootstrap_risk"]
+           "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
+           "sharded_drawdown_frontier"]
 
 
 def sharded_path_risk(
@@ -301,6 +302,84 @@ def sharded_simulated_frontier_2d(
     fn = jax.jit(shard_map(
         local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P()), check_vma=False,
+    ))
+    return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
+              jnp.asarray(min_weights), jnp.asarray(max_weights))
+
+
+def sharded_drawdown_frontier(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    min_weights: Array,
+    max_weights: Array,
+    n_candidates: int,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    dd_budget: float = 0.30,
+    alpha: float = 0.95,
+    axis: str = "cand",
+    w_block: int = 64,
+    rebalance: bool = False,
+) -> tuple[Array, Array, Array, Array]:
+    """Candidate-sharded drawdown-constrained frontier search.
+
+    Mesh form of :func:`mcport.engine.drawdown_frontier.drawdown_frontier_search`
+    (reference capability: max simulated return s.t. a p95-worst max-drawdown
+    budget). Every device simulates the SAME full path set (identical path key —
+    replication by construction, zero path communication) and scores only its
+    own candidate shard through the lax value-path scorer; the single
+    cross-device exchange is the tiny per-device-winner all_gather. A feasible
+    count psums so callers can distinguish "infeasible everywhere" (ret
+    returns -inf) from a real optimum.
+
+    Returns ``(best_weights, best_ret, best_dd_p95, n_feasible)``.
+    """
+    from mcport.engine.drawdown_frontier import _lax_multi_dd
+
+    n_dev = mesh.shape[axis]
+    if n_candidates % n_dev:
+        raise ValueError(f"n_candidates {n_candidates} not divisible by {n_dev}")
+    n_local = n_candidates // n_dev
+    if n_local % w_block and n_local > w_block:
+        raise ValueError(f"local candidates {n_local} not divisible by w_block {w_block}")
+    block = min(w_block, n_local)
+    k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
+    budget = abs(dd_budget)
+
+    def local(key, mean_step, chol_step, min_w, max_w):
+        idx = jax.lax.axis_index(axis)
+        k_path, k_w = jax.random.split(key)
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, idx), n_local, min_w, max_w
+        )
+        w = w.astype(mean_step.dtype)
+
+        def chunk(w_blk):
+            term, dd = _lax_multi_dd(
+                k_path, mean_step, chol_step, w_blk, n_paths, n_steps,
+                mean_step.dtype, rebalance,
+            )
+            ret = term.mean(axis=1)
+            worst, _ = jax.lax.top_k(-dd, k_tail)
+            return ret, -worst[:, -1]
+
+        ret, dd_p95 = jax.lax.map(chunk, w.reshape(-1, block, w.shape[-1]))
+        ret, dd_p95 = ret.reshape(-1), dd_p95.reshape(-1)
+        feasible = valid & (dd_p95 >= -budget)
+        score = jnp.where(feasible, ret, -jnp.inf)
+        best = jnp.argmax(score)
+        n_feas = jax.lax.psum(feasible.sum(), axis)
+        all_s = jax.lax.all_gather(score[best], axis)
+        all_w = jax.lax.all_gather(w[best], axis)
+        all_d = jax.lax.all_gather(dd_p95[best], axis)
+        g = jnp.argmax(all_s)
+        return all_w[g], all_s[g], all_d[g], n_feas
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()), check_vma=False,
     ))
     return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
               jnp.asarray(min_weights), jnp.asarray(max_weights))

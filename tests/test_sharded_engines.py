@@ -186,3 +186,65 @@ def test_sharded_frontier_2d_guards(eight_devices):
     with pytest.raises(ValueError, match="n_candidates"):
         sharded_simulated_frontier_2d(jax.random.key(0), mean, chol,
                                       np.zeros(a), np.ones(a), 63, 1024, 2, mesh2)
+
+
+def test_sharded_drawdown_frontier_exact_vs_replay(mesh):
+    """8-device candidate-sharded dd search == a single-chip replay that
+    re-derives each device's candidate shard and scores it with the same lax
+    scorer over the same path key — exact winner equality, not just in-law."""
+    import math
+
+    from mcport.engine.drawdown_frontier import _lax_multi_dd
+    from mcport.ops.dirichlet import sample_constrained_weights
+    from mcport.parallel.sharded_engines import sharded_drawdown_frontier
+
+    key = jax.random.key(4)
+    mean = jnp.asarray(PARAMS.mean_step, jnp.float32)
+    chol = jnp.asarray(PARAMS.chol_step, jnp.float32)
+    min_w, max_w = jnp.zeros(A), jnp.ones(A)
+    n_cand, n_paths, n_steps, alpha, budget = 128, 2048, 12, 0.95, 0.20
+
+    bw, bret, bdd, nfeas = sharded_drawdown_frontier(
+        key, mean, chol, min_w, max_w, n_cand, n_paths, n_steps, mesh,
+        dd_budget=budget, alpha=alpha, w_block=16, axis="paths",
+    )
+
+    # single-chip replay: same per-device candidate streams, same path key
+    k_path, k_w = jax.random.split(key)
+    n_local = n_cand // 8
+    k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
+    best = (-np.inf, None, None)
+    total_feas = 0
+    for idx in range(8):
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, idx), n_local, min_w, max_w)
+        w = w.astype(jnp.float32)
+        for s in range(0, n_local, 16):
+            blk = w[s:s + 16]
+            term, dd = _lax_multi_dd(k_path, mean, chol, blk, n_paths,
+                                     n_steps, jnp.float32)
+            ret = np.asarray(term.mean(axis=1))
+            worst, _ = jax.lax.top_k(-dd, k_tail)
+            dd95 = np.asarray(-worst[:, -1])
+            feas = np.asarray(valid[s:s + 16]) & (dd95 >= -budget)
+            total_feas += int(feas.sum())
+            sc = np.where(feas, ret, -np.inf)
+            j = int(np.argmax(sc))
+            if sc[j] > best[0]:
+                best = (sc[j], np.asarray(blk[j]), dd95[j])
+
+    assert int(nfeas) == total_feas and total_feas > 0
+    assert float(bret) == best[0]
+    assert float(bdd) == best[2]
+    np.testing.assert_array_equal(np.asarray(bw), best[1])
+
+
+def test_sharded_drawdown_frontier_infeasible(mesh):
+    from mcport.parallel.sharded_engines import sharded_drawdown_frontier
+
+    bw, bret, bdd, nfeas = sharded_drawdown_frontier(
+        jax.random.key(0), jnp.asarray(PARAMS.mean_step, jnp.float32),
+        jnp.asarray(PARAMS.chol_step, jnp.float32), jnp.zeros(A), jnp.ones(A),
+        64, 1024, 12, mesh, dd_budget=1e-4, w_block=8, axis="paths",
+    )
+    assert int(nfeas) == 0 and not np.isfinite(float(bret))
