@@ -34,7 +34,8 @@ from mcport.config import SketchConfig
 from mcport.models.gbm import GBMParams
 from mcport.ops.quantile import auto_sketch, sketch_tail_mean, sketch_quantile
 
-__all__ = ["TailRisk", "tilted_terminal_returns", "importance_tail_risk"]
+__all__ = ["TailRisk", "tilted_terminal_returns", "importance_tail_risk",
+           "weighted_histogram", "default_tilt", "default_importance_sketch"]
 
 
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
@@ -81,6 +82,35 @@ class TailRisk(NamedTuple):
     hist: Array           # (n_bins,) weighted mass histogram
 
 
+def weighted_histogram(port: Array, lr: Array, sketch: SketchConfig,
+                       dtype=jnp.float32) -> Array:
+    """Likelihood-ratio-weighted sketch: masses instead of unit counts —
+    still psum-mergeable across a mesh."""
+    from mcport.ops.quantile import _to_u
+
+    u = _to_u(port, sketch)
+    width = (sketch.hi - sketch.lo) / sketch.n_bins
+    idx = jnp.clip(jnp.floor((u - sketch.lo) / width).astype(jnp.int32),
+                   0, sketch.n_bins - 1)
+    return jnp.zeros((sketch.n_bins,), dtype).at[idx].add(lr)
+
+
+def default_tilt(alpha: float) -> float:
+    """Tilt targeting the requested quantile: Phi^{-1}(alpha) standard
+    deviations along the loss direction (half the tilted sample lands beyond
+    the true alpha-quantile)."""
+    from scipy.stats import norm
+
+    return float(norm.ppf(alpha))
+
+
+def default_importance_sketch(params: GBMParams, n_steps: int,
+                              tilt: float) -> SketchConfig:
+    """Covering sketch for tilted draws, which reach ~tilt + 12 sigma."""
+    return auto_sketch(params.mean_step, params.chol_step, n_steps,
+                       k_sigma=12.0 + abs(tilt))
+
+
 def importance_tail_risk(
     key: Array,
     params: GBMParams,
@@ -99,29 +129,17 @@ def importance_tail_risk(
     lands beyond the true alpha-quantile (vs (1-alpha) * n_paths plain-MC tail
     hits); ``n_tail_samples`` reports that count as the health check.
     """
-    from scipy.stats import norm
-
     if tilt is None:
-        tilt = float(norm.ppf(alpha))
+        tilt = default_tilt(alpha)
     if sketch is None:
-        # tilted draws reach ~tilt + 12 sigma; widen the covering range
-        sketch = auto_sketch(params.mean_step, params.chol_step, n_steps,
-                             k_sigma=12.0 + abs(tilt))
+        sketch = default_importance_sketch(params, n_steps, tilt)
     term, log_lr = tilted_terminal_returns(
         key, params.mean_step, params.chol_step, np.asarray(weights),
         tilt, n_paths, n_steps, dtype,
     )
     lr = jnp.exp(log_lr)
     port = (jnp.exp(term) - 1.0) @ jnp.asarray(weights, dtype)
-
-    # weighted histogram: masses instead of unit counts (still psum-mergeable)
-    from mcport.ops.quantile import _to_u
-
-    u = _to_u(port, sketch)
-    width = (sketch.hi - sketch.lo) / sketch.n_bins
-    idx = jnp.clip(jnp.floor((u - sketch.lo) / width).astype(jnp.int32),
-                   0, sketch.n_bins - 1)
-    hist = jnp.zeros((sketch.n_bins,), dtype).at[idx].add(lr)
+    hist = weighted_histogram(port, lr, sketch, dtype)
 
     # exact normalizer: E[LR] = 1, so the total mass is n_paths by construction
     # (the empirical sum of LRs is noise-dominated by ordinary samples)

@@ -51,6 +51,7 @@ __all__ = [
     "merton_terminal_returns",
     "merton_risk",
     "MertonRisk",
+    "default_merton_sketch",
 ]
 
 
@@ -167,6 +168,27 @@ class MertonRisk(NamedTuple):
     hist: Array
 
 
+def default_merton_sketch(params: MertonParams, n_steps: int) -> SketchConfig:
+    """Covering sketch: GBM-derived range widened by the worst plausible
+    compound-Poisson jump contribution (10-sigma on a 10-sigma-high count)."""
+    from mcport.ops.quantile import auto_sketch
+
+    lam = max(params.jump_rate * n_steps, 1e-12)
+    n_hi = lam + 10.0 * np.sqrt(lam) + 10.0
+    jump_lo = float(np.min(n_hi * params.jump_mean
+                           - 10.0 * np.sqrt(n_hi) * params.jump_vol))
+    jump_hi = float(np.max(n_hi * params.jump_mean
+                           + 10.0 * np.sqrt(n_hi) * params.jump_vol))
+    base = auto_sketch(params.diffusion.mean_step, params.diffusion.chol_step,
+                       n_steps)
+    return SketchConfig(
+        n_bins=base.n_bins,
+        lo=base.lo + min(jump_lo, 0.0),
+        hi=base.hi + max(jump_hi, 0.0),
+        space="log1p",
+    )
+
+
 def merton_risk(
     key: Array,
     params: MertonParams,
@@ -178,24 +200,8 @@ def merton_risk(
     dtype=jnp.float32,
 ) -> MertonRisk:
     """Portfolio tail risk under the common-jump model (sketch-reduced)."""
-    from mcport.ops.quantile import auto_sketch
-
     if sketch is None:
-        # widen the GBM-derived range by the worst plausible jump contribution
-        lam = max(params.jump_rate * n_steps, 1e-12)
-        n_hi = lam + 10.0 * np.sqrt(lam) + 10.0
-        jump_lo = float(np.min(n_hi * params.jump_mean
-                               - 10.0 * np.sqrt(n_hi) * params.jump_vol))
-        jump_hi = float(np.max(n_hi * params.jump_mean
-                               + 10.0 * np.sqrt(n_hi) * params.jump_vol))
-        base = auto_sketch(params.diffusion.mean_step, params.diffusion.chol_step,
-                           n_steps)
-        sketch = SketchConfig(
-            n_bins=base.n_bins,
-            lo=base.lo + min(jump_lo, 0.0),
-            hi=base.hi + max(jump_hi, 0.0),
-            space="log1p",
-        )
+        sketch = default_merton_sketch(params, n_steps)
     term, n_jumps = merton_terminal_returns(
         key, params.diffusion.mean_step, params.diffusion.chol_step,
         params.jump_rate, params.jump_mean, params.jump_vol,

@@ -3,6 +3,9 @@ from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distr
 from mcport.parallel.sharded_engines import (
     sharded_bootstrap_risk,
     sharded_drawdown_frontier,
+    sharded_garch_risk,
+    sharded_importance_tail,
+    sharded_merton_risk,
     sharded_path_risk,
     sharded_simulated_frontier,
     sharded_simulated_frontier_2d,
@@ -36,6 +39,9 @@ __all__ = [
     "sharded_simulated_frontier",
     "sharded_simulated_frontier_2d",
     "sharded_drawdown_frontier",
+    "sharded_garch_risk",
+    "sharded_merton_risk",
+    "sharded_importance_tail",
     "auto_sharded_weight_search",
     "ShardedMCCheckpoint",
     "load_sharded_checkpoint",

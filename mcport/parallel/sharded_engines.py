@@ -33,7 +33,8 @@ from mcport.seeding import SEED_STRIDE
 
 __all__ = ["sharded_path_risk", "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
-           "sharded_drawdown_frontier"]
+           "sharded_drawdown_frontier", "sharded_garch_risk",
+           "sharded_merton_risk", "sharded_importance_tail"]
 
 
 def sharded_path_risk(
@@ -383,3 +384,180 @@ def sharded_drawdown_frontier(
     ))
     return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
               jnp.asarray(min_weights), jnp.asarray(max_weights))
+
+
+def sharded_garch_risk(
+    seed: Array,
+    params,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    axis: str = "paths",
+    t_df: float | None = None,
+    use_pallas: bool = False,
+):
+    """CCC-GARCH portfolio tail risk over a mesh (psum'd covering sketch).
+
+    Mesh form of the single-chip GARCH engine (api.compare_tail_risk /
+    CLI garch-risk): each device simulates its own counter-seeded slice of
+    terminal compounded returns under the stochastic-vol recursion — lax scan
+    by default, the fused Pallas kernel with ``use_pallas=True`` (Gaussian
+    shocks only) — and the only cross-device traffic is the histogram/sum
+    psum. Returns ``(var, cvar, port_mean)`` floats.
+    """
+    from mcport.config import COVERING_LOG1P_SKETCH
+    from mcport.models.garch_mc import garch_terminal_returns
+
+    if sketch is None:
+        sketch = COVERING_LOG1P_SKETCH
+    if use_pallas and t_df is not None:
+        raise ValueError("the fused GARCH kernel is Gaussian-shock only")
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    w = jnp.asarray(weights, jnp.float32)
+
+    def local(seed, w):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        if use_pallas:
+            from mcport.ops.pallas_garch import pallas_garch_terminal_returns
+
+            term = pallas_garch_terminal_returns(dev_seed, params, n_local, n_steps)
+        else:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+            term = garch_terminal_returns(key, params, n_local, n_steps,
+                                          t_df=t_df)
+        port = term @ w
+        psum = lambda x: jax.lax.psum(x, axis)
+        hist = psum(histogram(port, sketch))
+        s = psum(port.sum())
+        v, c = sketch_var_cvar(hist, alpha, sketch)
+        return v, c, s
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=(P(), P(), P()), check_vma=False))
+    v, c, s = fn(jnp.asarray(seed, jnp.int32), w)
+    return float(v), float(c), float(s) / n_paths
+
+
+def sharded_merton_risk(
+    seed: Array,
+    params,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    axis: str = "paths",
+):
+    """Common-jump (Merton) portfolio tail risk over a mesh.
+
+    Mesh form of :func:`mcport.models.jump.merton_risk` — the exact terminal
+    sampler is a per-device (n_local, A) draw with counter-derived keys; the
+    covering sketch (GBM range widened by the worst plausible compound-Poisson
+    contribution) psums, as does the jumped-path count. Returns
+    ``(var, cvar, port_mean, jump_frac)`` floats.
+    """
+    from mcport.models.jump import default_merton_sketch, merton_terminal_returns
+
+    if sketch is None:
+        sketch = default_merton_sketch(params, n_steps)
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    w = jnp.asarray(weights, jnp.float32)
+    mean_step = jnp.asarray(params.diffusion.mean_step, jnp.float32)
+    chol_step = jnp.asarray(params.diffusion.chol_step, jnp.float32)
+
+    def local(seed, w, mean_step, chol_step):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+        term, n_jumps = merton_terminal_returns(
+            key, mean_step, chol_step, params.jump_rate,
+            params.jump_mean, params.jump_vol, n_local, n_steps,
+            return_jumps=True,
+        )
+        port = (jnp.exp(term) - 1.0) @ w
+        psum = lambda x: jax.lax.psum(x, axis)
+        hist = psum(histogram(port, sketch))
+        s = psum(port.sum())
+        jumped = psum((n_jumps > 0).sum())
+        v, c = sketch_var_cvar(hist, alpha, sketch)
+        return v, c, s, jumped
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                           out_specs=(P(), P(), P(), P()), check_vma=False))
+    v, c, s, jumped = fn(jnp.asarray(seed, jnp.int32), w, mean_step, chol_step)
+    return float(v), float(c), float(s) / n_paths, float(jumped) / n_paths
+
+
+def sharded_importance_tail(
+    seed: Array,
+    params,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.9999,
+    sketch: SketchConfig | None = None,
+    tilt: float | None = None,
+    axis: str = "paths",
+):
+    """Importance-sampled deep-tail VaR/CVaR over a mesh.
+
+    Mesh form of :func:`mcport.models.importance.importance_tail_risk`: every
+    device draws its own tilted slice with counter-derived keys and builds the
+    likelihood-ratio-weighted sketch; masses psum exactly (weighted counts are
+    still mergeable), and the exact normalizer stays the GLOBAL path count
+    (E[LR] = 1 by construction). Returns ``(var, cvar, n_tail_samples)``.
+    """
+    from mcport.models.importance import (
+        default_importance_sketch,
+        default_tilt,
+        tilted_terminal_returns,
+        weighted_histogram,
+    )
+
+    if tilt is None:
+        tilt = default_tilt(alpha)
+    if sketch is None:
+        sketch = default_importance_sketch(params, n_steps, tilt)
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    w = jnp.asarray(weights, jnp.float32)
+    mean_step = jnp.asarray(params.mean_step, jnp.float32)
+    chol_step = jnp.asarray(params.chol_step, jnp.float32)
+
+    def local(seed, w, mean_step, chol_step):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+        term, log_lr = tilted_terminal_returns(
+            key, mean_step, chol_step, w, tilt, n_local, n_steps,
+        )
+        lr = jnp.exp(log_lr)
+        port = (jnp.exp(term) - 1.0) @ w
+        psum = lambda x: jax.lax.psum(x, axis)
+        hist = psum(weighted_histogram(port, lr, sketch))
+        v = sketch_quantile(hist, 1.0 - alpha, sketch,
+                            total=jnp.asarray(n_paths, hist.dtype))
+        from mcport.ops.quantile import sketch_tail_mean
+
+        c = sketch_tail_mean(hist, v, sketch)
+        n_tail = psum(jnp.sum(port <= v))
+        return v, c, n_tail
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(), P(), P()),
+                           out_specs=(P(), P(), P()), check_vma=False))
+    v, c, n_tail = fn(jnp.asarray(seed, jnp.int32), w, mean_step, chol_step)
+    return float(v), float(c), int(n_tail)

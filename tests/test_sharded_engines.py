@@ -248,3 +248,77 @@ def test_sharded_drawdown_frontier_infeasible(mesh):
         64, 1024, 12, mesh, dd_budget=1e-4, w_block=8, axis="paths",
     )
     assert int(nfeas) == 0 and not np.isfinite(float(bret))
+
+
+def test_sharded_garch_risk_exact_vs_replay(mesh):
+    """8-device GARCH tail risk == merging 8 per-device single-chip slices
+    (same counter-derived keys, same covering sketch) to within a bin width."""
+    from mcport.config import COVERING_LOG1P_SKETCH as SKG
+    from mcport.models.garch_mc import CCCGarchParams, garch_terminal_returns
+    from mcport.ops.quantile import histogram, sketch_var_cvar
+    from mcport.parallel.sharded_engines import SEED_STRIDE, sharded_garch_risk
+
+    a = A
+    corr = (0.6 * np.eye(a) + 0.4).astype(np.float32)
+    gp = CCCGarchParams(
+        mu=np.full(a, 5e-4, np.float32), omega=np.full(a, 1e-5, np.float32),
+        alpha=np.full(a, 0.08, np.float32), beta=np.full(a, 0.9, np.float32),
+        corr_chol=np.linalg.cholesky(corr).astype(np.float32),
+        sigma2_0=np.full(a, 5e-4, np.float32), eps2_0=np.full(a, 5e-4, np.float32),
+    )
+    n_paths, n_steps, seed = 8192, 12, 11
+    v, c, pm = sharded_garch_risk(seed, gp, W, n_paths, n_steps, mesh)
+    assert c <= v
+
+    hist = np.zeros(SKG.n_bins, np.float64)
+    s = 0.0
+    for idx in range(8):
+        key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 jnp.int32(seed + idx * SEED_STRIDE))
+        term = garch_terminal_returns(key, gp, n_paths // 8, n_steps)
+        port = term @ jnp.asarray(W, term.dtype)
+        hist += np.asarray(histogram(port, SKG), np.float64)
+        s += float(port.sum())
+    v2, c2 = sketch_var_cvar(jnp.asarray(hist, jnp.float32), 0.95, SKG)
+    # shard_map fusion can move a boundary path one ulp across a bin edge, so
+    # equality holds to a bin width, not bitwise
+    bin_w = (SKG.hi - SKG.lo) / SKG.n_bins
+    assert abs(v - float(v2)) < 2 * bin_w
+    assert abs(c - float(c2)) < 2 * bin_w
+    np.testing.assert_allclose(pm, s / n_paths, rtol=1e-5)
+
+
+def test_sharded_merton_risk_consistent(mesh):
+    """Mesh Merton risk agrees with the single-chip engine within MC error
+    and reports a sane jump fraction."""
+    from mcport.models.jump import MertonParams, merton_risk
+    from mcport.parallel.sharded_engines import sharded_merton_risk
+
+    mp = MertonParams(
+        diffusion=PARAMS,
+        jump_rate=0.05,
+        jump_mean=np.full(A, -0.04, np.float32),
+        jump_vol=np.full(A, 0.06, np.float32),
+    )
+    v, c, pm, jf = sharded_merton_risk(3, mp, W, 16_384, 12, mesh)
+    single = merton_risk(jax.random.key(0), mp, W, n_paths=16_384, n_steps=12)
+    assert c <= v <= 0.5
+    lam = 1.0 - np.exp(-0.05 * 12)
+    assert abs(jf - lam) < 0.02
+    assert abs(v - float(single.var)) < 0.02
+    assert abs(pm - float(single.port_mean)) < 0.01
+
+
+def test_sharded_importance_tail_consistent(mesh):
+    """Mesh importance-sampled deep tail: tail-sample count scales with the
+    tilt design (~n/2 beyond VaR) and VaR matches the single-chip engine."""
+    from mcport.models.importance import importance_tail_risk
+    from mcport.parallel.sharded_engines import sharded_importance_tail
+
+    alpha, n = 0.999, 32_768
+    v, c, n_tail = sharded_importance_tail(7, PARAMS, W, n, 12, mesh, alpha=alpha)
+    single = importance_tail_risk(jax.random.key(1), PARAMS, W, alpha=alpha,
+                                  n_paths=n, n_steps=12)
+    assert c <= v < 0.0
+    assert n_tail > n // 8          # far above the (1-alpha)*n = 33 of plain MC
+    assert abs(v - float(single.var)) < 0.02
