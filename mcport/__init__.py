@@ -15,6 +15,25 @@ api/cli → ui. Everything below the pandas ingestion boundary is pure JAX.
 
 __version__ = "0.2.0"
 
+import os as _os
+import sys as _sys
+
+# TPUs run f32 matmuls with SINGLE-PASS bf16 operands by default (measured
+# 2.4e-3 relative error on this v5e vs 1e-7 at explicit float32 precision).
+# For a risk framework that promises 1e-6 parity with its NumPy reference,
+# that silent truncation is wrong-by-default: force float32 matmul precision
+# process-wide. Fast paths that WANT bf16 operands request them explicitly
+# (e.g. the drawdown kernel's score_dtype="bfloat16"), which this setting
+# does not affect. Override with MCPORT_MATMUL_PRECISION=default to restore
+# JAX's own default, or any valid jax_default_matmul_precision value.
+_prec = _os.environ.get("MCPORT_MATMUL_PRECISION", "float32")
+if _prec != "default":
+    if "jax" in _sys.modules:  # jax imported first: set the live config
+        _sys.modules["jax"].config.update("jax_default_matmul_precision", _prec)
+    else:  # not yet imported: the env var is read at jax import time
+        _os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", _prec)
+del _os, _sys, _prec
+
 from mcport.config import Config, DataConfig, ForecastConfig, GBMConfig, MeshConfig
 from mcport.config import PayoffConfig, PortfolioConfig, SimulationConfig, SketchConfig
 

@@ -662,7 +662,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--score-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="bfloat16 screens candidates with bf16 MXU operands "
-                         "(+15-30%% on TPU), then re-scores the leaders at f32")
+                         "(2.2x on TPU), then re-scores the leaders at f32")
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")

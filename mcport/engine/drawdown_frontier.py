@@ -135,7 +135,7 @@ def drawdown_frontier_search(
     candidate comparisons are exact, not noisy across chunks.
 
     ``score_dtype="bfloat16"`` screens candidates with bf16 MXU operands in
-    the Pallas kernel (+15-30% measured on the v5e —
+    the Pallas kernel (2.2x over honest-f32 scoring on the v5e —
     benchmarks/bench_multi_dd_bf16.py), then re-scores the ``rescore_top``
     highest-return bf16-feasible candidates (plus any within one bf16 dd ulp
     of the budget) at f32 over the SAME paths, so the reported optimum and its

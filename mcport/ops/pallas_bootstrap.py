@@ -42,6 +42,17 @@ def _bootstrap_kernel(
     uniform_grid = _make_uniform_grid(interpret, seed_ref, (8, block))
 
     hist_t = hist_ref[:]                        # (a_pad, t_pad), zero-padded
+    # Exact selection at 3x single-pass cost: the TPU's f32 matmul default is
+    # single-pass bf16 operands (4e-3 relative — would corrupt every selected
+    # historical return), and requesting float32 precision costs 6 passes
+    # because the compiler must split BOTH operands. The onehot operand is
+    # bf16-EXACT (0.0/1.0), so a manual 3-term bf16 split of the history
+    # alone reconstructs the full f32 value in 3 native bf16 passes:
+    # h1+h2+h3 == hist to f32 rounding, and each h_i @ onehot is exact.
+    h1 = hist_t.astype(jnp.bfloat16)
+    r1 = hist_t - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
     # Mosaic iota must be integer-typed; compare in i32, onehot in f32
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, block), 0)
     t_f = jnp.float32(t_len)
@@ -55,8 +66,16 @@ def _bootstrap_kernel(
 
     def one_step(idx, gross, u_restart, u_jump):
         idx = advance(idx, u_restart, u_jump)
-        onehot = jnp.where(row_iota == idx.astype(jnp.int32), 1.0, 0.0)
-        sel = jnp.dot(hist_t, onehot, preferred_element_type=jnp.float32)
+        # select in f32, cast after: Mosaic rejects the i1 mask relayout that
+        # a direct bf16-select would need (16-bit lane packing of the mask)
+        onehot = jnp.where(row_iota == idx.astype(jnp.int32),
+                           1.0, 0.0).astype(jnp.bfloat16)
+        sel = (jnp.dot(h1, onehot, precision="bfloat16",
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(h2, onehot, precision="bfloat16",
+                         preferred_element_type=jnp.float32)
+               + jnp.dot(h3, onehot, precision="bfloat16",
+                         preferred_element_type=jnp.float32))
         return idx, gross * (1.0 + sel)
 
     # initial index: uniform start (rows 0/1 of a dedicated grid; row 0 unused

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcport.models.garch_mc import CCCGarchParams
+from mcport.ops import pallas_gbm as _pg
 from mcport.ops.pallas_gbm import _make_normal_pair, _round_up, paired_step_loop
 
 __all__ = ["pallas_garch_terminal_returns"]
@@ -47,7 +48,7 @@ def _garch_kernel(
 
     def one_step(z, carry):
         s2, e2, cum = carry
-        zc = jnp.dot(lr, z, preferred_element_type=jnp.float32)
+        zc = _pg.correlate(lr, z)
         s2 = omega + alpha * e2 + beta * s2
         eps = jnp.sqrt(jnp.maximum(s2, 0.0)) * zc
         cum = cum * (1.0 + mu + eps)

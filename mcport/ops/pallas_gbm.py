@@ -76,6 +76,40 @@ __all__ = ["gbm_terminal_noise", "pallas_terminal_log_returns", "gbm_path_stats"
 _TWO_PI = 2.0 * math.pi
 
 
+# Correlate-dot contract precision. The TPU default (single-pass bf16
+# operands) deterministically perturbs the Cholesky factor by ~2^-9 relative,
+# i.e. a ~4e-3 relative bias on the simulated covariance — far outside the
+# framework's parity contract. "float32" (default) restores exact f32
+# semantics at ~6 MXU passes (25-40% step-kernel cost); "split" is the
+# measured middle point: the CONSTANT factor L splits exactly into 3 bf16
+# terms (hoisted out of the loop) while the RANDOM draw is quantized to bf16
+# — no deterministic factor bias at 3 single-bf16 passes, leaving only the
+# quantization of an already-random z (measured on 5e7 draws: mean bias
+# -2.5e-7, variance ratio -2.9e-6 — three orders below MC noise at any real
+# path count). "split" is the default: measured 3.9-4.4e9 path-steps/s
+# (path-stats) vs 2.9-3.4 at "float32" and 5.1 at the biased "bfloat16"
+# (benchmarks/bench_correlate_precision.py). The terminal-noise kernel always
+# correlates at exact float32 — it runs once per path, so there is nothing to
+# save. Module constant (not an API knob); benchmarks A/B it via monkeypatch +
+# clear_cache.
+CORRELATE_PRECISION = "split"
+
+
+def correlate(lt: "Array", z: "Array") -> "Array":
+    """``L @ z`` under :data:`CORRELATE_PRECISION` (see the note above)."""
+    if CORRELATE_PRECISION == "split":
+        l1 = lt.astype(jnp.bfloat16)
+        r = lt - l1.astype(jnp.float32)
+        l2 = r.astype(jnp.bfloat16)
+        l3 = (r - l2.astype(jnp.float32)).astype(jnp.bfloat16)
+        zb = z.astype(jnp.bfloat16)
+        kw = dict(precision="bfloat16", preferred_element_type=jnp.float32)
+        return (jnp.dot(l1, zb, **kw) + jnp.dot(l2, zb, **kw)
+                + jnp.dot(l3, zb, **kw))
+    return jnp.dot(lt, z, precision=CORRELATE_PRECISION,
+                   preferred_element_type=jnp.float32)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -374,7 +408,8 @@ def _terminal_noise_kernel(seed_ref, lt_ref, out_ref, *, n_steps: int, interpret
         z1, _ = normal_pair(jnp.asarray(n_pairs, jnp.int32))
         acc = acc + z1
     # one Cholesky correlation for the whole horizon: L @ sum_t z_t
-    out_ref[:] = jnp.dot(lt_ref[:], acc, preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(lt_ref[:], acc, precision="float32",
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(
@@ -551,15 +586,17 @@ def _path_stats_kernel(
 
     def value(acc, lvl):
         if use_lvl:
-            return jnp.dot(w_row, lvl, preferred_element_type=jnp.float32)
+            return jnp.dot(w_row, lvl, precision="float32",
+                           preferred_element_type=jnp.float32)
         e = exp(acc)
         if impl == "eup_dot":
-            return jnp.dot(w_row, e, preferred_element_type=jnp.float32)
+            return jnp.dot(w_row, e, precision="float32",
+                           preferred_element_type=jnp.float32)
         return jnp.sum(w * e, axis=0, keepdims=True)
 
     def one_step(z, carry):
         acc, lvl, peak, dd = carry
-        y = jnp.dot(lt, z, preferred_element_type=jnp.float32)  # correlate: L z_t
+        y = correlate(lt, z)                                # correlate: L z_t
         x = m + y                                               # per-step increment
         acc = acc + x                                           # log prices
         if use_lvl:

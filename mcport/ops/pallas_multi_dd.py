@@ -26,6 +26,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mcport.ops import pallas_gbm as _pg
 from mcport.ops.pallas_gbm import _make_normal_pair, _round_up, paired_step_loop
 
 __all__ = ["gbm_multi_portfolio_dd"]
@@ -55,6 +56,12 @@ def _multi_dd_kernel(
     # into BOTH dd and terminal — screen with it, re-score winners at f32.
     sd = jnp.bfloat16 if score_dtype == "bfloat16" else jnp.float32
     w_s = w.astype(sd)
+    # f32 scoring must REQUEST float32 precision: the TPU default for f32
+    # matmul operands is single-pass bf16 (measured 2.4e-3 relative error on
+    # v5e), which would make "float32" a lie. bf16 mode must request DEFAULT
+    # ("bfloat16") explicitly — mcport sets float32 as the GLOBAL default,
+    # and Mosaic rejects fp32 contract precision on bf16 operands.
+    prec = "bfloat16" if score_dtype == "bfloat16" else "float32"
 
     if rebalance:
         # per-period rebalancing to the candidate weights (the reference's
@@ -63,8 +70,8 @@ def _multi_dd_kernel(
         # gross factor, with (w_pad, block) wealth as the carried state.
         def one_step(z, carry):
             v, peak, dd = carry
-            x = m + jnp.dot(lt, z, preferred_element_type=jnp.float32)
-            f = jnp.dot(w_s, jnp.exp(x).astype(sd),
+            x = m + _pg.correlate(lt, z)
+            f = jnp.dot(w_s, jnp.exp(x).astype(sd), precision=prec,
                         preferred_element_type=jnp.float32)  # (w_pad, block)
             v = v * f
             peak = jnp.maximum(peak, v)
@@ -84,9 +91,9 @@ def _multi_dd_kernel(
 
     def one_step(z, carry):
         acc, peak, dd = carry
-        y = jnp.dot(lt, z, preferred_element_type=jnp.float32)
+        y = _pg.correlate(lt, z)
         acc = acc + m + y
-        v = jnp.dot(w_s, jnp.exp(acc).astype(sd),
+        v = jnp.dot(w_s, jnp.exp(acc).astype(sd), precision=prec,
                     preferred_element_type=jnp.float32)  # (w_pad, block)
         peak = jnp.maximum(peak, v)
         dd = jnp.minimum(dd, v / peak - 1.0)
@@ -105,7 +112,8 @@ def _multi_dd_kernel(
     acc, peak, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
                                      prefetch)
 
-    term_ref[:] = jnp.dot(w, jnp.exp(acc), preferred_element_type=jnp.float32) - 1.0
+    term_ref[:] = jnp.dot(w, jnp.exp(acc), precision="float32",
+                          preferred_element_type=jnp.float32) - 1.0
     dd_ref[:] = dd
 
 

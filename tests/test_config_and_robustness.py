@@ -76,3 +76,15 @@ def test_csv_loader_adversarial_cases():
 
 def test_distributed_init_noop_single_process():
     assert maybe_initialize_distributed() is False
+
+
+def test_matmul_precision_forced_f32():
+    """mcport forces float32 matmul precision process-wide: the TPU default is
+    single-pass bf16 operands (2.4e-3 relative — measured on v5e), which would
+    silently break the framework's 1e-6 parity contract. MCPORT_MATMUL_PRECISION
+    overrides (mcport/__init__.py)."""
+    import jax
+
+    import mcport  # noqa: F401
+
+    assert str(jax.config.jax_default_matmul_precision) == "float32"

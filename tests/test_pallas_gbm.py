@@ -244,3 +244,35 @@ def test_prefetch_bit_identical():
         pipe = pallas_garch_terminal_returns(jnp.int32(3), garch, 2048, steps,
                                              interpret=True, prefetch=True)
         assert (np.asarray(base) == np.asarray(pipe)).all()
+
+
+def test_correlate_split_semantics():
+    """The "split" correlate mode: 3-term bf16 split reconstructs L exactly
+    (to f32 rounding), and the kernel law survives z-quantization (variance
+    ratio within MC error of 1)."""
+    from mcport.ops import pallas_gbm
+
+    rng = np.random.default_rng(0)
+    a = 5
+    chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
+    l1 = chol.astype(jnp.bfloat16).astype(np.float32)
+    r = chol - l1
+    l2 = r.astype(jnp.bfloat16).astype(np.float32)
+    l3 = (r - l2).astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_allclose(l1 + l2 + l3, chol, rtol=0, atol=1e-9)
+
+    mean = np.zeros(a, np.float32)
+    w = np.full(a, 0.2, np.float32)
+    old = pallas_gbm.CORRELATE_PRECISION
+    try:
+        pallas_gbm.CORRELATE_PRECISION = "split"
+        pallas_gbm.gbm_path_stats.clear_cache()
+        term, _, _ = pallas_gbm.gbm_path_stats(jnp.int32(3), mean, chol, w,
+                                               16_384, 8, interpret=True)
+    finally:
+        pallas_gbm.CORRELATE_PRECISION = old
+        pallas_gbm.gbm_path_stats.clear_cache()
+    cov = np.cov(np.asarray(term), rowvar=False, ddof=1) / 8
+    want = (chol @ chol.T).astype(np.float64)
+    # MC error at 16k paths ~ 1/sqrt(16k) ~ 0.8%; quantization bias is 3e-6
+    np.testing.assert_allclose(cov, want, rtol=0, atol=6 * 4e-4 / np.sqrt(16_384))

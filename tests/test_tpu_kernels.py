@@ -243,3 +243,83 @@ def test_t_kernel_compiled_law(kernels):
     kurt = float(jnp.mean(z**4))
     # 8-step sums of t(5.5) draws: excess kurtosis 6/(df-4)/steps ≈ 0.5 → ~3.4
     assert 3.1 < kurt < 4.0
+
+
+def test_prefetch_compiled_bit_identical(kernels):
+    """Hardware-PRNG draw-ahead pipeline: prefetch=True must be bit-identical
+    to prefetch=False on the REAL stateful PRNG stream (interpret-mode CPU
+    equality does not cover this), across all three pipelined kernels."""
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_garch import pallas_garch_terminal_returns
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    a, n = 15, 65_536
+    mean_step = np.linspace(0.0005, 0.002, a).astype(np.float32)
+    chol = _chol(a).astype(np.float32)
+    w = np.full(a, 1.0 / a, np.float32)
+    cand = np.random.default_rng(0).dirichlet(np.ones(a), 64).astype(np.float32)
+    corr = ((1 - 0.4) * np.eye(a) + 0.4).astype(np.float64)
+    gp = CCCGarchParams(
+        mu=np.full(a, 5e-4, np.float32), omega=np.full(a, 1e-5, np.float32),
+        alpha=np.full(a, 0.08, np.float32), beta=np.full(a, 0.9, np.float32),
+        corr_chol=np.linalg.cholesky(corr).astype(np.float32),
+        sigma2_0=np.full(a, 5e-4, np.float32), eps2_0=np.full(a, 5e-4, np.float32),
+    )
+    for steps in (31, 32):
+        base = kernels.gbm_path_stats(jnp.int32(3), mean_step, chol, w, n,
+                                      steps, prefetch=False)
+        pipe = kernels.gbm_path_stats(jnp.int32(3), mean_step, chol, w, n,
+                                      steps, prefetch=True)
+        for x, y in zip(base, pipe):
+            assert bool(jnp.array_equal(x, y))
+        b = gbm_multi_portfolio_dd(jnp.int32(3), mean_step, chol, cand, n,
+                                   steps, prefetch=False)
+        p = gbm_multi_portfolio_dd(jnp.int32(3), mean_step, chol, cand, n,
+                                   steps, prefetch=True)
+        assert bool(jnp.array_equal(b[0], p[0])) and bool(jnp.array_equal(b[1], p[1]))
+        gb = pallas_garch_terminal_returns(jnp.int32(3), gp, n, steps,
+                                           prefetch=False)
+        gpipe = pallas_garch_terminal_returns(jnp.int32(3), gp, n, steps,
+                                              prefetch=True)
+        assert bool(jnp.array_equal(gb, gpipe))
+
+
+def test_multi_dd_bf16_and_rebalance_compiled():
+    """Compiled bf16 screening: terminal bit-exact, dd within the bf16 bound;
+    compiled rebalance mode matches the single-portfolio kernel at W=1."""
+    from mcport.ops.pallas_gbm import gbm_path_stats
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    a, n, steps = 15, 65_536, 32
+    mean_step = np.linspace(0.0005, 0.002, a).astype(np.float32)
+    chol = _chol(a).astype(np.float32)
+    cand = np.random.default_rng(1).dirichlet(np.ones(a), 64).astype(np.float32)
+
+    f32 = gbm_multi_portfolio_dd(jnp.int32(7), mean_step, chol, cand, n, steps)
+    b16 = gbm_multi_portfolio_dd(jnp.int32(7), mean_step, chol, cand, n, steps,
+                                 score_dtype="bfloat16")
+    assert bool(jnp.array_equal(f32[0], b16[0]))
+    assert float(jnp.max(jnp.abs(f32[1] - b16[1]))) < 8e-3
+
+    w1 = cand[:1]
+    term_m, dd_m = gbm_multi_portfolio_dd(jnp.int32(9), mean_step, chol, w1,
+                                          8_192, 16, rebalance=True)
+    _, port_s, dd_s = gbm_path_stats(jnp.int32(9), mean_step, chol, w1[0],
+                                     8_192, 16, rebalance=True)
+    assert float(jnp.max(jnp.abs(term_m[0] - port_s))) < 1e-5
+    assert float(jnp.max(jnp.abs(dd_m[0] - dd_s))) < 1e-5
+
+
+def test_bootstrap_onehot_selection_exact_compiled():
+    """The one-hot selection matmul must reproduce historical values EXACTLY
+    on hardware (f32 multi-pass vs the chip's bf16-operand default — a bf16
+    hist would compound to ~3e-3 terminal error on this construction)."""
+    from mcport.ops.pallas_bootstrap import pallas_bootstrap_terminal_returns
+
+    a, t_len, steps, n = 15, 128, 52, 8_192
+    c = 0.0123  # NOT bf16-representable: truncation would shift (1+c)^52
+    hist = np.full((t_len, a), c, np.float32)
+    term = pallas_bootstrap_terminal_returns(jnp.int32(3), hist, n, steps)
+    want = float(np.float64(1.0 + np.float32(c)) ** steps - 1.0)
+    err = float(jnp.max(jnp.abs(term - want)))
+    assert err < 5e-6, f"selection not exact: max err {err}"
