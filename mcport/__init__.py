@@ -43,6 +43,7 @@ def __getattr__(name):
     ...) without importing jax/pandas at package-import time."""
     _API = ("load_universe", "compute_stats", "simulate", "gbm_risk",
             "bootstrap_tail_risk", "exact_mv_frontier", "exact_cvar_frontier",
+            "exact_cdar_frontier",
             "risk_based_weights", "compare_tail_risk", "forecast")
     if name in _API:
         import mcport.api as _api

@@ -41,6 +41,7 @@ __all__ = [
     "bootstrap_tail_risk",
     "exact_mv_frontier",
     "exact_cvar_frontier",
+    "exact_cdar_frontier",
     "risk_based_weights",
     "compare_tail_risk",
     "forecast",
@@ -231,6 +232,42 @@ def exact_cvar_frontier(
             data.port_rets, min_w, max_w, alpha=alpha, n_lambda=n_lambda,
         )
     raise ValueError(f"scenarios must be 'simulated' or 'historical', got {scenarios!r}")
+
+
+def exact_cdar_frontier(
+    data: PriceData,
+    config: Config = Config(),
+    scenarios: str = "historical",
+    n_lambda: int = 33,
+):
+    """Exact mean-CDaR frontier (Chekhlov-Uryasev-Zabarankin PGD sweep).
+
+    ``scenarios="historical"`` (default) optimizes the drawdown of the
+    assembled per-period return path — the uncompounded cumulative R·w
+    convention matches the reference's historical series (app.py:710).
+    ``scenarios="simulated"`` optimizes against one simulated GBM return path
+    of ``config.gbm.n_steps`` steps.
+    """
+    import jax as _jax
+
+    from mcport.engine.cdar_opt import cdar_frontier, simulated_cdar_frontier
+
+    pc = config.portfolio
+    a = len(data.names)
+    min_w = np.zeros(a) if pc.min_weights is None else np.asarray(pc.min_weights)
+    max_w = np.ones(a) if pc.max_weights is None else np.asarray(pc.max_weights)
+    alpha = config.simulation.alpha
+    if scenarios == "historical":
+        return cdar_frontier(data.port_rets, min_w, max_w, alpha=alpha,
+                             n_lambda=n_lambda)
+    if scenarios == "simulated":
+        g = config.gbm
+        params = estimate_gbm(data.prices)
+        return simulated_cdar_frontier(
+            _jax.random.key(g.seed), params, n_steps=g.n_steps, alpha=alpha,
+            min_weights=min_w, max_weights=max_w, n_lambda=n_lambda,
+        )
+    raise ValueError(f"scenarios must be 'historical' or 'simulated', got {scenarios!r}")
 
 
 def risk_based_weights(

@@ -13,6 +13,8 @@ Commands:
   exact-frontier exact box-constrained mean-variance frontier (PGD QP)
   cvar-frontier exact mean-CVaR frontier (Rockafellar-Uryasev) over simulated
                or historical scenarios
+  cdar-frontier exact mean-CDaR frontier (Chekhlov-Uryasev-Zabarankin) over
+               the historical or a simulated return path
   risk-parity  risk-based allocation: ERC (budgeted Newton), HRP, inverse var
   tail-risk    deep-tail VaR/CVaR (importance sampling, alpha 0.9999+)
   compare-models one portfolio, every tail-risk model family
@@ -264,6 +266,42 @@ def cmd_cvar_frontier(args) -> None:
         "frontier": [
             {"lam": float(l), "ret": float(r), "cvar": float(c), "std": float(s)}
             for l, r, c, s in zip(f.lams, f.ret, f.cvar, f.std)
+        ],
+    })
+
+
+def cmd_cdar_frontier(args) -> None:
+    from mcport.api import exact_cdar_frontier
+    from mcport.engine.cdar_opt import max_return_at_cdar, min_cdar_exact
+
+    d = _universe(args)
+    cfg = Config(
+        portfolio=PortfolioConfig(
+            risk_free=args.risk_free,
+            min_weights=(args.min_weight,) * d.n_assets,
+            max_weights=(args.max_weight,) * d.n_assets,
+        ),
+        simulation=SimulationConfig(alpha=args.alpha),
+        gbm=GBMConfig(n_steps=args.steps, seed=args.seed),
+    )
+    f = exact_cdar_frontier(d, cfg, scenarios=args.scenarios,
+                            n_lambda=args.n_lambda)
+
+    def pack(sel):
+        w, ret, cdar = sel
+        return {"weights": dict(zip(d.names, map(float, w))),
+                "expected_return_per_period": ret, "cdar": cdar}
+
+    _emit({
+        "engine": "exact-cdar-frontier (chekhlov-uryasev-zabarankin)",
+        "scenarios": args.scenarios,
+        "alpha": args.alpha,
+        "n_lambda": args.n_lambda,
+        "min_cdar": pack(min_cdar_exact(f)),
+        "max_return_at_budget": pack(max_return_at_cdar(f, args.dd_budget)),
+        "frontier": [
+            {"lam": float(l), "ret": float(r), "cdar": float(c), "max_dd": float(m)}
+            for l, r, c, m in zip(f.lams, f.ret, f.cdar, f.max_dd)
         ],
     })
 
@@ -590,6 +628,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=252)
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_cvar_frontier)
+
+    sp = sub.add_parser("cdar-frontier",
+                        help="exact mean-CDaR frontier (Chekhlov-Uryasev-"
+                             "Zabarankin drawdown PGD)")
+    common(sp)
+    sp.add_argument("--scenarios", default="historical",
+                    choices=["historical", "simulated"])
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--min-weight", type=float, default=0.0)
+    sp.add_argument("--max-weight", type=float, default=1.0)
+    sp.add_argument("--n-lambda", type=int, default=33)
+    sp.add_argument("--dd-budget", type=float, default=0.20,
+                    help="CDaR budget as a fraction of wealth (0.20 = 20%%)")
+    sp.add_argument("--steps", type=int, default=252,
+                    help="simulated-path length (scenarios=simulated)")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_cdar_frontier)
 
     sp = sub.add_parser("tail-risk",
                         help="deep-tail VaR/CVaR (alpha up to 0.9999+) by importance sampling")
