@@ -22,6 +22,7 @@ Commands:
   bootstrap-risk distribution-free tail risk from resampled historical paths
   sim-frontier weight search scored against simulated GBM paths
   dd-frontier  max return subject to a simulated max-drawdown budget
+  backtest     walk-forward out-of-sample comparison of allocation rules
   forecast     ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
 """
 
@@ -303,6 +304,29 @@ def cmd_cdar_frontier(args) -> None:
             {"lam": float(l), "ret": float(r), "cdar": float(c), "max_dd": float(m)}
             for l, r, c, m in zip(f.lams, f.ret, f.cdar, f.max_dd)
         ],
+    })
+
+
+def cmd_backtest(args) -> None:
+    from mcport.engine.backtest import walk_forward
+
+    d = _universe(args)
+    rules = tuple(args.rules.split(",")) if args.rules else None
+    res = walk_forward(
+        d.port_rets, window=args.window, horizon=args.horizon, rules=rules,
+        risk_free=args.risk_free, ann_factor=d.ann_factor, alpha=args.alpha,
+    )
+    _emit({
+        "engine": "walk-forward",
+        "window": args.window,
+        "horizon": args.horizon,
+        "n_rebalances": int(len(res.rebal_idx)),
+        "oos_periods": int(res.oos_returns.shape[1]),
+        "summary": res.summary,
+        "final_weights": {
+            name: dict(zip(d.names, map(float, res.weights[i, -1])))
+            for i, name in enumerate(res.rule_names)
+        },
     })
 
 
@@ -722,6 +746,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
     sp.set_defaults(fn=cmd_dd_frontier)
+
+    sp = sub.add_parser("backtest",
+                        help="walk-forward out-of-sample comparison of "
+                             "allocation rules")
+    common(sp)
+    sp.add_argument("--window", type=int, default=104,
+                    help="lookback periods per fit (default 104 = 2y weekly)")
+    sp.add_argument("--horizon", type=int, default=13,
+                    help="periods held between rebalances")
+    sp.add_argument("--rules", default=None,
+                    help="comma list (default: all built-ins): equal,"
+                         "inverse_vol,min_var,max_sharpe,min_cvar,min_cdar,"
+                         "erc,hrp")
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_backtest)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")
     common(sp)

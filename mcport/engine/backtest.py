@@ -1,0 +1,219 @@
+"""Walk-forward out-of-sample backtesting of allocation rules.
+
+The reference evaluates portfolios only in-sample (the tab-2 metrics are
+computed on the same history the weights were searched on —
+/root/reference/app.py:708-717). This engine adds the evaluation harness a
+production framework needs: rolling re-estimation on a lookback window, held
+out-of-sample for a rebalance horizon, with the realized OOS return series —
+not the fitting window — scoring each rule.
+
+Protocol: rebalance dates t_k = window + k*horizon. At each t_k a rule sees
+ONLY returns[t_k - window : t_k] and emits weights w_k; the portfolio then
+earns the reference's per-period-rebalanced convention r_t·w_k
+(app.py:710) for the next `horizon` periods. Metrics over the concatenated
+OOS series reuse the repo's risk library (ddof=1 Sharpe, cumprod max
+drawdown, top-k VaR/CVaR conventions).
+
+Built-in rules span the framework's allocator tiers: equal weight, inverse
+volatility, exact min-variance and max-Sharpe (PGD QP, frontier_opt), exact
+min-CVaR over the window scenarios (cvar_opt), exact min-CDaR over the
+window path (cdar_opt), ERC risk parity and HRP (risk_parity). Custom rules
+are any ``f(window_returns) -> weights``.
+
+JAX rules are jit-cached by window shape, so the rolling loop pays one
+compile per rule; the loop itself is host-side on purpose — rebalance counts
+are O(100), and rule heterogeneity (host HRP next to jitted PGD) matters
+more than fusing a tiny loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Mapping, Sequence
+
+import numpy as np
+
+__all__ = ["BacktestResult", "walk_forward", "BUILTIN_RULES", "make_rules"]
+
+
+def _rule_equal(r: np.ndarray) -> np.ndarray:
+    a = r.shape[1]
+    return np.full(a, 1.0 / a)
+
+
+def _rule_inverse_vol(r: np.ndarray) -> np.ndarray:
+    sd = r.std(axis=0, ddof=1)
+    inv = 1.0 / np.maximum(sd, 1e-12)
+    return inv / inv.sum()
+
+
+def _rule_min_var(r: np.ndarray) -> np.ndarray:
+    from mcport.engine.frontier_opt import exact_frontier, min_variance_exact
+
+    a = r.shape[1]
+    mean = r.mean(axis=0)
+    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    fr = exact_frontier(mean, cov, np.zeros(a), np.ones(a), n_lambda=2)
+    return min_variance_exact(fr)[0]
+
+
+def _rule_max_sharpe(r: np.ndarray, risk_free: float = 0.0,
+                     ann_factor: int = 52) -> np.ndarray:
+    from mcport.engine.frontier_opt import exact_frontier, max_sharpe_exact
+
+    a = r.shape[1]
+    mean = r.mean(axis=0) * ann_factor
+    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1)) * ann_factor
+    fr = exact_frontier(mean, cov, np.zeros(a), np.ones(a), n_lambda=33,
+                        risk_free=risk_free)
+    return max_sharpe_exact(fr)[0]
+
+
+def _rule_min_cvar(r: np.ndarray, alpha: float = 0.95) -> np.ndarray:
+    from mcport.engine.cvar_opt import cvar_frontier, min_cvar_exact
+
+    fr = cvar_frontier(r, alpha=alpha, n_lambda=2, n_stages=5, n_iter=150)
+    return min_cvar_exact(fr)[0]
+
+
+def _rule_min_cdar(r: np.ndarray, alpha: float = 0.95) -> np.ndarray:
+    from mcport.engine.cdar_opt import cdar_frontier, min_cdar_exact
+
+    fr = cdar_frontier(r, alpha=alpha, n_lambda=2, n_stages=5, n_iter=150)
+    return min_cdar_exact(fr)[0]
+
+
+def _rule_erc(r: np.ndarray) -> np.ndarray:
+    from mcport.engine.risk_parity import risk_parity
+
+    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    return risk_parity(cov)
+
+
+def _rule_hrp(r: np.ndarray) -> np.ndarray:
+    from mcport.engine.risk_parity import hierarchical_risk_parity
+
+    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    return hierarchical_risk_parity(cov)
+
+
+BUILTIN_RULES: Mapping[str, Callable[[np.ndarray], np.ndarray]] = {
+    "equal": _rule_equal,
+    "inverse_vol": _rule_inverse_vol,
+    "min_var": _rule_min_var,
+    "max_sharpe": _rule_max_sharpe,
+    "min_cvar": _rule_min_cvar,
+    "min_cdar": _rule_min_cdar,
+    "erc": _rule_erc,
+    "hrp": _rule_hrp,
+}
+
+
+def make_rules(names: Sequence[str], risk_free: float = 0.0,
+               ann_factor: int = 52, alpha: float = 0.95
+               ) -> dict[str, Callable[[np.ndarray], np.ndarray]]:
+    """Resolve rule names to callables, binding shared parameters."""
+    out: dict[str, Callable[[np.ndarray], np.ndarray]] = {}
+    for name in names:
+        if name == "max_sharpe":
+            out[name] = lambda r, rf=risk_free, af=ann_factor: _rule_max_sharpe(r, rf, af)
+        elif name == "min_cvar":
+            out[name] = lambda r, al=alpha: _rule_min_cvar(r, al)
+        elif name == "min_cdar":
+            out[name] = lambda r, al=alpha: _rule_min_cdar(r, al)
+        elif name in BUILTIN_RULES:
+            out[name] = BUILTIN_RULES[name]
+        else:
+            raise ValueError(
+                f"unknown rule {name!r}; available: {sorted(BUILTIN_RULES)}")
+    return out
+
+
+@dataclass(frozen=True)
+class BacktestResult:
+    rule_names: tuple[str, ...]
+    rebal_idx: np.ndarray        # (K,) rebalance period indices into returns
+    weights: np.ndarray          # (R, K, A) weights chosen at each rebalance
+    oos_returns: np.ndarray      # (R, T_oos) realized per-period OOS returns
+    summary: dict[str, dict[str, float]]   # per rule: the OOS scorecard
+
+    def oos_curve(self, rule: str) -> np.ndarray:
+        """Compounded OOS wealth curve (T_oos,) for one rule, V_0 = 1."""
+        i = self.rule_names.index(rule)
+        return np.cumprod(1.0 + self.oos_returns[i])
+
+
+def _score(oos: np.ndarray, risk_free: float, ann_factor: int,
+           alpha: float, weights: np.ndarray) -> dict[str, float]:
+    import jax.numpy as jnp
+
+    from mcport.stats.risk import cvar, max_drawdown, sharpe_ratio, var
+
+    r = jnp.asarray(oos, jnp.float32)
+    turnover = float(np.abs(np.diff(weights, axis=0)).sum(axis=1).mean()) \
+        if weights.shape[0] > 1 else 0.0
+    return {
+        "total_return": float(np.prod(1.0 + oos) - 1.0),
+        "ann_return": float(oos.mean() * ann_factor),
+        "ann_vol": float(oos.std(ddof=1) * np.sqrt(ann_factor)),
+        "sharpe": float(sharpe_ratio(r, risk_free, ann_factor)),
+        "max_drawdown": float(max_drawdown(r)),
+        "var": float(var(r, alpha)),
+        "cvar": float(cvar(r, alpha)),
+        "avg_turnover": turnover,
+    }
+
+
+def walk_forward(
+    returns: np.ndarray,
+    window: int,
+    horizon: int,
+    rules: Mapping[str, Callable[[np.ndarray], np.ndarray]] | Sequence[str] | None = None,
+    risk_free: float = 0.0,
+    ann_factor: int = 52,
+    alpha: float = 0.95,
+) -> BacktestResult:
+    """Walk-forward OOS backtest over a (T, A) per-period return matrix.
+
+    ``rules`` may be a name list (resolved via :func:`make_rules`), a mapping
+    of custom callables, or None for the full built-in set. Weights are
+    renormalized defensively (a rule returning an off-simplex vector is a
+    bug surfaced by the assert, not silently traded)."""
+    r = np.asarray(returns, np.float64)
+    if r.ndim != 2:
+        raise ValueError(f"returns must be (T, A); got {r.shape}")
+    t_len, a = r.shape
+    if window < 4 or horizon < 1:
+        raise ValueError("need window >= 4 and horizon >= 1")
+    if t_len < window + horizon:
+        raise ValueError(
+            f"need at least window+horizon={window + horizon} periods, got {t_len}")
+    if rules is None:
+        rules = make_rules(tuple(BUILTIN_RULES), risk_free, ann_factor, alpha)
+    elif not isinstance(rules, Mapping):
+        rules = make_rules(tuple(rules), risk_free, ann_factor, alpha)
+
+    rebal = np.arange(window, t_len - horizon + 1, horizon)
+    names = tuple(rules)
+    n_rules, n_rebal = len(names), len(rebal)
+    weights = np.zeros((n_rules, n_rebal, a))
+    oos = np.zeros((n_rules, n_rebal * horizon))
+
+    for k, t0 in enumerate(rebal):
+        fit = r[t0 - window:t0]
+        hold = r[t0:t0 + horizon]
+        for i, name in enumerate(names):
+            w = np.asarray(rules[name](fit), np.float64).reshape(-1)
+            if w.shape != (a,) or not np.isfinite(w).all() or w.sum() <= 0:
+                raise ValueError(f"rule {name!r} returned invalid weights {w}")
+            w = np.clip(w, 0.0, None)
+            w = w / w.sum()
+            weights[i, k] = w
+            oos[i, k * horizon:(k + 1) * horizon] = hold @ w
+
+    summary = {
+        name: _score(oos[i], risk_free, ann_factor, alpha, weights[i])
+        for i, name in enumerate(names)
+    }
+    return BacktestResult(rule_names=names, rebal_idx=rebal, weights=weights,
+                          oos_returns=oos, summary=summary)

@@ -1,0 +1,89 @@
+"""Walk-forward OOS backtest engine (engine.backtest)."""
+
+import numpy as np
+import pytest
+
+from mcport.engine.backtest import BUILTIN_RULES, BacktestResult, make_rules, walk_forward
+
+
+def _returns(t=260, a=4, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.linspace(0.005, 0.05, a)
+    mu = np.linspace(0.0005, 0.0015, a)
+    return mu + vol * rng.standard_normal((t, a))
+
+
+def test_protocol_no_lookahead_and_exact_series():
+    """The OOS series must be exactly hold-block @ fit-window weights — and a
+    rule only ever sees data strictly before its rebalance date."""
+    r = _returns()
+    seen = []
+
+    def spy(fit):
+        seen.append(fit.copy())
+        return np.array([1.0, 0.0, 0.0, 0.0])
+
+    res = walk_forward(r, window=52, horizon=13, rules={"spy": spy})
+    # rebalance grid
+    np.testing.assert_array_equal(res.rebal_idx,
+                                  np.arange(52, r.shape[0] - 13 + 1, 13))
+    assert len(seen) == len(res.rebal_idx)
+    for k, t0 in enumerate(res.rebal_idx):
+        np.testing.assert_array_equal(seen[k], r[t0 - 52:t0])
+        np.testing.assert_allclose(
+            res.oos_returns[0, k * 13:(k + 1) * 13], r[t0:t0 + 13, 0])
+    # summary total return = compounded OOS
+    want = float(np.prod(1.0 + res.oos_returns[0]) - 1.0)
+    assert abs(res.summary["spy"]["total_return"] - want) < 1e-12
+
+
+def test_builtin_rules_run_and_score():
+    r = _returns(t=200, a=3, seed=1)
+    res = walk_forward(r, window=60, horizon=20,
+                       rules=("equal", "inverse_vol", "min_var", "hrp", "erc"),
+                       ann_factor=52)
+    assert set(res.rule_names) == {"equal", "inverse_vol", "min_var", "hrp", "erc"}
+    # weights on the simplex at every rebalance
+    np.testing.assert_allclose(res.weights.sum(axis=2), 1.0, atol=1e-8)
+    assert (res.weights >= -1e-12).all()
+    # equal weight never turns over
+    i = res.rule_names.index("equal")
+    assert res.summary["equal"]["avg_turnover"] == 0.0
+    # min-var should realize lower OOS vol than equal weight on this design
+    # (asset vols differ 10x and the window sees it)
+    assert res.summary["min_var"]["ann_vol"] < res.summary["equal"]["ann_vol"]
+    # scorecard coherence
+    for name in res.rule_names:
+        s = res.summary[name]
+        assert s["cvar"] <= s["var"] <= 0.1
+        assert -1.0 <= s["max_drawdown"] <= 0.0
+
+
+def test_exact_tail_rules_compose():
+    r = _returns(t=150, a=3, seed=2)
+    res = walk_forward(r, window=50, horizon=50, rules=("min_cvar", "min_cdar"),
+                       alpha=0.9)
+    assert np.isfinite(res.oos_returns).all()
+    np.testing.assert_allclose(res.weights.sum(axis=2), 1.0, atol=1e-5)
+
+
+def test_oos_curve_and_guards():
+    r = _returns(t=120, a=2, seed=3)
+    res = walk_forward(r, window=40, horizon=40, rules=("equal",))
+    curve = res.oos_curve("equal")
+    assert curve.shape == (res.oos_returns.shape[1],)
+    np.testing.assert_allclose(curve[-1], 1.0 + res.summary["equal"]["total_return"],
+                               rtol=1e-12)
+    with pytest.raises(ValueError):
+        walk_forward(r, window=200, horizon=40, rules=("equal",))
+    with pytest.raises(ValueError):
+        make_rules(("nope",))
+    with pytest.raises(ValueError):
+        walk_forward(r, window=40, horizon=40,
+                     rules={"bad": lambda fit: np.array([np.nan, 1.0])})
+
+
+def test_full_builtin_set_smoke():
+    r = _returns(t=140, a=3, seed=4)
+    res = walk_forward(r, window=60, horizon=40)
+    assert set(res.rule_names) == set(BUILTIN_RULES)
