@@ -315,6 +315,7 @@ def cmd_backtest(args) -> None:
     res = walk_forward(
         d.port_rets, window=args.window, horizon=args.horizon, rules=rules,
         risk_free=args.risk_free, ann_factor=d.ann_factor, alpha=args.alpha,
+        cost_bps=args.cost_bps,
     )
     _emit({
         "engine": "walk-forward",
@@ -760,6 +761,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "inverse_vol,min_var,max_sharpe,min_cvar,min_cdar,"
                          "erc,hrp")
     sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--cost-bps", type=float, default=0.0,
+                    help="proportional switching cost in basis points of "
+                         "traded wealth (half-L1 of the weight change)")
     sp.set_defaults(fn=cmd_backtest)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")

@@ -172,13 +172,22 @@ def walk_forward(
     risk_free: float = 0.0,
     ann_factor: int = 52,
     alpha: float = 0.95,
+    cost_bps: float = 0.0,
 ) -> BacktestResult:
     """Walk-forward OOS backtest over a (T, A) per-period return matrix.
 
     ``rules`` may be a name list (resolved via :func:`make_rules`), a mapping
     of custom callables, or None for the full built-in set. Weights are
     renormalized defensively (a rule returning an off-simplex vector is a
-    bug surfaced by the assert, not silently traded)."""
+    bug surfaced by the assert, not silently traded).
+
+    ``cost_bps`` charges proportional switching costs: at each rebalance
+    after the first, the period's return is reduced by
+    ``cost_bps/1e4 * 0.5 * ||w_k - w_{k-1}||_1`` (half-L1 = traded fraction
+    of wealth). This prices only target SWITCHES — the per-period drift
+    correction implied by the rebalanced R·w convention is not charged, so
+    cost ordering between rules (high- vs low-turnover) is honest while
+    absolute levels are a lower bound."""
     r = np.asarray(returns, np.float64)
     if r.ndim != 2:
         raise ValueError(f"returns must be (T, A); got {r.shape}")
@@ -210,6 +219,9 @@ def walk_forward(
             w = w / w.sum()
             weights[i, k] = w
             oos[i, k * horizon:(k + 1) * horizon] = hold @ w
+            if cost_bps > 0.0 and k > 0:
+                traded = 0.5 * np.abs(w - weights[i, k - 1]).sum()
+                oos[i, k * horizon] -= cost_bps / 1e4 * traded
 
     summary = {
         name: _score(oos[i], risk_free, ann_factor, alpha, weights[i])

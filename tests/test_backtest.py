@@ -87,3 +87,34 @@ def test_full_builtin_set_smoke():
     r = _returns(t=140, a=3, seed=4)
     res = walk_forward(r, window=60, horizon=40)
     assert set(res.rule_names) == set(BUILTIN_RULES)
+
+
+def test_switch_costs_charged_correctly():
+    """cost_bps reduces the first return of each post-initial block by
+    half-L1 turnover x rate; zero-cost series differs by exactly that."""
+    r = _returns(t=120, a=3, seed=5)
+
+    def make_flip():
+        calls = [0]
+
+        def flip(fit):
+            calls[0] += 1
+            return (np.array([1.0, 0, 0]) if calls[0] % 2
+                    else np.array([0, 1.0, 0]))
+        return flip
+
+    free = walk_forward(r, window=40, horizon=20, rules={"flip": make_flip()})
+    paid = walk_forward(r, window=40, horizon=20, rules={"flip": make_flip()},
+                        cost_bps=25.0)
+    diff = free.oos_returns[0] - paid.oos_returns[0]
+    assert len(free.rebal_idx) >= 3
+    for k in range(1, len(free.rebal_idx)):
+        traded = 0.5 * np.abs(free.weights[0, k] - free.weights[0, k - 1]).sum()
+        assert traded == 1.0             # full switch every rebalance
+        np.testing.assert_allclose(diff[k * 20], 25e-4 * traded, atol=1e-12)
+        np.testing.assert_allclose(diff[k * 20 + 1:(k + 1) * 20], 0.0, atol=1e-12)
+    assert diff[:20].max() == 0.0        # no charge on the initial allocation
+    # equal weight pays nothing
+    eq_free = walk_forward(r, window=40, horizon=20, rules=("equal",))
+    eq_paid = walk_forward(r, window=40, horizon=20, rules=("equal",), cost_bps=25.0)
+    np.testing.assert_array_equal(eq_free.oos_returns, eq_paid.oos_returns)
