@@ -396,7 +396,7 @@ def cmd_compare_models(args) -> None:
     out = compare_tail_risk(d, w, cfg)
     _emit({
         "engine": "model-comparison",
-        "n_paths": args.paths,
+        "n_paths": cfg.gbm.n_paths,
         "horizon_steps": args.steps,
         "weights": dict(zip(d.names, map(float, w))),
         "models": out,

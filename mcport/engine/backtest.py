@@ -150,7 +150,8 @@ def _score(oos: np.ndarray, risk_free: float, ann_factor: int,
     from mcport.stats.risk import cvar, max_drawdown, sharpe_ratio, var
 
     r = jnp.asarray(oos, jnp.float32)
-    turnover = float(np.abs(np.diff(weights, axis=0)).sum(axis=1).mean()) \
+    # half-L1 = traded fraction of wealth, the SAME unit cost_bps charges
+    turnover = float(0.5 * np.abs(np.diff(weights, axis=0)).sum(axis=1).mean()) \
         if weights.shape[0] > 1 else 0.0
     return {
         "total_return": float(np.prod(1.0 + oos) - 1.0),
@@ -213,9 +214,10 @@ def walk_forward(
         hold = r[t0:t0 + horizon]
         for i, name in enumerate(names):
             w = np.asarray(rules[name](fit), np.float64).reshape(-1)
-            if w.shape != (a,) or not np.isfinite(w).all() or w.sum() <= 0:
+            if (w.shape != (a,) or not np.isfinite(w).all()
+                    or (w < -1e-9).any() or w.sum() <= 0):
                 raise ValueError(f"rule {name!r} returned invalid weights {w}")
-            w = np.clip(w, 0.0, None)
+            w = np.clip(w, 0.0, None)     # float-drift only; negatives raised above
             w = w / w.sum()
             weights[i, k] = w
             oos[i, k * horizon:(k + 1) * horizon] = hold @ w

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from mcport.engine.frontier_opt import project_capped_simplex
 
 __all__ = [
     "CDaRFrontier",
@@ -75,24 +74,6 @@ def exact_cdar_metrics(returns: Array, w: Array, alpha: float
     return cdar, max_dd
 
 
-def _curvature_bound(cum: Array, n_iter: int = 48) -> Array:
-    """lammax of [C, 1]^T [C, 1] via power iteration — scale bound for the
-    softplus Hessian (drawdown gradients are differences of rows of C)."""
-    n, a = cum.shape
-    v = jnp.ones((a + 1,), cum.dtype) / jnp.sqrt(jnp.asarray(a + 1, cum.dtype))
-
-    def mv(v):
-        t = cum @ v[:a] + v[a]
-        return jnp.concatenate([cum.T @ t, jnp.sum(t)[None]])
-
-    def body(_, v):
-        w = mv(v)
-        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
-
-    v = jax.lax.fori_loop(0, n_iter, body, v)
-    return v @ mv(v)
-
-
 @partial(jax.jit, static_argnames=("alpha", "n_stages", "n_iter"))
 def _solve_cdar_sweep(
     returns: Array,          # (T, A) per-period simple returns
@@ -104,57 +85,25 @@ def _solve_cdar_sweep(
     n_stages: int = 6,
     n_iter: int = 200,
 ) -> Array:
-    """Annealed smoothed Rockafellar-Uryasev over drawdowns -> (L, A)."""
-    t_len, a = returns.shape
-    tail_frac = max(1.0 - alpha, 1.0 / t_len)
+    """Annealed smoothed Rockafellar-Uryasev over drawdowns -> (L, A).
+
+    Thin wrapper over :func:`mcport.engine.cvar_opt.anneal_ru_sweep` — same
+    solver, loss series = uncompounded drawdowns; the curvature bound is 4x
+    the cumulative-return Gram (drawdown gradients are differences of two
+    rows of C) and the temperature scale carries the sqrt(T) random-walk
+    growth of cumulative returns.
+    """
+    from mcport.engine.cvar_opt import _curvature_bound, anneal_ru_sweep
+
+    t_len, _ = returns.shape
     cum = jnp.cumsum(returns, axis=0)
-    # drawdown grads are (c_{s*} - c_t): bound the Gram by 4x the cum Gram
     gmax = 4.0 * _curvature_bound(cum)
     scale = jnp.maximum(jnp.std(returns) * jnp.sqrt(jnp.asarray(t_len, returns.dtype)),
                         1e-8)
-    taus = scale * jnp.geomspace(1.0, 1e-4, n_stages).astype(returns.dtype)
-
-    def dd_of(w):
-        return _dd_series(returns @ w)
-
-    def solve(lam):
-        w0 = project_capped_simplex(jnp.full_like(mu, 1.0 / a), lo, hi)
-        a0 = jnp.quantile(dd_of(w0), alpha)
-
-        def objective(wa, tau):
-            w, av = wa[:a], wa[a]
-            dd = dd_of(w)
-            z = (dd - av) / tau
-            soft = tau * jnp.log1p(jnp.exp(jnp.clip(z, -30.0, 30.0)))
-            soft = jnp.where(z > 30.0, dd - av, soft)
-            return av + soft.sum() / (tail_frac * t_len) - lam * (mu @ w)
-
-        grad = jax.grad(objective)
-
-        def stage(carry, tau):
-            wa = carry
-            step = (4.0 * tau * tail_frac * t_len) / jnp.maximum(gmax, 1e-30)
-
-            def body(k, st):
-                wa, z = st
-                g = grad(z, tau)
-                w_new = project_capped_simplex(z[:a] - step * g[:a], lo, hi)
-                a_new = z[a] - step * g[a]
-                wa_new = jnp.concatenate([w_new, a_new[None]])
-                beta = (k / (k + 3.0)).astype(wa_new.dtype)
-                z_new = wa_new + beta * (wa_new - wa)
-                return wa_new, z_new
-
-            wa, _ = jax.lax.fori_loop(0, n_iter, body, (wa, wa))
-            av = jnp.quantile(dd_of(wa[:a]), alpha)   # exact re-anchor
-            wa = wa.at[a].set(av)
-            return wa, None
-
-        wa0 = jnp.concatenate([w0, a0[None]])
-        wa, _ = jax.lax.scan(stage, wa0, taus)
-        return wa[:a]
-
-    return jax.vmap(solve)(lams)
+    return anneal_ru_sweep(
+        lambda w: _dd_series(returns @ w), mu, lams, lo, hi, alpha, t_len,
+        gmax, scale, n_stages, n_iter,
+    )
 
 
 @dataclass(frozen=True)
@@ -200,7 +149,10 @@ def cdar_frontier(
         raise ValueError("infeasible weight bounds: need sum(min) <= 1 <= sum(max)")
     mu = r.mean(axis=0) if mean_returns is None else np.asarray(mean_returns, np.float64)
     if lam_max is None:
-        lam_max = 100.0
+        # scale-aware: drawdown subgradients live on the cumulative-return
+        # scale (std * sqrt(T) random-walk growth)
+        lam_max = (100.0 * max(float(r.std()) * math.sqrt(r.shape[0]), 1e-12)
+                   / max(float(np.abs(mu).max()), 1e-12))
     lams = np.concatenate([[0.0], np.geomspace(lam_max / 1e4, lam_max, n_lambda - 1)])
 
     w = np.asarray(

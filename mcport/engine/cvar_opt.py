@@ -81,42 +81,50 @@ def _curvature_bound(scenarios: Array, n_iter: int = 48) -> Array:
     return v @ mv(v)
 
 
-@partial(jax.jit, static_argnames=("alpha", "n_stages", "n_iter"))
-def _solve_cvar_sweep(
-    scenarios: Array,        # (N, A) simple returns
-    mu: Array,               # (A,) expected returns (scenario mean by default)
-    lams: Array,             # (L,) return-seeking sweep; 0 = pure min-CVaR
+def anneal_ru_sweep(
+    loss_of,                 # (A,)-weights -> (N,) loss series (convex in w)
+    mu: Array,               # (A,) expected returns
+    lams: Array,             # (L,) return-seeking sweep; 0 = pure min-risk
     lo: Array,
     hi: Array,
     alpha: float,
-    n_stages: int = 6,
-    n_iter: int = 200,
+    n_scen: int,
+    gmax: Array,             # curvature bound on the smoothed Hessian scale
+    scale: Array,            # loss scale anchoring the temperature schedule
+    n_stages: int,
+    n_iter: int,
 ) -> Array:
-    """Annealed smoothed Rockafellar-Uryasev, vmapped over lams -> (L, A)."""
-    n, a = scenarios.shape
-    tail_frac = max(1.0 - alpha, 1.0 / n)
-    gmax = _curvature_bound(scenarios)
-    # temperature schedule: from the loss scale down 1e4x (geometric)
-    scale = jnp.maximum(jnp.std(scenarios), 1e-8)
-    taus = scale * jnp.geomspace(1.0, 1e-4, n_stages).astype(scenarios.dtype)
+    """Generic annealed smoothed Rockafellar-Uryasev solver -> (L, A).
+
+    Shared by the mean-CVaR (loss = portfolio loss per scenario) and
+    mean-CDaR (loss = drawdown per period, engine.cdar_opt) frontiers —
+    step-size, clipping, and anneal-schedule fixes live HERE once. The
+    non-smooth hinge is annealed through a softplus temperature schedule;
+    each stage runs Nesterov projected gradient with a curvature-bounded
+    step, then re-anchors the auxiliary variable at the exact loss-quantile.
+    """
+    a = mu.shape[-1]
+    tail_frac = max(1.0 - alpha, 1.0 / n_scen)
+    taus = scale * jnp.geomspace(1.0, 1e-4, n_stages).astype(mu.dtype)
 
     def solve(lam):
         w0 = project_capped_simplex(jnp.full_like(mu, 1.0 / a), lo, hi)
-        a0 = jnp.quantile(-(scenarios @ w0), alpha)     # exact VaR of losses at w0
+        a0 = jnp.quantile(loss_of(w0), alpha)     # exact loss-quantile at w0
 
         def objective(wa, tau):
             w, av = wa[:a], wa[a]
-            losses = -(scenarios @ w)
-            soft = tau * jnp.log1p(jnp.exp(jnp.clip((losses - av) / tau, -30.0, 30.0)))
+            losses = loss_of(w)
+            z = (losses - av) / tau
+            soft = tau * jnp.log1p(jnp.exp(jnp.clip(z, -30.0, 30.0)))
             # clip keeps exp finite; beyond +30 softplus(z) ~= z exactly in f32
-            soft = jnp.where((losses - av) / tau > 30.0, losses - av, soft)
-            return av + soft.sum() / (tail_frac * n) - lam * (mu @ w)
+            soft = jnp.where(z > 30.0, losses - av, soft)
+            return av + soft.sum() / (tail_frac * n_scen) - lam * (mu @ w)
 
         grad = jax.grad(objective)
 
         def stage(carry, tau):
             wa = carry
-            step = (4.0 * tau * tail_frac * n) / jnp.maximum(gmax, 1e-30)
+            step = (4.0 * tau * tail_frac * n_scen) / jnp.maximum(gmax, 1e-30)
 
             def body(k, st):
                 wa, z = st
@@ -129,8 +137,8 @@ def _solve_cvar_sweep(
                 return wa_new, z_new
 
             wa, _ = jax.lax.fori_loop(0, n_iter, body, (wa, wa))
-            # re-anchor a at the exact loss-VaR of the current w (cheap, exact)
-            av = jnp.quantile(-(scenarios @ wa[:a]), alpha)
+            # re-anchor a at the exact loss-quantile of the current w
+            av = jnp.quantile(loss_of(wa[:a]), alpha)
             wa = wa.at[a].set(av)
             return wa, None
 
@@ -139,6 +147,26 @@ def _solve_cvar_sweep(
         return wa[:a]
 
     return jax.vmap(solve)(lams)
+
+
+@partial(jax.jit, static_argnames=("alpha", "n_stages", "n_iter"))
+def _solve_cvar_sweep(
+    scenarios: Array,        # (N, A) simple returns
+    mu: Array,               # (A,) expected returns (scenario mean by default)
+    lams: Array,             # (L,) return-seeking sweep; 0 = pure min-CVaR
+    lo: Array,
+    hi: Array,
+    alpha: float,
+    n_stages: int = 6,
+    n_iter: int = 200,
+) -> Array:
+    """Annealed smoothed Rockafellar-Uryasev, vmapped over lams -> (L, A)."""
+    n, _ = scenarios.shape
+    return anneal_ru_sweep(
+        lambda w: -(scenarios @ w), mu, lams, lo, hi, alpha, n,
+        _curvature_bound(scenarios), jnp.maximum(jnp.std(scenarios), 1e-8),
+        n_stages, n_iter,
+    )
 
 
 @dataclass(frozen=True)
@@ -187,9 +215,10 @@ def cvar_frontier(
         raise ValueError("infeasible weight bounds: need sum(min) <= 1 <= sum(max)")
     mu = r.mean(axis=0) if mean_returns is None else np.asarray(mean_returns, np.float64)
     if lam_max is None:
-        # CVaR subgradient magnitudes live on the scenario scale; sweep far
-        # enough that the return term dominates the tail term.
-        lam_max = 100.0
+        # scale-aware (same pattern as frontier_opt): sweep far enough that
+        # the return term lam*mu'w dominates the CVaR subgradient, whose
+        # magnitude lives on the scenario loss scale.
+        lam_max = 100.0 * max(float(r.std()), 1e-12) / max(float(np.abs(mu).max()), 1e-12)
     lams = np.concatenate([[0.0], np.geomspace(lam_max / 1e4, lam_max, n_lambda - 1)])
 
     w = np.asarray(

@@ -168,26 +168,40 @@ def drawdown_frontier_search(
     budget = abs(dd_budget)
 
     if use_pallas and score_dtype == "bfloat16" and rescore_top > 0:
-        # exact pass: the top-return candidates that bf16 called feasible,
-        # plus near-budget ones a ~2e-3 dd perturbation could flip either way
-        # (rebalance mode compounds bf16 rounding ~sqrt(T)·1e-3 — widen)
+        # exact pass over the candidates bf16 screening could have misjudged:
+        # those within `margin` of the budget (a ~2e-3 dd perturbation can
+        # flip them; rebalance mode compounds rounding ~sqrt(T)·1e-3 — widen).
+        # Any candidate the final argmax can select is inside this pool (the
+        # feasible set is a subset of it), so the loop below rescored-batches
+        # until the WINNER itself is exact — the guarantee holds even when
+        # more than rescore_top candidates crowd the margin band.
         margin = 4e-3 + (1.5e-3 * math.sqrt(n_steps) if rebalance else 0.0)
-        cand_mask = valid & (dd_p95 >= -(budget + margin))
-        idx = np.nonzero(cand_mask)[0]
-        if idx.size:
+        pool = np.nonzero(valid & (dd_p95 >= -(budget + margin)))[0]
+        if pool.size:
             from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
 
-            order = idx[np.argsort(-ret[idx])][:rescore_top]
             k_path_seed, _ = jax.random.split(key)
             seed = jax.random.randint(k_path_seed, (), 0, 1 << 30)
-            term_x, dd_x = gbm_multi_portfolio_dd(
-                seed, mean_j, chol_j, jnp.asarray(w[order]), n_paths, n_steps,
-                interpret=interpret, rebalance=rebalance,
-            )
             k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
-            ret[order] = np.asarray(term_x.mean(axis=1))
-            worst, _ = jax.lax.top_k(-dd_x, k_tail)
-            dd_p95[order] = np.asarray(-worst[:, -1])
+            rescored: set[int] = set()
+            while True:
+                feas = valid & (dd_p95 >= -budget)
+                if not feas.any():
+                    break
+                winner = int(np.argmax(np.where(feas, ret, -np.inf)))
+                if winner in rescored:
+                    break
+                fresh = [i for i in pool[np.argsort(-ret[pool])]
+                         if i != winner and i not in rescored]
+                batch = np.asarray([winner] + fresh[:rescore_top - 1])
+                term_x, dd_x = gbm_multi_portfolio_dd(
+                    seed, mean_j, chol_j, jnp.asarray(w[batch]), n_paths,
+                    n_steps, interpret=interpret, rebalance=rebalance,
+                )
+                ret[batch] = np.asarray(term_x.mean(axis=1))
+                worst, _ = jax.lax.top_k(-dd_x, k_tail)
+                dd_p95[batch] = np.asarray(-worst[:, -1])
+                rescored.update(int(i) for i in batch)
 
     feasible = valid & (dd_p95 >= -budget)
     opt_idx = int(np.argmax(np.where(feasible, ret, -np.inf))) if feasible.any() else -1

@@ -129,20 +129,28 @@ def bootstrap_risk(
     sketch: SketchConfig | None = None,
     dtype=jnp.float32,
     use_pallas: bool | None = None,
-    seed: int = 0,
+    seed: int | None = None,
 ) -> BootstrapRisk:
     """Distribution-free portfolio tail risk from resampled historical paths.
 
     ``sketch=None`` derives a guaranteed-covering log1p range from the history
     (the compounded best/worst rows bound every possible path).
     ``use_pallas=None`` auto-selects the fused one-hot-MXU kernel on TPU (the
-    lax gather path is ~50x slower there); the kernel uses ``seed`` for its
-    counter-addressed hardware-PRNG streams instead of ``key``.
+    lax gather path is ~50x slower there). The kernel's counter-addressed
+    hardware-PRNG streams are indexed by an integer ``seed``, not the key;
+    with ``seed=None`` (default) it is DERIVED from ``key`` so distinct keys
+    give independent runs on every backend — pass an explicit ``seed`` only
+    to pin kernel streams (checkpoint/sharding resume).
     """
     if sketch is None:
         sketch = _auto_sketch_from_history(returns, n_steps)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if seed is None:
+        # keyed runs must differ on the kernel path too (the pre-fix default
+        # seed=0 made every keyed TPU run bit-identical — a silent
+        # platform-dependent reproducibility trap)
+        seed = jax.random.randint(key, (), 0, 1 << 20)
     return _bootstrap_risk_impl(
         key, jnp.asarray(seed, jnp.int32), jnp.asarray(returns),
         jnp.asarray(weights), n_paths, n_steps, p_restart, alpha, sketch,

@@ -154,7 +154,11 @@ def sharded_simulated_frontier(
         all_m = jax.lax.all_gather(metric[best], axis)
         all_w = jax.lax.all_gather(w[best], axis)
         g = jnp.argmax(all_m)
-        return all_w[g], all_m[g]
+        # no-valid guard (parity with sharded_weight_search): if every
+        # candidate failed the bounds the winner is a raw invalid draw —
+        # return NaN weights so callers cannot trade it silently
+        w_out = jnp.where(jnp.isfinite(all_m[g]), all_w[g], jnp.nan)
+        return w_out, all_m[g]
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
                    out_specs=(P(), P()), check_vma=False)
@@ -298,7 +302,9 @@ def sharded_simulated_frontier_2d(
         all_m = jax.lax.all_gather(metric[best], cand_axis)
         all_w = jax.lax.all_gather(w[best], cand_axis)
         g = jnp.argmax(all_m)
-        return all_w[g], all_m[g]
+        # no-valid guard: NaN weights when every candidate failed the bounds
+        w_out = jnp.where(jnp.isfinite(all_m[g]), all_w[g], jnp.nan)
+        return w_out, all_m[g]
 
     fn = jax.jit(shard_map(
         local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),

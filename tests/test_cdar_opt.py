@@ -57,8 +57,8 @@ def test_beats_random_search_cloud():
     fr = cdar_frontier(r, alpha=ALPHA, n_lambda=5)
     _, _, cdar_opt = min_cdar_exact(fr)
     w_cloud = np.asarray(
-        jax.random.dirichlet(jax.random.key(0), jnp.ones(6), (20_000,)))
-    cloud = np.array([_exact_cdar(r, w) for w in w_cloud[:2_000]])
+        jax.random.dirichlet(jax.random.key(0), jnp.ones(6), (400,)))
+    cloud = np.array([_exact_cdar(r, w) for w in w_cloud])
     assert cdar_opt <= cloud.min() + 1e-5
 
 

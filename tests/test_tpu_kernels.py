@@ -323,3 +323,22 @@ def test_bootstrap_onehot_selection_exact_compiled():
     want = float(np.float64(1.0 + np.float32(c)) ** steps - 1.0)
     err = float(jnp.max(jnp.abs(term - want)))
     assert err < 5e-6, f"selection not exact: max err {err}"
+
+
+def test_bootstrap_risk_keyed_runs_differ_on_kernel_path():
+    """Distinct keys must give distinct kernel-path results (the pre-fix
+    default seed=0 made every keyed TPU run bit-identical)."""
+    from mcport.models.bootstrap import bootstrap_risk
+
+    rng = np.random.default_rng(0)
+    hist = (rng.standard_normal((128, 6)) * 0.02 + 0.001).astype(np.float32)
+    w = np.full(6, 1 / 6, np.float32)
+    r1 = bootstrap_risk(jax.random.key(1), hist, w, n_paths=8_192, n_steps=8)
+    r2 = bootstrap_risk(jax.random.key(2), hist, w, n_paths=8_192, n_steps=8)
+    r1b = bootstrap_risk(jax.random.key(1), hist, w, n_paths=8_192, n_steps=8)
+    assert float(r1.port_mean) != float(r2.port_mean)
+    assert float(r1.port_mean) == float(r1b.port_mean)   # still deterministic
+    # explicit seed pins streams regardless of key
+    p1 = bootstrap_risk(jax.random.key(1), hist, w, n_paths=8_192, n_steps=8, seed=7)
+    p2 = bootstrap_risk(jax.random.key(2), hist, w, n_paths=8_192, n_steps=8, seed=7)
+    assert float(p1.port_mean) == float(p2.port_mean)
