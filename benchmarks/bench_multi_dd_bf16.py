@@ -40,7 +40,7 @@ def main():
     mean = rng.normal(1e-3, 5e-4, N_ASSETS).astype(np.float32)
     W = rng.dirichlet(np.ones(N_ASSETS), size=N_CAND).astype(np.float32)
 
-    for sd in ("float32", "bfloat16", "float32", "bfloat16"):
+    for sd in ("float32", "tensorfloat32", "bfloat16"):
         @jax.jit
         def one(seed, sd=sd):
             term, dd = gbm_multi_portfolio_dd(seed, mean, chol, W, N_PATHS,

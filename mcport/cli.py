@@ -739,10 +739,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=252)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
-    sp.add_argument("--score-dtype", choices=["float32", "bfloat16"],
+    sp.add_argument("--score-dtype",
+                    choices=["float32", "tensorfloat32", "bfloat16"],
                     default="float32",
-                    help="bfloat16 screens candidates with bf16 MXU operands "
-                         "(2.2x on TPU), then re-scores the leaders at f32")
+                    help="candidate-scoring matmul tier: tensorfloat32 is "
+                         "near-exact (~1.5e-5) at ~half the f32 cost; "
+                         "bfloat16 screens at 2.2x then re-scores the "
+                         "leaders at f32")
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")

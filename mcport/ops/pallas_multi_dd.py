@@ -54,14 +54,34 @@ def _multi_dd_kernel(
     # state; in rebalance mode the wealth recursion compounds the per-step
     # scoring factor, so bf16 error accumulates (~sqrt(T) x 1e-3 relative)
     # into BOTH dd and terminal — screen with it, re-score winners at f32.
-    sd = jnp.bfloat16 if score_dtype == "bfloat16" else jnp.float32
-    w_s = w.astype(sd)
-    # f32 scoring must REQUEST float32 precision: the TPU default for f32
-    # matmul operands is single-pass bf16 (measured 2.4e-3 relative error on
-    # v5e), which would make "float32" a lie. bf16 mode must request DEFAULT
-    # ("bfloat16") explicitly — mcport sets float32 as the GLOBAL default,
+    # Three explicit scoring tiers (the TPU default for f32 operands is
+    # single-pass bf16 — 2.4e-3 relative — so "float32" must REQUEST float32
+    # = 6 passes). "tensorfloat32" is a MANUAL 3-pass: both operands split
+    # hi+lo in bf16 and the lo·lo term is dropped (~1.5e-5 relative, the
+    # cheap near-exact middle) — manual because Mosaic rejects lax's HIGH
+    # contract precision outright. "bfloat16" is the native single pass at
+    # ~2e-3, for screening with an exact rescore; it must request its own
+    # precision explicitly since mcport sets float32 as the GLOBAL default
     # and Mosaic rejects fp32 contract precision on bf16 operands.
-    prec = "bfloat16" if score_dtype == "bfloat16" else "float32"
+    bkw = dict(precision="bfloat16", preferred_element_type=jnp.float32)
+    if score_dtype == "tensorfloat32":
+        w1 = w.astype(jnp.bfloat16)
+        w2 = (w - w1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def score_dot(e):
+            e1 = e.astype(jnp.bfloat16)
+            e2 = (e - e1.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jnp.dot(w1, e1, **bkw) + jnp.dot(w1, e2, **bkw)
+                    + jnp.dot(w2, e1, **bkw))
+    elif score_dtype == "bfloat16":
+        w_b = w.astype(jnp.bfloat16)
+
+        def score_dot(e):
+            return jnp.dot(w_b, e.astype(jnp.bfloat16), **bkw)
+    else:
+        def score_dot(e):
+            return jnp.dot(w, e, precision="float32",
+                           preferred_element_type=jnp.float32)
 
     if rebalance:
         # per-period rebalancing to the candidate weights (the reference's
@@ -71,8 +91,7 @@ def _multi_dd_kernel(
         def one_step(z, carry):
             v, peak, dd = carry
             x = m + _pg.correlate(lt, z)
-            f = jnp.dot(w_s, jnp.exp(x).astype(sd), precision=prec,
-                        preferred_element_type=jnp.float32)  # (w_pad, block)
+            f = score_dot(jnp.exp(x))                        # (w_pad, block)
             v = v * f
             peak = jnp.maximum(peak, v)
             dd = jnp.minimum(dd, v / peak - 1.0)
@@ -93,8 +112,7 @@ def _multi_dd_kernel(
         acc, peak, dd = carry
         y = _pg.correlate(lt, z)
         acc = acc + m + y
-        v = jnp.dot(w_s, jnp.exp(acc).astype(sd), precision=prec,
-                    preferred_element_type=jnp.float32)  # (w_pad, block)
+        v = score_dot(jnp.exp(acc))                      # (w_pad, block)
         peak = jnp.maximum(peak, v)
         dd = jnp.minimum(dd, v / peak - 1.0)
         return acc, peak, dd
@@ -139,11 +157,12 @@ def gbm_multi_portfolio_dd(
     ``weights`` is (W, A); W is padded to sublanes internally — keep W <= ~256
     per call (VMEM) and chunk larger candidate sets outside.
 
-    ``score_dtype="bfloat16"`` runs the per-step candidate-value matmul with
-    bf16 operands (f32 accumulation): drawdowns gain ~2e-3 absolute error —
-    below per-candidate MC noise for ranking — while terminal returns stay
-    exact f32. Use it for screening; re-evaluate winners at f32 if the dd
-    VALUE matters (see engine/drawdown_frontier.py).
+    ``score_dtype`` picks the per-step candidate-value matmul tier:
+    "float32" (default, exact, 6 MXU passes), "tensorfloat32" (3 passes,
+    ~1.5e-5 relative — near-exact at roughly half the f32 cost), or
+    "bfloat16" (native single pass, ~2e-3 — screening; re-evaluate winners
+    at f32 if the dd VALUE matters, see engine/drawdown_frontier.py).
+    Buy-and-hold terminal returns stay exact f32 in every mode.
 
     ``rebalance=True`` rebalances every candidate to its target weights each
     period (V_{t+1} = V_t · w'exp(x_t), the reference's historical-series

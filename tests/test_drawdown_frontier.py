@@ -157,3 +157,15 @@ def test_frontier_rebalance_mode():
     # rebalanced and buy-and-hold agree for near-single-asset candidates only;
     # the same candidate set is sampled (same key) either way
     np.testing.assert_array_equal(rb.weights, bh.weights)
+
+
+def test_multi_dd_tf32_scoring_fidelity():
+    """tensorfloat32 tier: terminal stays bit-exact (f32 terminal dot), dd
+    within ~1e-4 of full f32 — the cheap near-exact middle tier."""
+    w = np.asarray(jax.random.dirichlet(jax.random.key(3), jnp.ones(A), (16,)),
+                   np.float32)
+    f32 = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13, **KW)
+    tf32 = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13,
+                                  score_dtype="tensorfloat32", **KW)
+    assert (np.asarray(f32[0]) == np.asarray(tf32[0])).all()
+    assert np.abs(np.asarray(f32[1]) - np.asarray(tf32[1])).max() < 2e-4
