@@ -23,6 +23,7 @@ Commands:
   sim-frontier weight search scored against simulated GBM paths
   dd-frontier  max return subject to a simulated max-drawdown budget
   backtest     walk-forward out-of-sample comparison of allocation rules
+  stress       scenario stress test (shocked-parameter risk deltas)
   forecast     ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
 """
 
@@ -304,6 +305,30 @@ def cmd_cdar_frontier(args) -> None:
             {"lam": float(l), "ret": float(r), "cdar": float(c), "max_dd": float(m)}
             for l, r, c, m in zip(f.lams, f.ret, f.cdar, f.max_dd)
         ],
+    })
+
+
+def cmd_stress(args) -> None:
+    from mcport.engine.stress import stress_test
+    from mcport.models import estimate_gbm
+
+    d = _universe(args)
+    params = estimate_gbm(d.prices)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    crash = None if args.no_crash else (args.crash_rate, args.crash_size)
+    rep = stress_test(params, w, n_paths=args.paths, n_steps=args.steps,
+                      alpha=args.alpha, seed=args.seed, crash_jump=crash)
+    worst_name, worst = rep.worst("cvar")
+    _emit({
+        "engine": "scenario-stress",
+        "weights": dict(zip(d.names, map(float, w))),
+        "base": rep.base,
+        "scenarios": rep.scenarios,
+        "worst_by_cvar": {"scenario": worst_name, **worst},
     })
 
 
@@ -768,6 +793,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="proportional switching cost in basis points of "
                          "traded wealth (half-L1 of the weight change)")
     sp.set_defaults(fn=cmd_backtest)
+
+    sp = sub.add_parser("stress",
+                        help="scenario stress test: risk deltas under shocked "
+                             "parameters (vol x1.5/x2, corr->1, -1sig means, "
+                             "crash jump)")
+    common(sp)
+    sp.add_argument("--weights", default=None, help="comma list; default equal")
+    sp.add_argument("--paths", type=int, default=262_144)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--crash-rate", type=float, default=0.05,
+                    help="systemic jump rate per step for the crash overlay")
+    sp.add_argument("--crash-size", type=float, default=-0.10,
+                    help="common mean log-jump size for the crash overlay")
+    sp.add_argument("--no-crash", action="store_true",
+                    help="skip the Merton crash-overlay scenario")
+    sp.set_defaults(fn=cmd_stress)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")
     common(sp)
