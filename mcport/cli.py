@@ -166,12 +166,29 @@ def cmd_garch_risk(args) -> None:
     from mcport.ops.quantile import histogram, sketch_var_cvar
 
     d = _universe(args)
-    params = estimate_ccc_garch(d.port_rets)
     a = d.n_assets
     w = (np.full(a, 1.0 / a) if args.weights is None
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
+    if args.correlation == "dcc":
+        from mcport.models.dcc import dcc_risk, estimate_dcc_garch
+
+        if args.innovations != "normal":
+            raise SystemExit("--correlation dcc supports normal shocks only")
+        dp = estimate_dcc_garch(d.port_rets)
+        v, c, m = dcc_risk(jax.random.key(args.seed), dp, w,
+                           n_paths=args.paths, n_steps=args.steps,
+                           alpha=args.alpha)
+        _emit({
+            "model": f"dcc-garch(1,1) a={dp.a_dcc:.3f} b={dp.b_dcc:.3f}",
+            "n_paths": args.paths,
+            "horizon_steps": args.steps,
+            "weights": dict(zip(d.names, map(float, w))),
+            "var": v, "cvar": c, "portfolio_mean_return": m,
+        })
+        return
+    params = estimate_ccc_garch(d.port_rets)
     t_df = None
     if args.innovations == "student_t":
         from mcport.models.gbm import estimate_t_dof
@@ -634,10 +651,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     sp.set_defaults(fn=cmd_gbm_risk)
 
-    sp = sub.add_parser("garch-risk", help="tail risk under CCC-GARCH(1,1) stochastic vol")
+    sp = sub.add_parser("garch-risk",
+                        help="tail risk under multivariate GARCH(1,1) "
+                             "stochastic vol (CCC or DCC correlations)")
     sp.add_argument("--innovations", default="normal",
                     choices=["normal", "student_t"],
                     help="student_t = GARCH-t (moment-fitted dof; lax engine)")
+    sp.add_argument("--correlation", default="ccc", choices=["ccc", "dcc"],
+                    help="dcc = dynamic conditional correlations (Engle "
+                         "two-step QMLE; correlations rise after joint shocks)")
     common(sp)
     sp.add_argument("--paths", type=int, default=100_000)
     sp.add_argument("--steps", type=int, default=52)

@@ -27,6 +27,12 @@ from mcport.models.bootstrap import (
 )
 from mcport.models.forecast import HorizonForecast, forecast_prices
 from mcport.models.garch import Garch11Fit, fit_garch_11, forecast_garch_variance
+from mcport.models.dcc import (
+    DCCGarchParams,
+    dcc_risk,
+    dcc_terminal_returns,
+    estimate_dcc_garch,
+)
 from mcport.models.garch_mc import (
     CCCGarchParams,
     estimate_ccc_garch,
@@ -72,4 +78,8 @@ __all__ = [
     "estimate_ccc_garch",
     "simulate_garch_returns",
     "garch_terminal_returns",
+    "DCCGarchParams",
+    "estimate_dcc_garch",
+    "dcc_terminal_returns",
+    "dcc_risk",
 ]

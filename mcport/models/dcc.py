@@ -1,0 +1,204 @@
+"""DCC-GARCH(1,1): dynamic conditional correlations (Engle 2002).
+
+Model-family upgrade over :mod:`mcport.models.garch_mc`'s CCC: real markets'
+correlations RISE in stress, which constant-R models miss exactly where tail
+risk lives. The DCC recursion drives a per-path pseudo-correlation state
+
+    Q_t = (1 - a - b) S + a e_{t-1} e_{t-1}' + b Q_{t-1}
+    R_t = diag(Q_t)^{-1/2} Q_t diag(Q_t)^{-1/2},   e_t ~ N(0, R_t)
+
+on top of the SAME univariate GARCH(1,1) variance recursions (shared
+estimation step — Engle's two-step QMLE: univariate fits first, then (a, b)
+by maximizing the correlation log-likelihood of the standardized residuals).
+
+TPU mapping: the (a, b) likelihood surface is evaluated as ONE vmapped
+``lax.scan`` over a feasible grid (coarse-to-fine; no line searches, no
+data-dependent control flow), and simulation is a ``lax.scan`` carrying the
+per-path (A, A) Q state with a batched Cholesky of R_t per step — XLA's
+batched small-matrix Cholesky, (n_paths, A, A). Memory is n_paths * A^2
+floats for the Q carry; chunk paths at the caller for very large runs.
+
+Reference anchor: the reference has no multivariate vol model at all
+(GARCH(1,1) appears only in forecast bands, /root/reference/app.py:347-350);
+this module extends mcport's model-family ladder
+(GBM-normal/t -> CCC-GARCH(+t) -> DCC-GARCH -> jumps -> bootstrap).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mcport.models.garch_mc import CCCGarchParams, estimate_ccc_garch
+
+__all__ = ["DCCGarchParams", "estimate_dcc_garch", "dcc_terminal_returns",
+           "dcc_risk"]
+
+
+@dataclass(frozen=True)
+class DCCGarchParams:
+    """Univariate GARCH base + DCC correlation dynamics."""
+
+    base: CCCGarchParams     # mu/omega/alpha/beta + unconditional corr chol(S)
+    a_dcc: float             # news coefficient
+    b_dcc: float             # persistence coefficient
+    q0: np.ndarray           # (A, A) last fitted Q_T (simulation start)
+    e0: np.ndarray           # (A,) last standardized residual
+
+    @property
+    def n_assets(self) -> int:
+        return self.base.n_assets
+
+
+def _std_resid_from(r: np.ndarray, p: CCCGarchParams) -> np.ndarray:
+    """(T, A) standardized residuals under the fitted univariate recursions."""
+    eps = r - p.mu
+    t_len = r.shape[0]
+    s2 = np.empty_like(r)
+    s2[0] = r.var(axis=0)
+    for t in range(1, t_len):
+        s2[t] = p.omega + p.alpha * eps[t - 1] ** 2 + p.beta * s2[t - 1]
+    return eps / np.sqrt(np.maximum(s2, 1e-12))
+
+
+@partial(jax.jit, static_argnames=())
+def _dcc_loglik_grid(e: Array, s: Array, ab: Array) -> Array:
+    """Correlation log-likelihood for each (a, b) row of ``ab`` -> (G,).
+
+    ll = -0.5 sum_t [ log|R_t| + e_t' R_t^{-1} e_t - e_t' e_t ]  (Engle's
+    second-step objective; the e'e term cancels the first-step density).
+    """
+    a_dim = e.shape[1]
+    eye = jnp.eye(a_dim, dtype=e.dtype)
+
+    def one(ab_row):
+        a_c, b_c = ab_row[0], ab_row[1]
+
+        def step(q, et):
+            # Q uses e_{t-1}: fold the CURRENT residual in after scoring
+            qn = jnp.clip(jnp.sqrt(jnp.diag(q)), 1e-6, None)
+            r_t = q / jnp.outer(qn, qn)
+            r_t = r_t + 1e-6 * eye                 # PSD guard for the solve
+            chol = jnp.linalg.cholesky(r_t)
+            sol = jax.scipy.linalg.cho_solve((chol, True), et)
+            ll_t = -(2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
+                     + et @ sol - et @ et)
+            q_next = (1.0 - a_c - b_c) * s + a_c * jnp.outer(et, et) + b_c * q
+            return q_next, ll_t
+
+        _, lls = jax.lax.scan(step, s, e)
+        return 0.5 * jnp.sum(lls)
+
+    return jax.vmap(one)(ab)
+
+
+def _feasible_grid(a_lo, a_hi, b_lo, b_hi, n_a=13, n_b=17) -> np.ndarray:
+    aa, bb = np.meshgrid(np.linspace(a_lo, a_hi, n_a),
+                         np.linspace(b_lo, b_hi, n_b), indexing="ij")
+    ab = np.stack([aa.ravel(), bb.ravel()], axis=1)
+    return ab[(ab[:, 0] >= 0) & (ab[:, 1] >= 0) & (ab.sum(1) < 0.999)]
+
+
+def estimate_dcc_garch(returns: np.ndarray) -> DCCGarchParams:
+    """Two-step QMLE: univariate GARCH fits, then (a, b) by coarse-to-fine
+    grid maximization of the vmapped correlation likelihood (two rounds —
+    deterministic, compile-friendly, no data-dependent iteration counts)."""
+    r = np.asarray(returns, np.float64)
+    base = estimate_ccc_garch(r)
+    e = _std_resid_from(r, base)
+    s = np.corrcoef(e, rowvar=False)
+    s = np.atleast_2d(s) + 1e-9 * np.eye(e.shape[1])
+
+    e_j = jnp.asarray(e, jnp.float64)
+    s_j = jnp.asarray(s, jnp.float64)
+    ab = _feasible_grid(0.0, 0.30, 0.40, 0.98)
+    ll = np.asarray(_dcc_loglik_grid(e_j, s_j, jnp.asarray(ab)))
+    a0, b0 = ab[int(np.argmax(ll))]
+    ab2 = _feasible_grid(max(a0 - 0.03, 0.0), a0 + 0.03,
+                         max(b0 - 0.06, 0.0), min(b0 + 0.06, 0.995))
+    ll2 = np.asarray(_dcc_loglik_grid(e_j, s_j, jnp.asarray(ab2)))
+    a_c, b_c = (float(x) for x in ab2[int(np.argmax(ll2))])
+
+    # roll Q forward once more to the simulation start
+    q = s.copy()
+    for t in range(e.shape[0]):
+        q = (1.0 - a_c - b_c) * s + a_c * np.outer(e[t], e[t]) + b_c * q
+    return DCCGarchParams(base=base, a_dcc=a_c, b_dcc=b_c, q0=q, e0=e[-1])
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def _dcc_simulate(
+    key: Array, mu, omega, alpha, beta, s, q0, e0, sigma2_0, eps2_0,
+    a_c, b_c, n_paths: int, n_steps: int, dtype=jnp.float32,
+):
+    a_dim = mu.shape[-1]
+    eye = jnp.eye(a_dim, dtype=dtype)
+
+    def step(carry, t):
+        sigma2, eps_prev2, e_prev, q, cum = carry
+        # correlation state from LAST period's standardized shocks
+        q = ((1.0 - a_c - b_c) * s
+             + a_c * jnp.einsum("ni,nj->nij", e_prev, e_prev) + b_c * q)
+        qn = jnp.clip(jnp.sqrt(jnp.diagonal(q, axis1=1, axis2=2)), 1e-6, None)
+        r_t = q / jnp.einsum("ni,nj->nij", qn, qn) + 1e-6 * eye
+        chol = jnp.linalg.cholesky(r_t)                     # (n, A, A) batched
+        z = jax.random.normal(jax.random.fold_in(key, t), (n_paths, a_dim), dtype)
+        e = jnp.einsum("nij,nj->ni", chol, z)               # e_t ~ N(0, R_t)
+        sigma2 = omega + alpha * eps_prev2 + beta * sigma2
+        eps = jnp.sqrt(jnp.maximum(sigma2, 0.0)) * e
+        r_step = mu + eps
+        cum = cum * (1.0 + r_step)
+        return (sigma2, eps * eps, e, q, cum), None
+
+    init = (
+        jnp.broadcast_to(sigma2_0, (n_paths, a_dim)).astype(dtype),
+        jnp.broadcast_to(eps2_0, (n_paths, a_dim)).astype(dtype),
+        jnp.broadcast_to(e0, (n_paths, a_dim)).astype(dtype),
+        jnp.broadcast_to(q0, (n_paths, a_dim, a_dim)).astype(dtype),
+        jnp.ones((n_paths, a_dim), dtype),
+    )
+    (sigma2, _, _, _, cum), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return cum - 1.0
+
+
+def dcc_terminal_returns(
+    key: Array, params: DCCGarchParams, n_paths: int, n_steps: int,
+    dtype=jnp.float32,
+) -> Array:
+    """(n_paths, A) terminal compounded simple returns under DCC-GARCH(1,1)."""
+    b = params.base
+    s = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
+    return _dcc_simulate(
+        key, jnp.asarray(b.mu, dtype), jnp.asarray(b.omega, dtype),
+        jnp.asarray(b.alpha, dtype), jnp.asarray(b.beta, dtype),
+        jnp.asarray(s, dtype), jnp.asarray(params.q0, dtype),
+        jnp.asarray(params.e0, dtype), jnp.asarray(b.sigma2_0, dtype),
+        jnp.asarray(b.eps2_0, dtype),
+        jnp.asarray(params.a_dcc, dtype), jnp.asarray(params.b_dcc, dtype),
+        n_paths, n_steps, dtype,
+    )
+
+
+def dcc_risk(
+    key: Array,
+    params: DCCGarchParams,
+    weights: np.ndarray,
+    n_paths: int = 262_144,
+    n_steps: int = 52,
+    alpha: float = 0.95,
+    dtype=jnp.float32,
+) -> tuple[float, float, float]:
+    """(var, cvar, port_mean) under DCC-GARCH, sketch-reduced like the CCC
+    engine (shared covering log1p sketch — no clamping by construction)."""
+    from mcport.config import COVERING_LOG1P_SKETCH as sketch
+    from mcport.ops.quantile import histogram, sketch_var_cvar
+
+    term = dcc_terminal_returns(key, params, n_paths, n_steps, dtype)
+    port = term @ jnp.asarray(weights, dtype)
+    v, c = sketch_var_cvar(histogram(port, sketch), alpha, sketch)
+    return float(v), float(c), float(port.mean())

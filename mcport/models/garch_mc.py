@@ -29,7 +29,7 @@ from jax import Array
 from mcport.models.garch import Garch11Fit, fit_garch_11
 
 __all__ = ["CCCGarchParams", "estimate_ccc_garch", "simulate_garch_returns",
-           "garch_terminal_returns"]
+           "garch_terminal_returns", "standardized_residuals"]
 
 
 @dataclass(frozen=True)
@@ -49,16 +49,12 @@ class CCCGarchParams:
         return self.mu.shape[-1]
 
 
-def estimate_ccc_garch(returns: np.ndarray, jitter: float = 1e-10) -> CCCGarchParams:
-    """Fit per-asset GARCH(1,1) MLEs + the CCC correlation from a (T, A) return
-    matrix (simple per-period returns, the reference's convention)."""
+def standardized_residuals(returns: np.ndarray,
+                           fits: "list[Garch11Fit]") -> np.ndarray:
+    """(T, A) GARCH-standardized residuals e_t = eps_t / sigma_t from the
+    univariate fits (shared by the CCC estimator and the DCC second step)."""
     r = np.asarray(returns, np.float64)
-    if r.ndim != 2 or r.shape[0] < 20:
-        raise ValueError("estimate_ccc_garch needs a (T>=20, A) return matrix")
-    t_len, a = r.shape
-    fits: list[Garch11Fit] = [fit_garch_11(r[:, i]) for i in range(a)]
-
-    # standardized residuals for the constant-correlation estimate
+    t_len = r.shape[0]
     std_resid = np.empty_like(r)
     for i, f in enumerate(fits):
         eps = r[:, i] - f.mu
@@ -67,6 +63,18 @@ def estimate_ccc_garch(returns: np.ndarray, jitter: float = 1e-10) -> CCCGarchPa
         for t in range(1, t_len):
             s2[t] = f.omega + f.alpha * eps[t - 1] ** 2 + f.beta * s2[t - 1]
         std_resid[:, i] = eps / np.sqrt(np.maximum(s2, 1e-12))
+    return std_resid
+
+
+def estimate_ccc_garch(returns: np.ndarray, jitter: float = 1e-10) -> CCCGarchParams:
+    """Fit per-asset GARCH(1,1) MLEs + the CCC correlation from a (T, A) return
+    matrix (simple per-period returns, the reference's convention)."""
+    r = np.asarray(returns, np.float64)
+    if r.ndim != 2 or r.shape[0] < 20:
+        raise ValueError("estimate_ccc_garch needs a (T>=20, A) return matrix")
+    t_len, a = r.shape
+    fits: list[Garch11Fit] = [fit_garch_11(r[:, i]) for i in range(a)]
+    std_resid = standardized_residuals(r, fits)
     corr = np.corrcoef(std_resid, rowvar=False)
     corr = np.atleast_2d(corr)
     chol = np.linalg.cholesky(corr + jitter * np.eye(a))
