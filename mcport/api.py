@@ -363,6 +363,18 @@ def compare_tail_risk(
     except Exception as e:  # degenerate series can break the MLE; keep going
         out["ccc_garch"] = {"error": str(e)}
 
+    try:
+        from mcport.models.dcc import dcc_risk, estimate_dcc_garch
+
+        dp = estimate_dcc_garch(data.port_rets)
+        v, c, m = dcc_risk(_jax.random.key(g.seed), dp, w,
+                           n_paths=g.n_paths, n_steps=g.n_steps, alpha=alpha)
+        out["dcc_garch"] = pack(v, c, m)
+        out["dcc_garch"]["a_dcc"] = dp.a_dcc
+        out["dcc_garch"]["b_dcc"] = dp.b_dcc
+    except Exception as e:
+        out["dcc_garch"] = {"error": str(e)}
+
     jparams = estimate_merton_common(data.prices)
     jr = merton_risk(_jax.random.key(g.seed), jparams, w,
                      n_paths=g.n_paths, n_steps=g.n_steps, alpha=alpha)

@@ -114,8 +114,10 @@ def estimate_dcc_garch(returns: np.ndarray) -> DCCGarchParams:
     s = np.corrcoef(e, rowvar=False)
     s = np.atleast_2d(s) + 1e-9 * np.eye(e.shape[1])
 
-    e_j = jnp.asarray(e, jnp.float64)
-    s_j = jnp.asarray(s, jnp.float64)
+    # ambient float width (f64 under x64, f32 otherwise — a grid ARGMAX is
+    # insensitive to the difference, and explicit f64 warns when x64 is off)
+    e_j = jnp.asarray(e)
+    s_j = jnp.asarray(s)
     ab = _feasible_grid(0.0, 0.30, 0.40, 0.98)
     ll = np.asarray(_dcc_loglik_grid(e_j, s_j, jnp.asarray(ab)))
     a0, b0 = ab[int(np.argmax(ll))]

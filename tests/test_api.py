@@ -83,7 +83,7 @@ def test_compare_tail_risk_all_models(data):
                                use_pallas=False))
     out = compare_tail_risk(data, config=cfg)
     assert set(out) == {"gbm_normal", "gbm_student_t", "ccc_garch",
-                        "merton_jump", "block_bootstrap"}
+                        "dcc_garch", "merton_jump", "block_bootstrap"}
     for name, m in out.items():
         assert "error" not in m, (name, m)
         assert m["cvar"] <= m["var"] < m["portfolio_mean"], name
