@@ -34,7 +34,8 @@ from mcport.seeding import SEED_STRIDE
 __all__ = ["sharded_path_risk", "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
-           "sharded_merton_risk", "sharded_importance_tail"]
+           "sharded_merton_risk", "sharded_importance_tail",
+           "sharded_dcc_risk"]
 
 
 def sharded_path_risk(
@@ -567,3 +568,51 @@ def sharded_importance_tail(
                            out_specs=(P(), P(), P()), check_vma=False))
     v, c, n_tail = fn(jnp.asarray(seed, jnp.int32), w, mean_step, chol_step)
     return float(v), float(c), int(n_tail)
+
+
+def sharded_dcc_risk(
+    seed: Array,
+    params,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    axis: str = "paths",
+):
+    """DCC-GARCH portfolio tail risk over a mesh (psum'd covering sketch).
+
+    Mesh form of :func:`mcport.models.dcc.dcc_risk`: each device simulates
+    its own counter-seeded slice of dynamic-correlation paths (per-path
+    (A, A) Q state stays device-local — it is per-path state, so sharding
+    paths shards it for free) and the only cross-device traffic is the
+    histogram/sum psum. Returns ``(var, cvar, port_mean)`` floats.
+    """
+    from mcport.config import COVERING_LOG1P_SKETCH
+    from mcport.models.dcc import dcc_terminal_returns
+
+    if sketch is None:
+        sketch = COVERING_LOG1P_SKETCH
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    w = jnp.asarray(weights, jnp.float32)
+
+    def local(seed, w):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+        term = dcc_terminal_returns(key, params, n_local, n_steps)
+        port = term @ w
+        psum = lambda x: jax.lax.psum(x, axis)
+        hist = psum(histogram(port, sketch))
+        s = psum(port.sum())
+        v, c = sketch_var_cvar(hist, alpha, sketch)
+        return v, c, s
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=(P(), P(), P()), check_vma=False))
+    v, c, s = fn(jnp.asarray(seed, jnp.int32), w)
+    return float(v), float(c), float(s) / n_paths

@@ -322,3 +322,24 @@ def test_sharded_importance_tail_consistent(mesh):
     assert c <= v < 0.0
     assert n_tail > n // 8          # far above the (1-alpha)*n = 33 of plain MC
     assert abs(v - float(single.var)) < 0.02
+
+
+def test_sharded_dcc_risk_consistent(mesh):
+    """Mesh DCC risk agrees with the single-chip engine within MC error."""
+    from mcport.models.dcc import DCCGarchParams, dcc_risk
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.parallel.sharded_engines import sharded_dcc_risk
+
+    corr = (0.6 * np.eye(A) + 0.4)
+    base = CCCGarchParams(
+        mu=np.full(A, 5e-4), omega=np.full(A, 2e-6),
+        alpha=np.full(A, 0.08), beta=np.full(A, 0.88),
+        corr_chol=np.linalg.cholesky(corr),
+        sigma2_0=np.full(A, 2e-4), eps2_0=np.full(A, 2e-4),
+    )
+    dp = DCCGarchParams(base=base, a_dcc=0.08, b_dcc=0.85, q0=corr,
+                        e0=np.zeros(A))
+    v, c, pm = sharded_dcc_risk(5, dp, W, 16_384, 12, mesh)
+    sv, sc, spm = dcc_risk(jax.random.key(0), dp, W, n_paths=16_384, n_steps=12)
+    assert c <= v < 0.0
+    assert abs(v - sv) < 0.02 and abs(pm - spm) < 0.01
