@@ -135,6 +135,7 @@ def stress_test(
     deltas isolate the shock.
     """
     w = np.asarray(weights, np.float64)
+    _crash_explicit = crash_jump != (0.05, -0.10)   # non-default = explicit ask
     base = _risk_of(params, w, n_paths, n_steps, alpha, seed)
     scen = dict(_default_scenarios() if scenarios is None else scenarios)
 
@@ -145,7 +146,7 @@ def stress_test(
         m["d_cvar"] = m["cvar"] - base["cvar"]
         out[name] = m
 
-    if crash_jump is not None and scenarios is None:
+    if crash_jump is not None and (scenarios is None or _crash_explicit):
         import jax
 
         from mcport.models.jump import MertonParams, merton_risk

@@ -40,7 +40,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from mcport.models.garch_mc import CCCGarchParams, estimate_ccc_garch
+from mcport.models.garch_mc import (
+    CCCGarchParams,
+    estimate_ccc_garch,
+    standardized_residuals,
+)
 
 __all__ = ["DCCGarchParams", "estimate_dcc_garch", "dcc_terminal_returns",
            "dcc_risk"]
@@ -61,15 +65,6 @@ class DCCGarchParams:
         return self.base.n_assets
 
 
-def _std_resid_from(r: np.ndarray, p: CCCGarchParams) -> np.ndarray:
-    """(T, A) standardized residuals under the fitted univariate recursions."""
-    eps = r - p.mu
-    t_len = r.shape[0]
-    s2 = np.empty_like(r)
-    s2[0] = r.var(axis=0)
-    for t in range(1, t_len):
-        s2[t] = p.omega + p.alpha * eps[t - 1] ** 2 + p.beta * s2[t - 1]
-    return eps / np.sqrt(np.maximum(s2, 1e-12))
 
 
 @partial(jax.jit, static_argnames=())
@@ -116,7 +111,7 @@ def estimate_dcc_garch(returns: np.ndarray) -> DCCGarchParams:
     deterministic, compile-friendly, no data-dependent iteration counts)."""
     r = np.asarray(returns, np.float64)
     base = estimate_ccc_garch(r)
-    e = _std_resid_from(r, base)
+    e = standardized_residuals(r, base.mu, base.omega, base.alpha, base.beta)
     s = np.corrcoef(e, rowvar=False)
     s = np.atleast_2d(s) + 1e-9 * np.eye(e.shape[1])
 
@@ -124,17 +119,26 @@ def estimate_dcc_garch(returns: np.ndarray) -> DCCGarchParams:
     # insensitive to the difference, and explicit f64 warns when x64 is off)
     e_j = jnp.asarray(e)
     s_j = jnp.asarray(s)
-    ab = _feasible_grid(0.0, 0.30, 0.40, 0.98)
+    ab = _feasible_grid(0.0, 0.40, 0.0, 0.98, n_a=17, n_b=25)
     ll = np.asarray(_dcc_loglik_grid(e_j, s_j, jnp.asarray(ab)))
     a0, b0 = ab[int(np.argmax(ll))]
-    ab2 = _feasible_grid(max(a0 - 0.03, 0.0), a0 + 0.03,
+    ab2 = _feasible_grid(max(a0 - 0.03, 0.0), min(a0 + 0.03, 0.45),
                          max(b0 - 0.06, 0.0), min(b0 + 0.06, 0.995))
     ll2 = np.asarray(_dcc_loglik_grid(e_j, s_j, jnp.asarray(ab2)))
     a_c, b_c = (float(x) for x in ab2[int(np.argmax(ll2))])
+    if a_c >= 0.44 or a_c + b_c >= 0.994:
+        import warnings
 
-    # roll Q forward once more to the simulation start
+        warnings.warn(
+            f"DCC argmax sits on the search boundary (a={a_c:.3f}, "
+            f"b={b_c:.3f}); the fitted dynamics may be clamped",
+            stacklevel=2)
+
+    # roll Q to Q_T (through e[0..T-2]): the SIMULATION's first step folds
+    # e0 = e[-1] itself, so rolling any further would double-count the last
+    # observed residual in the opening correlation state
     q = s.copy()
-    for t in range(e.shape[0]):
+    for t in range(e.shape[0] - 1):
         q = (1.0 - a_c - b_c) * s + a_c * np.outer(e[t], e[t]) + b_c * q
     return DCCGarchParams(base=base, a_dcc=a_c, b_dcc=b_c, q0=q, e0=e[-1])
 

@@ -49,21 +49,20 @@ class CCCGarchParams:
         return self.mu.shape[-1]
 
 
-def standardized_residuals(returns: np.ndarray,
-                           fits: "list[Garch11Fit]") -> np.ndarray:
-    """(T, A) GARCH-standardized residuals e_t = eps_t / sigma_t from the
-    univariate fits (shared by the CCC estimator and the DCC second step)."""
+def standardized_residuals(returns: np.ndarray, mu, omega, alpha,
+                           beta) -> np.ndarray:
+    """(T, A) GARCH-standardized residuals e_t = eps_t / sigma_t under the
+    given per-asset (A,) parameter arrays — THE single implementation of the
+    recursion, shared by the CCC estimator and the DCC second step (s2[0]
+    seeds at the sample variance; 1e-12 floor)."""
     r = np.asarray(returns, np.float64)
+    eps = r - np.asarray(mu, np.float64)
     t_len = r.shape[0]
-    std_resid = np.empty_like(r)
-    for i, f in enumerate(fits):
-        eps = r[:, i] - f.mu
-        s2 = np.empty(t_len)
-        s2[0] = r[:, i].var()
-        for t in range(1, t_len):
-            s2[t] = f.omega + f.alpha * eps[t - 1] ** 2 + f.beta * s2[t - 1]
-        std_resid[:, i] = eps / np.sqrt(np.maximum(s2, 1e-12))
-    return std_resid
+    s2 = np.empty_like(r)
+    s2[0] = r.var(axis=0)
+    for t in range(1, t_len):
+        s2[t] = omega + alpha * eps[t - 1] ** 2 + beta * s2[t - 1]
+    return eps / np.sqrt(np.maximum(s2, 1e-12))
 
 
 def estimate_ccc_garch(returns: np.ndarray, jitter: float = 1e-10) -> CCCGarchParams:
@@ -74,7 +73,9 @@ def estimate_ccc_garch(returns: np.ndarray, jitter: float = 1e-10) -> CCCGarchPa
         raise ValueError("estimate_ccc_garch needs a (T>=20, A) return matrix")
     t_len, a = r.shape
     fits: list[Garch11Fit] = [fit_garch_11(r[:, i]) for i in range(a)]
-    std_resid = standardized_residuals(r, fits)
+    std_resid = standardized_residuals(
+        r, np.array([f.mu for f in fits]), np.array([f.omega for f in fits]),
+        np.array([f.alpha for f in fits]), np.array([f.beta for f in fits]))
     corr = np.corrcoef(std_resid, rowvar=False)
     corr = np.atleast_2d(corr)
     chol = np.linalg.cholesky(corr + jitter * np.eye(a))

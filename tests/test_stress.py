@@ -75,3 +75,18 @@ def test_custom_scenarios_and_guards():
     p2 = stress_params(p, "vol_x2")
     np.testing.assert_allclose(np.asarray(p2.chol_step),
                                2 * np.asarray(p.chol_step), rtol=1e-12)
+
+
+def test_explicit_crash_survives_custom_scenarios():
+    """A non-default crash_jump is an explicit request: it must appear even
+    when a custom scenario set replaces the built-ins."""
+    p = _params()
+    w = np.full(A, 0.25)
+    rep = stress_test(p, w, scenarios={"calm": lambda q: scale_vol(q, 0.5)},
+                      n_paths=16_384, n_steps=8, crash_jump=(0.1, -0.2))
+    assert set(rep.scenarios) == {"calm", "crash_jump"}
+    assert rep.scenarios["crash_jump"]["cvar"] < rep.base["cvar"]
+    # default crash value with custom scenarios stays opt-in (unchanged)
+    rep2 = stress_test(p, w, scenarios={"calm": lambda q: scale_vol(q, 0.5)},
+                       n_paths=16_384, n_steps=8)
+    assert set(rep2.scenarios) == {"calm"}
