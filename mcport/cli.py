@@ -24,6 +24,7 @@ Commands:
   dd-frontier  max return subject to a simulated max-drawdown budget
   backtest     walk-forward out-of-sample comparison of allocation rules
   stress       scenario stress test (shocked-parameter risk deltas)
+  bl-frontier  Black-Litterman posterior + exact frontier (views blending)
   forecast     ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
 """
 
@@ -322,6 +323,63 @@ def cmd_cdar_frontier(args) -> None:
             {"lam": float(l), "ret": float(r), "cdar": float(c), "max_dd": float(m)}
             for l, r, c, m in zip(f.lams, f.ret, f.cdar, f.max_dd)
         ],
+    })
+
+
+def cmd_bl_frontier(args) -> None:
+    from mcport.engine.black_litterman import black_litterman, posterior_frontier
+    from mcport.engine.frontier_opt import max_sharpe_exact, min_variance_exact
+
+    d = _universe(args)
+    a = d.n_assets
+    names = list(d.names)
+    cov_ann = np.atleast_2d(np.cov(d.port_rets, rowvar=False, ddof=1)) * d.ann_factor
+    w_mkt = (np.full(a, 1.0 / a) if args.market_weights is None
+             else np.asarray([float(x) for x in args.market_weights.split(",")]))
+    if w_mkt.shape[0] != a:
+        raise SystemExit(f"--market-weights needs {a} entries")
+
+    def find(name):
+        for i, n in enumerate(names):
+            if name.lower() in n.lower():
+                return i
+        raise SystemExit(f"no asset matching {name!r} in {names}")
+
+    rows, targets = [], []
+    for v in args.view or []:
+        lhs, q = v.rsplit("=", 1)
+        p = np.zeros(a)
+        if ">" in lhs:
+            lo, sh = lhs.split(">", 1)
+            p[find(lo)], p[find(sh)] = 1.0, -1.0
+        else:
+            p[find(lhs)] = 1.0
+        rows.append(p)
+        targets.append(float(q))
+
+    post = black_litterman(
+        cov_ann, w_mkt,
+        np.asarray(rows) if rows else None,
+        np.asarray(targets) if targets else None,
+        tau=args.tau, delta=args.delta,
+    )
+    fr = posterior_frontier(
+        post, np.full(a, args.min_weight), np.full(a, args.max_weight),
+        risk_free=args.risk_free,
+    )
+
+    def pack(sel):
+        w, ret, std = sel
+        return {"weights": dict(zip(names, map(float, w))),
+                "expected_return_ann": ret, "volatility_ann": std}
+
+    _emit({
+        "engine": "black-litterman + exact frontier",
+        "tau": args.tau, "delta": args.delta,
+        "equilibrium_returns_ann": dict(zip(names, map(float, post.pi))),
+        "posterior_returns_ann": dict(zip(names, map(float, post.mu))),
+        "max_sharpe": pack(max_sharpe_exact(fr)),
+        "min_variance": pack(min_variance_exact(fr)),
     })
 
 
@@ -818,6 +876,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="proportional switching cost in basis points of "
                          "traded wealth (half-L1 of the weight change)")
     sp.set_defaults(fn=cmd_backtest)
+
+    sp = sub.add_parser("bl-frontier",
+                        help="Black-Litterman posterior (equilibrium + views) "
+                             "fed into the exact mean-variance frontier")
+    common(sp)
+    sp.add_argument("--market-weights", default=None,
+                    help="comma list (cap weights); default equal")
+    sp.add_argument("--view", action="append", default=None,
+                    metavar="ASSET=Q | LONG>SHORT=Q",
+                    help="absolute ('btc=0.5') or relative ('btc>eth=0.1') "
+                         "annualized view; repeatable; names match substrings")
+    sp.add_argument("--tau", type=float, default=0.05)
+    sp.add_argument("--delta", type=float, default=2.5,
+                    help="market risk aversion for reverse optimization")
+    sp.add_argument("--min-weight", type=float, default=0.0)
+    sp.add_argument("--max-weight", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_bl_frontier)
 
     sp = sub.add_parser("stress",
                         help="scenario stress test: risk deltas under shocked "
