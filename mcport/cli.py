@@ -155,6 +155,21 @@ def cmd_gbm_risk(args) -> None:
         out["max_drawdown"] = {
             "mean": pr.dd_mean, "median": pr.dd_median, "p95_worst": pr.dd_p95,
         }
+    if args.attribution:
+        import jax
+
+        from mcport.engine.attribution import simulated_cvar_attribution
+
+        att = simulated_cvar_attribution(
+            jax.random.key(args.seed), params, w,
+            n_paths=min(n_paths, 262_144), n_steps=args.steps,
+            alpha=args.alpha,
+        )
+        out["cvar_attribution"] = {
+            "contributions": dict(zip(d.names, map(float, att.contributions))),
+            "shares": dict(zip(d.names, map(float, att.shares))),
+            "n_tail_samples": att.n_tail,
+        }
     _emit(out)
 
 
@@ -702,6 +717,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--antithetic", action="store_true")
     sp.add_argument("--innovations", default="normal", choices=["normal", "student_t"],
                     help="student_t fits dof by method of moments (fat tails)")
+    sp.add_argument("--attribution", action="store_true",
+                    help="Euler CVaR decomposition: per-asset tail "
+                         "contributions (sums exactly to portfolio CVaR)")
     sp.add_argument("--path-stats", action="store_true",
                     help="also simulate full paths for the max-drawdown distribution")
     sp.add_argument("--no-pallas", action="store_true", help="force the lax engine")
