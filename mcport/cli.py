@@ -155,17 +155,29 @@ def cmd_gbm_risk(args) -> None:
         out["max_drawdown"] = {
             "mean": pr.dd_mean, "median": pr.dd_median, "p95_worst": pr.dd_p95,
         }
-    if args.attribution:
+    if args.attribution and args.innovations != "normal":
+        out["cvar_attribution"] = (
+            "unavailable: attribution draws normal GBM terminals; the "
+            "var/cvar above do use " + args.innovations
+        )
+    elif args.attribution:
         import jax
 
         from mcport.engine.attribution import simulated_cvar_attribution
 
+        att_paths = min(n_paths, 262_144)
         att = simulated_cvar_attribution(
             jax.random.key(args.seed), params, w,
-            n_paths=min(n_paths, 262_144), n_steps=args.steps,
-            alpha=args.alpha,
+            n_paths=att_paths, n_steps=args.steps, alpha=args.alpha,
         )
         out["cvar_attribution"] = {
+            # an INDEPENDENT exact top-k draw: its var/cvar are reported so
+            # the Euler identity is checkable; the headline cvar above is
+            # the streamed sketch estimate over the full (possibly larger,
+            # possibly antithetic) run — small MC/sketch deltas are expected
+            "var": att.var,
+            "cvar": att.cvar,
+            "n_paths": att_paths,
             "contributions": dict(zip(d.names, map(float, att.contributions))),
             "shares": dict(zip(d.names, map(float, att.shares))),
             "n_tail_samples": att.n_tail,
@@ -348,21 +360,33 @@ def cmd_bl_frontier(args) -> None:
     d = _universe(args)
     a = d.n_assets
     names = list(d.names)
-    cov_ann = np.atleast_2d(np.cov(d.port_rets, rowvar=False, ddof=1)) * d.ann_factor
+    cov_ann = d.cov_ann
     w_mkt = (np.full(a, 1.0 / a) if args.market_weights is None
              else np.asarray([float(x) for x in args.market_weights.split(",")]))
     if w_mkt.shape[0] != a:
         raise SystemExit(f"--market-weights needs {a} entries")
 
     def find(name):
-        for i, n in enumerate(names):
-            if name.lower() in n.lower():
-                return i
-        raise SystemExit(f"no asset matching {name!r} in {names}")
+        exact = [i for i, n in enumerate(names) if name.lower() == n.lower()]
+        if len(exact) == 1:
+            return exact[0]
+        hits = [i for i, n in enumerate(names) if name.lower() in n.lower()]
+        if len(hits) == 1:
+            return hits[0]
+        if not hits:
+            raise SystemExit(f"no asset matching {name!r} in {names}")
+        raise SystemExit(
+            f"{name!r} is ambiguous: matches {[names[i] for i in hits]}")
 
     rows, targets = [], []
     for v in args.view or []:
+        if "=" not in v:
+            raise SystemExit(f"--view {v!r}: expected ASSET=Q or LONG>SHORT=Q")
         lhs, q = v.rsplit("=", 1)
+        try:
+            q = float(q)
+        except ValueError:
+            raise SystemExit(f"--view {v!r}: target {q!r} is not a number")
         p = np.zeros(a)
         if ">" in lhs:
             lo, sh = lhs.split(">", 1)
@@ -370,7 +394,9 @@ def cmd_bl_frontier(args) -> None:
         else:
             p[find(lhs)] = 1.0
         rows.append(p)
-        targets.append(float(q))
+        targets.append(q)
+    if abs(w_mkt.sum() - 1.0) > 1e-6:
+        raise SystemExit(f"--market-weights must sum to 1 (got {w_mkt.sum():.6f})")
 
     post = black_litterman(
         cov_ann, w_mkt,

@@ -4,16 +4,20 @@ The reference reports only portfolio-level VaR/CVaR (app.py:258-263). Risk
 management needs the decomposition: for a linear portfolio
 ``port = sum_i w_i r_i``, CVaR admits the exact Euler split
 
-    CVaR = sum_i C_i,     C_i = E[w_i r_i | port <= VaR_alpha]
+    CVaR = sum_i C_i,     C_i = E[w_i r_i | port in the k worst states]
 
-(each asset's average contribution in the tail states). The identity is
-pointwise-exact by linearity, so the components sum to the portfolio CVaR
-to float precision — pinned in tests, no approximation.
+(each asset's average contribution over the k = ceil((1-alpha) N) worst
+outcomes — the repo's top-k tail convention, shared with
+cvar_opt.exact_tail_metrics). Ties AT the threshold are weighted
+fractionally ((k - #strictly-below) / #ties), the average over all tied
+top-k selections — so the components sum to exact_tail_metrics' CVaR to
+float precision regardless of duplicated portfolio values (pinned in
+tests).
 
-Computation is one masked reduction per asset — no sorting-based gather of
-tail rows: a boolean tail mask from the VaR threshold, then
-``mean(w_i r_i * mask) / mean(mask)``. That form streams (masked sums are
-psum-able and chunk-accumulable like the moment sketches).
+Computation is masked reductions — no sorting-based gather of tail rows:
+strict-below and at-threshold masks from the VaR threshold, then masked
+sums. That form streams (masked sums are psum-able and chunk-accumulable
+like the moment sketches).
 """
 
 from __future__ import annotations
@@ -32,44 +36,52 @@ __all__ = ["CVaRAttribution", "cvar_attribution", "simulated_cvar_attribution"]
 @dataclass(frozen=True)
 class CVaRAttribution:
     var: float               # portfolio VaR_alpha (k-th worst return)
-    cvar: float              # portfolio CVaR_alpha (tail mean)
+    cvar: float              # portfolio CVaR_alpha (k-worst mean)
     contributions: np.ndarray   # (A,) Euler components, sum == cvar
     shares: np.ndarray       # (A,) contributions / cvar (sum == 1)
-    n_tail: int              # tail sample count backing the estimate
+    n_tail: int              # k, the tail count backing the estimate
     alpha: float
 
 
 @jax.jit
-def _attr(term: Array, w: Array, var_thresh: Array):
+def _masked_components(term: Array, w: Array, var_thresh: Array, k: Array):
+    """(A,) Euler components over the k worst states, threshold ties
+    weighted fractionally; one pass of masked reductions."""
     port = term @ w
-    mask = (port <= var_thresh).astype(term.dtype)
-    n_tail = mask.sum()
-    comp = (w * (term * mask[:, None]).sum(axis=0)) / jnp.maximum(n_tail, 1.0)
-    return comp, port, n_tail
+    below = (port < var_thresh).astype(term.dtype)
+    at = (port == var_thresh).astype(term.dtype)
+    m = below.sum()
+    t = jnp.maximum(at.sum(), 1.0)
+    frac = (k - m) / t                                   # in [0, 1]
+    weighted = below + frac * at                         # (N,)
+    return (w * (term * weighted[:, None]).sum(axis=0)) / k
 
 
 def cvar_attribution(terminal: Array, weights: np.ndarray,
                      alpha: float = 0.95) -> CVaRAttribution:
     """Exact Euler CVaR decomposition over an (N, A) terminal-return matrix.
 
-    Uses the repo's top-k tail convention (k = ceil((1-alpha) N), threshold
-    at the k-th worst portfolio return) so var/cvar here equal
-    exact_tail_metrics on the same scenarios.
+    ``var``/``cvar`` equal :func:`mcport.engine.cvar_opt.exact_tail_metrics`
+    on the same scenarios (k-th worst order statistic; k-worst mean) — the
+    fractional tie weighting makes this hold even with duplicated portfolio
+    values, where a hard ``port <= var`` mask would average over more than k
+    states.
     """
+    from mcport.engine.cvar_opt import exact_tail_metrics
+
     term = jnp.asarray(terminal)
     w = jnp.asarray(weights, term.dtype)
     n = term.shape[0]
     k = max(1, math.ceil((1.0 - alpha) * n))
-    port = term @ w
-    worst, _ = jax.lax.top_k(-port, k)
-    var = -worst[-1]
-    comp, port, n_tail = _attr(term, w, var)
-    comp = np.asarray(comp, np.float64)
+    var, _ = exact_tail_metrics(term, w, alpha)
+    comp = np.asarray(
+        _masked_components(term, w, var, jnp.asarray(k, term.dtype)),
+        np.float64)
     cvar = float(comp.sum())
     return CVaRAttribution(
         var=float(var), cvar=cvar, contributions=comp,
         shares=comp / cvar if cvar != 0 else np.full_like(comp, np.nan),
-        n_tail=int(n_tail), alpha=float(alpha),
+        n_tail=k, alpha=float(alpha),
     )
 
 

@@ -70,11 +70,10 @@ def black_litterman(
     """Posterior (mu, cov) from equilibrium + views.
 
     ``views_p`` is (K, A) picking rows, ``views_q`` (K,) targets. ``omega``
-    defaults to Idzorek's proportional-confidence choice
-    ``diag(P tau*Sigma P')`` (views as uncertain as the prior on their
-    portfolios); pass a (K, K) matrix — e.g. near-zero diagonals — for
-    near-certain views. With no views the posterior is exactly
-    ``(pi, (1 + tau) Sigma)``.
+    defaults to the He-Litterman (1999) choice ``diag(P tau*Sigma P')``
+    (views as uncertain as the prior on their portfolios); pass a (K, K)
+    matrix — e.g. near-zero diagonals — for near-certain views. With no
+    views the posterior is exactly ``(pi, (1 + tau) Sigma)``.
     """
     sigma = np.atleast_2d(np.asarray(cov, np.float64))
     w = np.asarray(w_mkt, np.float64)
@@ -89,6 +88,8 @@ def black_litterman(
     if views_p is None or len(np.atleast_2d(views_p)) == 0:
         return BLPosterior(mu=pi, cov=sigma + ts, pi=pi, tau=float(tau),
                            delta=float(delta))
+    if views_q is None:
+        raise ValueError("views_p given without views_q targets")
 
     p = np.atleast_2d(np.asarray(views_p, np.float64))
     q = np.atleast_1d(np.asarray(views_q, np.float64))

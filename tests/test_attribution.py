@@ -29,10 +29,10 @@ def test_euler_identity_and_tail_convention():
     v, c = exact_tail_metrics(term, w.astype(np.float32), 0.95)
     np.testing.assert_allclose(att.var, float(v), atol=2e-6)
     np.testing.assert_allclose(att.cvar, float(c), atol=2e-6)
-    # ties AT the threshold are included in the mask (same value => same
-    # tail mean), so n_tail can exceed k by the duplicate count
-    k = int(np.ceil(0.05 * term.shape[0]))
-    assert k <= att.n_tail <= k + 8
+    # k via THE repo formula: ceil((1 - alpha) * n); note (1.0 - 0.95) is
+    # 0.050000000000000044 in binary, so k = 2501 here — not ceil(0.05 * n)
+    import math
+    assert att.n_tail == math.ceil((1 - 0.95) * term.shape[0])
 
 
 def test_riskier_asset_owns_more_tail():
@@ -50,6 +50,16 @@ def test_zero_weight_zero_contribution():
     w = np.array([0.5, 0.5, 0.0, 0.0])
     att = cvar_attribution(term, w, alpha=0.9)
     np.testing.assert_allclose(att.contributions[2:], 0.0, atol=1e-12)
+
+
+def test_threshold_ties_weighted_fractionally():
+    """Duplicated portfolio values at the threshold must not inflate the tail
+    mean: cvar stays the exact k-worst mean (the review's -10,-5,-5 case)."""
+    term = np.array([[-10.0], [-5.0], [-5.0]], np.float32)
+    att = cvar_attribution(term, np.array([1.0]), alpha=0.5)   # k = 2
+    np.testing.assert_allclose(att.var, -5.0, atol=1e-7)
+    np.testing.assert_allclose(att.cvar, -7.5, atol=1e-6)      # (-10 + -5)/2
+    np.testing.assert_allclose(att.contributions.sum(), att.cvar, rtol=1e-10)
 
 
 def test_simulated_composes():
