@@ -33,7 +33,8 @@ from typing import Callable, Mapping, Sequence
 
 import numpy as np
 
-__all__ = ["BacktestResult", "walk_forward", "BUILTIN_RULES", "make_rules"]
+__all__ = ["BacktestResult", "walk_forward", "BUILTIN_RULES", "make_rules",
+           "probabilistic_sharpe"]
 
 
 def _rule_equal(r: np.ndarray) -> np.ndarray:
@@ -143,6 +144,33 @@ class BacktestResult:
         return np.cumprod(1.0 + self.oos_returns[i])
 
 
+def probabilistic_sharpe(oos: np.ndarray, sr_benchmark: float = 0.0) -> float:
+    """Bailey & Lopez de Prado's PSR: P[true per-period Sharpe > benchmark]
+    given the observed series' length, skewness, and kurtosis —
+
+        PSR = Phi( (SR - SR*) sqrt(T - 1) / sqrt(1 - g3 SR + (g4-1)/4 SR^2) )
+
+    with SR the PER-PERIOD observed Sharpe (ddof=1), g3 skewness, g4
+    (non-excess) kurtosis. Guards a backtest against noise-mined Sharpe:
+    short fat-tailed series earn low PSR even at high point estimates.
+    """
+    from scipy.stats import norm
+
+    r = np.asarray(oos, np.float64)
+    t = r.shape[0]
+    sd = r.std(ddof=1)
+    if t < 4 or sd == 0:
+        return float("nan")
+    sr = r.mean() / sd
+    z = (r - r.mean()) / sd
+    g3 = float(np.mean(z**3))
+    g4 = float(np.mean(z**4))
+    denom = 1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr
+    if denom <= 0:
+        return float("nan")
+    return float(norm.cdf((sr - sr_benchmark) * np.sqrt(t - 1) / np.sqrt(denom)))
+
+
 def _score(oos: np.ndarray, risk_free: float, ann_factor: int,
            alpha: float, weights: np.ndarray) -> dict[str, float]:
     import jax.numpy as jnp
@@ -158,6 +186,7 @@ def _score(oos: np.ndarray, risk_free: float, ann_factor: int,
         "ann_return": float(oos.mean() * ann_factor),
         "ann_vol": float(oos.std(ddof=1) * np.sqrt(ann_factor)),
         "sharpe": float(sharpe_ratio(r, risk_free, ann_factor)),
+        "prob_sharpe": probabilistic_sharpe(oos),
         "max_drawdown": float(max_drawdown(r)),
         "var": float(var(r, alpha)),
         "cvar": float(cvar(r, alpha)),

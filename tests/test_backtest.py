@@ -118,3 +118,32 @@ def test_switch_costs_charged_correctly():
     eq_free = walk_forward(r, window=40, horizon=20, rules=("equal",))
     eq_paid = walk_forward(r, window=40, horizon=20, rules=("equal",), cost_bps=25.0)
     np.testing.assert_array_equal(eq_free.oos_returns, eq_paid.oos_returns)
+
+
+def test_probabilistic_sharpe_properties():
+    """PSR: 0.5 at zero edge, increases with sample length, hurt by fat
+    tails/negative skew at the same point Sharpe (Bailey-Lopez de Prado)."""
+    from scipy.stats import norm as _norm
+
+    from mcport.engine.backtest import probabilistic_sharpe
+
+    rng = np.random.default_rng(0)
+    # known-formula check on a clean normal sample
+    r = rng.standard_normal(500) * 0.02 + 0.004
+    sd = r.std(ddof=1)
+    sr = r.mean() / sd
+    z = (r - r.mean()) / sd
+    want = _norm.cdf(sr * np.sqrt(499) / np.sqrt(
+        1 - np.mean(z**3) * sr + (np.mean(z**4) - 1) / 4 * sr**2))
+    np.testing.assert_allclose(probabilistic_sharpe(r), want, rtol=1e-12)
+
+    # zero-mean series => ~0.5; longer sample at same SR => higher PSR
+    r0 = rng.standard_normal(2000) * 0.02
+    assert abs(probabilistic_sharpe(r0 - r0.mean()) - 0.5) < 1e-9
+    base = rng.standard_normal(4000) * 0.02 + 0.002
+    assert probabilistic_sharpe(base) > probabilistic_sharpe(base[:200])
+
+    # appears in the walk-forward scorecard
+    rmat = _returns(t=120, a=2, seed=7)
+    res = walk_forward(rmat, window=40, horizon=40, rules=("equal",))
+    assert 0.0 <= res.summary["equal"]["prob_sharpe"] <= 1.0
