@@ -169,3 +169,29 @@ def test_multi_dd_tf32_scoring_fidelity():
                                   score_dtype="tensorfloat32", **KW)
     assert (np.asarray(f32[0]) == np.asarray(tf32[0])).all()
     assert np.abs(np.asarray(f32[1]) - np.asarray(tf32[1])).max() < 2e-4
+
+
+def test_multi_dd_flag_matrix_composes():
+    """Every (prefetch, score_dtype, rebalance) combination runs and stays
+    within its tier's documented error of the plain-f32 result."""
+    w = np.asarray(jax.random.dirichlet(jax.random.key(5), jnp.ones(A), (8,)),
+                   np.float32)
+    for rebalance in (False, True):
+        # bf16's per-path MAX error compounds in rebalance mode (~2e-3
+        # relative per step as a random walk; the max over 8k samples sits
+        # several sigma out) — the frontier's guarantee is unaffected since
+        # the winner is always rescored at f32 (drawdown_frontier loop)
+        tol = {"float32": 0.0, "tensorfloat32": 2e-4,
+               "bfloat16": 5e-2 if rebalance else 1.5e-2}
+        base = gbm_multi_portfolio_dd(11, MEAN, CHOL, w, 1024, 13,
+                                      rebalance=rebalance, **KW)
+        for prefetch in (False, True):
+            for sd, atol in tol.items():
+                term, dd = gbm_multi_portfolio_dd(
+                    11, MEAN, CHOL, w, 1024, 13, prefetch=prefetch,
+                    score_dtype=sd, rebalance=rebalance, **KW)
+                if atol == 0.0:
+                    assert (np.asarray(term) == np.asarray(base[0])).all()
+                    assert (np.asarray(dd) == np.asarray(base[1])).all()
+                else:
+                    assert np.abs(np.asarray(dd) - np.asarray(base[1])).max() < atol
