@@ -300,6 +300,10 @@ def test_multi_dd_bf16_and_rebalance_compiled():
                                  score_dtype="bfloat16")
     assert bool(jnp.array_equal(f32[0], b16[0]))
     assert float(jnp.max(jnp.abs(f32[1] - b16[1]))) < 8e-3
+    t32 = gbm_multi_portfolio_dd(jnp.int32(7), mean_step, chol, cand, n, steps,
+                                 score_dtype="tensorfloat32")
+    assert bool(jnp.array_equal(f32[0], t32[0]))
+    assert float(jnp.max(jnp.abs(f32[1] - t32[1]))) < 3e-4
 
     w1 = cand[:1]
     term_m, dd_m = gbm_multi_portfolio_dd(jnp.int32(9), mean_step, chol, w1,
