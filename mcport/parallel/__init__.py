@@ -2,6 +2,7 @@ from mcport.parallel.auto_sharded import auto_sharded_weight_search
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
 from mcport.parallel.sharded_engines import (
     sharded_bootstrap_risk,
+    sharded_cvar_attribution,
     sharded_dcc_risk,
     sharded_drawdown_frontier,
     sharded_garch_risk,
@@ -44,6 +45,7 @@ __all__ = [
     "sharded_merton_risk",
     "sharded_importance_tail",
     "sharded_dcc_risk",
+    "sharded_cvar_attribution",
     "auto_sharded_weight_search",
     "ShardedMCCheckpoint",
     "load_sharded_checkpoint",

@@ -35,7 +35,7 @@ __all__ = ["sharded_path_risk", "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
            "sharded_merton_risk", "sharded_importance_tail",
-           "sharded_dcc_risk"]
+           "sharded_dcc_risk", "sharded_cvar_attribution"]
 
 
 def sharded_path_risk(
@@ -616,3 +616,68 @@ def sharded_dcc_risk(
                            out_specs=(P(), P(), P()), check_vma=False))
     v, c, s = fn(jnp.asarray(seed, jnp.int32), w)
     return float(v), float(c), float(s) / n_paths
+
+
+def sharded_cvar_attribution(
+    seed: Array,
+    mean_step: Array,
+    chol_step: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    axis: str = "paths",
+):
+    """Euler CVaR attribution over a mesh — per-asset tail contributions at
+    16M+ path scale without materializing the path cloud anywhere.
+
+    Two phases over the SAME counter-seeded terminal draws (regenerating the
+    deterministic streams is the repo's standard alternative to storing
+    paths): (1) psum'd histogram sketch -> the VaR threshold (one-bin-width
+    accuracy, like every sharded tail metric here); (2) masked per-asset
+    sums against that threshold, psum'd. Components sum EXACTLY to the
+    masked tail mean at the sketch threshold (the Euler identity is
+    pointwise; only the threshold carries sketch error).
+
+    Returns ``(var, cvar, contributions (A,), n_tail)``.
+    """
+    from mcport.ops.quantile import auto_sketch
+
+    if sketch is None:
+        sketch = auto_sketch(np.asarray(mean_step), np.asarray(chol_step),
+                             n_steps)
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    w = jnp.asarray(weights, jnp.float32)
+    mean_j = jnp.asarray(mean_step, jnp.float32)
+    chol_j = jnp.asarray(chol_step, jnp.float32)
+
+    def draw(seed):
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+        term = terminal_log_returns(key, mean_j, chol_j, n_local, n_steps,
+                                    dtype=jnp.float32)
+        return jnp.exp(term) - 1.0
+
+    def local(seed, w):
+        gross = draw(seed)
+        port = gross @ w
+        psum = lambda x: jax.lax.psum(x, axis)
+        hist = psum(histogram(port, sketch))
+        v, _ = sketch_var_cvar(hist, alpha, sketch)
+        mask = (port <= v).astype(jnp.float32)
+        n_tail = psum(mask.sum())
+        comp = psum((gross * mask[:, None]).sum(axis=0))
+        comp = w * comp / jnp.maximum(n_tail, 1.0)
+        return v, comp, n_tail
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                           out_specs=(P(), P(), P()), check_vma=False))
+    v, comp, n_tail = fn(jnp.asarray(seed, jnp.int32), w)
+    comp = np.asarray(comp, np.float64)
+    return float(v), float(comp.sum()), comp, int(n_tail)

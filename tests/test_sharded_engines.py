@@ -343,3 +343,23 @@ def test_sharded_dcc_risk_consistent(mesh):
     sv, sc, spm = dcc_risk(jax.random.key(0), dp, W, n_paths=16_384, n_steps=12)
     assert c <= v < 0.0
     assert abs(v - sv) < 0.02 and abs(pm - spm) < 0.01
+
+
+def test_sharded_cvar_attribution(mesh):
+    """Mesh Euler attribution: components sum to the masked tail mean at the
+    sketch threshold (exact identity), the threshold agrees with the sharded
+    risk engine's convention, and the split orders by riskiness."""
+    from mcport.parallel.sharded_engines import sharded_cvar_attribution
+
+    mean = jnp.asarray(PARAMS.mean_step, jnp.float32)
+    chol = jnp.asarray(PARAMS.chol_step, jnp.float32)
+    v, cvar, comp, n_tail = sharded_cvar_attribution(
+        5, mean, chol, jnp.asarray(W), 16_384, 12, mesh, sketch=SK)
+    assert cvar <= v < 0.0
+    np.testing.assert_allclose(comp.sum(), cvar, rtol=1e-10)
+    assert comp.shape == (A,)
+    # ~5% of paths in the tail (sketch threshold => approximate, not exact k)
+    assert 0.03 * 16_384 < n_tail < 0.08 * 16_384
+    # heaviest weight on the most volatile asset? W=(0.5,0.3,0.2) with equal
+    # vols => contribution ordering follows weights
+    assert comp[0] < comp[1] < comp[2] < 0.0
