@@ -72,14 +72,21 @@ def main():
             out[name] = N_PATHS * N_STEPS / diff_timed(loop, k=3) / 1e9
         return out
 
-    for prec in ("float32", "split", "bfloat16", "split"):
-        pallas_gbm.CORRELATE_PRECISION = prec
+    saved = pallas_gbm.CORRELATE_PRECISION
+    try:
+        for prec in ("float32", "split", "bfloat16", "split"):
+            pallas_gbm.CORRELATE_PRECISION = prec
+            pallas_gbm.gbm_path_stats.clear_cache()
+            pallas_garch._call.clear_cache()
+            r = measure()
+            print(f"  correlate={prec:9s}: path-stats {r['path-stats']:.2f}e9, "
+                  f"garch {r['garch']:.2f}e9 path-steps/s")
+    finally:
+        # restore the module default ("split") for anything importing this
+        # script after main() — as test_correlate_split_semantics does
+        pallas_gbm.CORRELATE_PRECISION = saved
         pallas_gbm.gbm_path_stats.clear_cache()
         pallas_garch._call.clear_cache()
-        r = measure()
-        print(f"  correlate={prec:9s}: path-stats {r['path-stats']:.2f}e9, "
-              f"garch {r['garch']:.2f}e9 path-steps/s")
-    pallas_gbm.CORRELATE_PRECISION = "float32"
 
 
 if __name__ == "__main__":

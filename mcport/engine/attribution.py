@@ -22,6 +22,7 @@ like the moment sketches).
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -43,13 +44,22 @@ class CVaRAttribution:
     alpha: float
 
 
-@jax.jit
-def _masked_components(term: Array, w: Array, var_thresh: Array, k: Array):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _masked_components(term: Array, w: Array, k: int):
     """(A,) Euler components over the k worst states, threshold ties
-    weighted fractionally; one pass of masked reductions."""
+    weighted fractionally; one pass of masked reductions.
+
+    The VaR threshold is the k-th worst element of the SAME ``port`` vector
+    the masks are built from (not a threshold recomputed through a different
+    contraction) — bitwise equality in the at-threshold mask is then
+    guaranteed to select at least the threshold element itself, even if XLA
+    accumulates an (N,A)@(A,1) matmul differently from this matvec."""
     port = term @ w
+    worst, _ = jax.lax.top_k(-port, k)
+    var_thresh = -worst[k - 1]
     below = (port < var_thresh).astype(term.dtype)
     at = (port == var_thresh).astype(term.dtype)
+    k = jnp.asarray(k, term.dtype)
     m = below.sum()
     t = jnp.maximum(at.sum(), 1.0)
     frac = (k - m) / t                                   # in [0, 1]
@@ -74,9 +84,7 @@ def cvar_attribution(terminal: Array, weights: np.ndarray,
     n = term.shape[0]
     k = max(1, math.ceil((1.0 - alpha) * n))
     var, _ = exact_tail_metrics(term, w, alpha)
-    comp = np.asarray(
-        _masked_components(term, w, var, jnp.asarray(k, term.dtype)),
-        np.float64)
+    comp = np.asarray(_masked_components(term, w, k), np.float64)
     cvar = float(comp.sum())
     return CVaRAttribution(
         var=float(var), cvar=cvar, contributions=comp,

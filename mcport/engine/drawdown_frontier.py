@@ -169,13 +169,19 @@ def drawdown_frontier_search(
 
     if use_pallas and score_dtype == "bfloat16" and rescore_top > 0:
         # exact pass over the candidates bf16 screening could have misjudged:
-        # those within `margin` of the budget (a ~2e-3 dd perturbation can
-        # flip them; rebalance mode compounds rounding ~sqrt(T)·1e-3 — widen).
-        # Any candidate the final argmax can select is inside this pool (the
-        # feasible set is a subset of it), so the loop below rescored-batches
-        # until the WINNER itself is exact — the guarantee holds even when
-        # more than rescore_top candidates crowd the margin band.
-        margin = 4e-3 + (1.5e-3 * math.sqrt(n_steps) if rebalance else 0.0)
+        # those within `margin` of the budget (bf16 dd perturbation can flip
+        # them; rebalance mode compounds rounding as ~sqrt(T) random walk).
+        # The margin is the test-pinned perturbation bound from the kernel
+        # module, so it cannot drift below what the tests allow the screen to
+        # err by. Any candidate the final argmax can select is inside this
+        # pool (the feasible set is a subset of it), so the loop below
+        # rescored-batches until the WINNER itself is exact — the guarantee
+        # holds even when more than rescore_top candidates crowd the band.
+        from mcport.ops.pallas_multi_dd import (
+            BF16_DD_ERR_BOUND, BF16_DD_ERR_REBAL_COEF,
+        )
+        margin = BF16_DD_ERR_BOUND + (
+            BF16_DD_ERR_REBAL_COEF * math.sqrt(n_steps) if rebalance else 0.0)
         pool = np.nonzero(valid & (dd_p95 >= -(budget + margin)))[0]
         if pool.size:
             from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd

@@ -116,6 +116,9 @@ def stress_params(params: GBMParams, name: str) -> GBMParams:
     return scen[name](params)
 
 
+_DEFAULT_CRASH: tuple[float, float] = (0.05, -0.10)
+
+
 def stress_test(
     params: GBMParams,
     weights: np.ndarray,
@@ -124,7 +127,7 @@ def stress_test(
     n_steps: int = 52,
     alpha: float = 0.95,
     seed: int = 0,
-    crash_jump: tuple[float, float] | None = (0.05, -0.10),
+    crash_jump: tuple[float, float] | None = _DEFAULT_CRASH,
 ) -> StressReport:
     """Run the identical risk pipeline under each shocked parameter set.
 
@@ -135,7 +138,9 @@ def stress_test(
     deltas isolate the shock.
     """
     w = np.asarray(weights, np.float64)
-    _crash_explicit = crash_jump != (0.05, -0.10)   # non-default = explicit ask
+    # identity vs the sentinel, not value equality: an explicitly passed
+    # (0.05, -0.10) is still an explicit ask for the crash overlay
+    _crash_explicit = crash_jump is not _DEFAULT_CRASH
     base = _risk_of(params, w, n_paths, n_steps, alpha, seed)
     scen = dict(_default_scenarios() if scenarios is None else scenarios)
 

@@ -29,7 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 from mcport.ops import pallas_gbm as _pg
 from mcport.ops.pallas_gbm import _make_normal_pair, _round_up, paired_step_loop
 
-__all__ = ["gbm_multi_portfolio_dd"]
+__all__ = ["gbm_multi_portfolio_dd", "BF16_DD_ERR_BOUND", "BF16_DD_ERR_REBAL_COEF"]
+
+# Pinned bf16-screening drawdown perturbation bounds. These are the SINGLE
+# source of truth shared by the rescore margin in
+# mcport.engine.drawdown_frontier and the error assertions in
+# tests/test_drawdown_frontier.py / tests/test_tpu_kernels.py, so the margin
+# and the tested bounds cannot drift apart: a candidate whose true f32 dd_p95
+# is within budget but whose bf16 screen errs pessimistically by up to the
+# bound must land inside the rescore pool for the exact-optimum guarantee.
+BF16_DD_ERR_BOUND = 8e-3        # buy-and-hold |dd_p95| bound (tested at 13-26 steps)
+BF16_DD_ERR_REBAL_COEF = 1.4e-2  # rebalance widening: coef*sqrt(n_steps) (~5e-2 @ 13)
 
 
 def _multi_dd_kernel(

@@ -383,7 +383,12 @@ def sharded_drawdown_frontier(
         all_w = jax.lax.all_gather(w[best], axis)
         all_d = jax.lax.all_gather(dd_p95[best], axis)
         g = jnp.argmax(all_s)
-        return all_w[g], all_s[g], all_d[g], n_feas
+        # no-feasible guard (parity with the simulated-frontier forms): when
+        # every candidate busts the budget or bounds, score is -inf and the
+        # winner is an arbitrary invalid draw — NaN the weights so callers
+        # checking only weights cannot trade it
+        w_out = jnp.where(jnp.isfinite(all_s[g]), all_w[g], jnp.nan)
+        return w_out, all_s[g], all_d[g], n_feas
 
     fn = jax.jit(shard_map(
         local, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),

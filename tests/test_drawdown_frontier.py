@@ -8,7 +8,11 @@ import pytest
 from mcport.engine.drawdown_frontier import _lax_multi_dd, drawdown_frontier_search
 from mcport.models.gbm import GBMParams
 from mcport.ops.pallas_gbm import gbm_path_stats
-from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+from mcport.ops.pallas_multi_dd import (
+    BF16_DD_ERR_BOUND,
+    BF16_DD_ERR_REBAL_COEF,
+    gbm_multi_portfolio_dd,
+)
 
 A = 3
 MEAN = np.array([0.002, 0.001, 0.0015], np.float32)
@@ -97,7 +101,7 @@ def test_multi_dd_bf16_scoring_fidelity():
                                  score_dtype="bfloat16", **KW)
     assert (np.asarray(f32[0]) == np.asarray(b16[0])).all()
     dd_err = np.abs(np.asarray(f32[1]) - np.asarray(b16[1]))
-    assert dd_err.max() < 8e-3
+    assert dd_err.max() < BF16_DD_ERR_BOUND
     # per-candidate mean drawdown (the screening statistic) barely moves
     assert np.abs(np.asarray(f32[1]).mean(1) - np.asarray(b16[1]).mean(1)).max() < 2e-3
 
@@ -182,7 +186,8 @@ def test_multi_dd_flag_matrix_composes():
         # several sigma out) — the frontier's guarantee is unaffected since
         # the winner is always rescored at f32 (drawdown_frontier loop)
         tol = {"float32": 0.0, "tensorfloat32": 2e-4,
-               "bfloat16": 5e-2 if rebalance else 1.5e-2}
+               "bfloat16": BF16_DD_ERR_BOUND + BF16_DD_ERR_REBAL_COEF * 13**0.5
+               if rebalance else 1.5e-2}
         base = gbm_multi_portfolio_dd(11, MEAN, CHOL, w, 1024, 13,
                                       rebalance=rebalance, **KW)
         for prefetch in (False, True):
