@@ -1,14 +1,29 @@
-"""Headline benchmark: correlated-GBM throughput on one chip.
+"""Benchmark fleet: one JSON line per kernel/config, headline metric LAST.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline line (the driver's parsed metric, BASELINE.json:5 target 1e9
+path-steps/s/chip) is printed last:
+    {"metric": "gbm_path_steps_per_sec_per_chip", ...}
 
-Workload (BASELINE.json:2,8): 15 assets, 252 steps, Cholesky-correlated GBM paths,
-fused Pallas terminal kernel on TPU (lax engine elsewhere). ``vs_baseline`` is
-measured throughput over the driver-set target of 1e9 path-steps/sec/chip — the
-reference publishes no numbers of its own (BASELINE.md).
+Before it, on TPU, the fleet emits one line each for the other hot kernels and
+the two wall-clock configs so round-over-round claims are auditable from
+BENCH_r{N}.json instead of RESULTS.md prose (VERDICT r2 item 3):
 
-All reductions stay on device; only one scalar leaves the chip (the axon tunnel
-makes host transfers pathologically slow — see .claude/skills/verify/SKILL.md).
+    gbm_terminal_hedged_*   terminal engine + option-leg settlement (the <10%%
+                            hedging-overhead criterion, VERDICT r2 item 1)
+    gbm_path_stats_*        fused per-step portfolio/drawdown kernel
+    garch_*                 CCC-GARCH(1,1) kernel
+    multi_dd_{f32,tf32,bf16}_* candidate-scoring drawdown kernel tiers
+    bootstrap_*             stationary block bootstrap kernel
+    config3_*               1M-candidate CONSTRAINED streaming frontier
+                            (cold = incl. compile, warm) [BASELINE config 3]
+    config4_*               16.7M-path sketch tail risk wall [BASELINE config 4]
+
+Timing: every throughput uses the same-process K-vs-2K difference protocol
+with data-chained reps and a scalar VALUE fetch (utils.profiling.diff_timed);
+block_until_ready alone is untrustworthy through the axon tunnel and
+between-process comparisons exceed 20% noise (benchmarks/RESULTS.md).
+Each fleet entry is fail-isolated: an error prints an "error" line and the
+headline still runs.
 """
 
 import json
@@ -24,18 +39,197 @@ BASELINE_PATH_STEPS_PER_SEC = 1e9  # BASELINE.json:5 target
 N_ASSETS = 15
 N_STEPS = 252
 N_PATHS = 1_048_576
-REPS = 5
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _emit(metric, value, unit, vs_baseline=None):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 4), "unit": unit,
+        "vs_baseline": None if vs_baseline is None else round(vs_baseline, 4),
+    }), flush=True)
 
-    on_tpu = jax.default_backend() == "tpu"
+
+def _universe():
     rng = np.random.default_rng(0)
     corr = 0.5 * np.eye(N_ASSETS) + 0.5
     chol = np.linalg.cholesky(0.0004 * corr).astype(np.float32)
     mean = rng.normal(1e-3, 5e-4, N_ASSETS).astype(np.float32)
+    return mean, chol
+
+
+def _chain(one):
+    """Data-chained rep loop for diff_timed (reps cannot overlap/elide)."""
+    import jax.numpy as jnp
+
+    def loop(k):
+        acc = jnp.float32(0)
+        for i in range(k):
+            acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
+        return acc
+
+    return loop
+
+
+def fleet(mean, chol):
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.utils.profiling import diff_timed
+
+    rng = np.random.default_rng(1)
+
+    # -- hedged terminal: the engine composition measure (VERDICT r2 item 1).
+    # Married puts on 5 assets + covered calls on 3 over s0=100 — settle vs
+    # simulated terminal prices, then the weight dot. Overhead is reported
+    # as hedged-vs-plain ratio of the SAME (terminal + portfolio dot) chain.
+    from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+    from mcport.options import HedgeSpec, LegType, Legs
+    from mcport.options.hedged import hedged_terminal_returns
+
+    names = [f"a{i}" for i in range(N_ASSETS)]
+    legs = {}
+    for i in range(5):
+        legs[names[i]] = Legs.from_rows([
+            (LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+            (LegType.BUY_PUT, 90.0, 1.5, 1.0)])
+    for i in range(5, 8):
+        legs[names[i]] = Legs.from_rows([(LegType.SELL_CALL, 110.0, 2.0, 1.0)])
+    spec = HedgeSpec.build(legs, names)
+    s0 = jnp.full((N_ASSETS,), 100.0, jnp.float32)
+    w = jnp.asarray(rng.dirichlet(np.ones(N_ASSETS)), jnp.float32)
+    harr = spec.arrays
+
+    @jax.jit
+    def plain(seed):
+        term = pallas_terminal_log_returns(seed, mean, chol, N_PATHS, N_STEPS)
+        return ((jnp.exp(term) - 1.0) @ w).sum() * 1e-9
+
+    @jax.jit
+    def hedged(seed):
+        term = pallas_terminal_log_returns(seed, mean, chol, N_PATHS, N_STEPS)
+        return (hedged_terminal_returns(term, s0, *harr) @ w).sum() * 1e-9
+
+    t_plain = diff_timed(_chain(plain), k=5)
+    t_hedged = diff_timed(_chain(hedged), k=5)
+    rate_h = N_PATHS * N_STEPS / t_hedged
+    _emit("gbm_terminal_hedged_path_steps_per_sec", rate_h,
+          "path-steps/s (15 assets, 8 hedged, 252 steps, f32)",
+          rate_h / BASELINE_PATH_STEPS_PER_SEC)
+    _emit("hedged_overhead_vs_terminal_pct", (t_hedged / t_plain - 1.0) * 100,
+          "% wall overhead of option settlement on the terminal engine")
+
+    # -- path-stats kernel (terminal + per-step portfolio value + drawdown)
+    from mcport.ops.pallas_gbm import gbm_path_stats
+
+    @jax.jit
+    def pstats(seed):
+        term, port, dd = gbm_path_stats(seed, mean, chol, w, N_PATHS, N_STEPS)
+        return (port.sum() + dd.sum()) * 1e-9
+
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(pstats), k=4)
+    _emit("gbm_path_stats_path_steps_per_sec", rate,
+          "path-steps/s (15 assets, 252 steps, split correlate, prefetch)",
+          rate / BASELINE_PATH_STEPS_PER_SEC)
+
+    # -- CCC-GARCH kernel
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_garch import pallas_garch_terminal_returns
+
+    sig0 = np.full(N_ASSETS, 4e-4)
+    gp = CCCGarchParams(
+        mu=np.asarray(mean, np.float64),
+        omega=sig0 * 0.1, alpha=np.full(N_ASSETS, 0.08),
+        beta=np.full(N_ASSETS, 0.9),
+        corr_chol=np.linalg.cholesky(0.5 * np.eye(N_ASSETS) + 0.5),
+        sigma2_0=sig0, eps2_0=sig0,
+    )
+
+    @jax.jit
+    def garch(seed):
+        return pallas_garch_terminal_returns(seed, gp, N_PATHS, N_STEPS).sum() * 1e-9
+
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(garch), k=4)
+    _emit("garch_path_steps_per_sec", rate,
+          "path-steps/s (CCC-GARCH(1,1), 15 assets, 252 steps)",
+          rate / BASELINE_PATH_STEPS_PER_SEC)
+
+    # -- multi-portfolio drawdown scoring tiers
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    n_cand, dd_paths = 256, 131_072
+    cand = rng.dirichlet(np.ones(N_ASSETS), size=n_cand).astype(np.float32)
+    for sd, label in (("float32", "f32"), ("tensorfloat32", "tf32"),
+                      ("bfloat16", "bf16")):
+        @jax.jit
+        def mdd(seed, sd=sd):
+            term, dd = gbm_multi_portfolio_dd(
+                seed, mean, chol, cand, dd_paths, N_STEPS, score_dtype=sd)
+            return (term.sum() + dd.sum()) * 1e-9
+
+        rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(mdd), k=3)
+        _emit(f"multi_dd_{label}_cand_path_steps_per_sec", rate,
+              f"cand-path-steps/s (256 cand, 131072 paths, 252 steps, {sd})")
+
+    # -- stationary block bootstrap kernel
+    from mcport.ops.pallas_bootstrap import pallas_bootstrap_terminal_returns
+
+    hist = rng.normal(1e-3, 0.02, (365, N_ASSETS)).astype(np.float32)
+
+    @jax.jit
+    def boot(seed):
+        return pallas_bootstrap_terminal_returns(
+            seed, hist, N_PATHS, N_STEPS).sum() * 1e-9
+
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(boot), k=3)
+    _emit("bootstrap_path_steps_per_sec", rate,
+          "path-steps/s (365-row history, 15 assets, 252 steps, bit-exact)",
+          rate / BASELINE_PATH_STEPS_PER_SEC)
+
+
+def configs(mean, chol):
+    """BASELINE configs 3 and 4: end-to-end wall times (cold incl. compile)."""
+    import jax
+
+    from mcport.engine.simulated_frontier import simulated_weight_search_streaming
+    from mcport.models.gbm import GBMParams
+
+    params = GBMParams(s0=np.full(N_ASSETS, 100.0),
+                       mean_step=np.asarray(mean, np.float64),
+                       chol_step=np.asarray(chol, np.float64))
+    min_w = np.full(N_ASSETS, 0.01)
+    max_w = np.full(N_ASSETS, 0.60)
+
+    def run_c3():
+        t0 = time.perf_counter()
+        simulated_weight_search_streaming(
+            jax.random.key(0), params, n_candidates=1_048_576, n_paths=16_384,
+            n_steps=N_STEPS, objective="cvar", min_weights=min_w,
+            max_weights=max_w)
+        return time.perf_counter() - t0
+
+    cold = run_c3()
+    warm = min(run_c3(), run_c3())
+    _emit("config3_streaming_1m_constrained_cold_s", cold,
+          "s wall, 1M constrained candidates incl. compile (config 3)")
+    _emit("config3_streaming_1m_constrained_warm_s", warm,
+          "s wall, warm (config 3)")
+
+    from mcport.config import GBMConfig
+    from mcport.engine.mc_engine import run_resumable_mc
+
+    cfg = GBMConfig(n_paths=16_777_216, path_block=1_048_576, n_steps=N_STEPS,
+                    use_pallas=True)
+    w = np.full(N_ASSETS, 1.0 / N_ASSETS)
+    t0 = time.perf_counter()
+    report, _ = run_resumable_mc(params, w, cfg)
+    wall = time.perf_counter() - t0
+    _emit("config4_16m_tail_wall_s", wall,
+          f"s wall, 16.7M-path VaR/CVaR sketch (config 4; cvar={report.cvar:.4f})")
+
+
+def headline(mean, chol, on_tpu):
+    import jax
+    import jax.numpy as jnp
+
     n_paths = N_PATHS if on_tpu else 16_384  # CPU fallback stays honest but small
 
     if on_tpu:
@@ -50,18 +244,15 @@ def main() -> None:
             key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
             return terminal_log_returns(key, mean, chol, n_paths, N_STEPS).sum()
 
-    # Timing protocol for the tunneled device (block_until_ready can return
-    # before remote completion; host<->device traffic is erratic): run K and 2K
-    # reps inside on-device fori_loops whose iterations are data-chained (the
-    # next seed depends on the previous sum, so reps cannot overlap or be
-    # elided), force completion with a scalar VALUE fetch (block_until_ready
-    # alone is not trustworthy here), and take the difference — fetch/dispatch
-    # overhead cancels, leaving K * per-rep time.
+    # K-vs-2K difference with data-chained on-device fori_loop reps and a
+    # scalar VALUE fetch (see module docstring for why).
+    REPS = 5
+
     def make_loop(k):
         @jax.jit
         def loop(seed0):
             def body(i, acc):
-                chain = jnp.int32(acc * 1e-6) & 7  # data dependency, tiny seed jitter
+                chain = jnp.int32(acc * 1e-6) & 7
                 return acc + one(seed0 + (i + 1) * (1 << 20) + chain)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return loop
@@ -81,16 +272,28 @@ def main() -> None:
     dt = max(t_2k - t_k, 1e-9) / REPS
     value = n_paths * N_STEPS / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "gbm_path_steps_per_sec_per_chip",
-                "value": round(value, 1),
-                "unit": "path-steps/s (15 assets, 252 steps, f32)",
-                "vs_baseline": round(value / BASELINE_PATH_STEPS_PER_SEC, 3),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "gbm_path_steps_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "path-steps/s (15 assets, 252 steps, f32)",
+        "vs_baseline": round(value / BASELINE_PATH_STEPS_PER_SEC, 3),
+    }))
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    mean, chol = _universe()
+
+    if on_tpu:
+        for stage in (fleet, configs):
+            try:
+                stage(mean, chol)
+            except Exception as e:  # fail-isolated: headline must still print
+                _emit(f"{stage.__name__}_error", 0.0, f"{type(e).__name__}: {e}")
+
+    headline(mean, chol, on_tpu)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,7 @@ __all__ = [
     "compute_stats",
     "simulate",
     "gbm_risk",
+    "hedged_tail_risk",
     "bootstrap_tail_risk",
     "exact_mv_frontier",
     "exact_cvar_frontier",
@@ -75,6 +76,7 @@ def gbm_risk(
     mesh=None,
     checkpoint=None,
     checkpoint_path=None,
+    legs_by_asset=None,
 ) -> RiskReport:
     """Correlated-GBM tail risk for one portfolio, engine chosen by config.
 
@@ -82,7 +84,14 @@ def gbm_risk(
     ``checkpoint``/``checkpoint_path`` → the sharded resumable engine
     (:mod:`mcport.parallel.sharded_resumable`; checkpoint must be a
     ShardedMCCheckpoint). Without a mesh, checkpoints use the single-chip
-    resumable engine (MCCheckpoint)."""
+    resumable engine (MCCheckpoint).
+
+    ``legs_by_asset`` ({asset name/index: Legs or reference-style rows})
+    makes the PORTFOLIO tail statistics hedged: option legs settle at
+    intrinsic value against the simulated terminal prices (terminal
+    composition of app.py:164-180 — the simulated-tier counterpart of the
+    reference's historical hedged series, app.py:657-667). Asset mean/cov
+    stay the plain log-return moments."""
     params = data if isinstance(data, GBMParams) else estimate_gbm(data.prices)
     a = params.n_assets
     w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
@@ -90,10 +99,31 @@ def gbm_risk(
         raise ValueError(f"weights must have shape ({a},)")
     g = config.gbm
     alpha = config.simulation.alpha
+    hedge = None
+    if legs_by_asset:
+        from mcport.options.hedged import HedgeSpec
+
+        names = (data.names if isinstance(data, PriceData)
+                 else [f"asset{i}" for i in range(a)])
+        hedge = HedgeSpec.build(legs_by_asset, names)
     # GBMConfig.auto_sketch (default True) derives the adaptive log1p range
     # from the fitted params; set it False to use Config.sketch verbatim
     # (e.g. to reproduce fixed-grid bin geometry).
     sketch = None if g.auto_sketch else config.sketch
+
+    if hedge is not None and mesh is not None:
+        from mcport.parallel.sharded_engines import sharded_hedged_gbm_risk
+
+        v, c, pm = sharded_hedged_gbm_risk(
+            g.seed, params, w, hedge, n_paths=g.n_paths, n_steps=g.n_steps,
+            mesh=mesh, alpha=alpha,
+        )
+        return RiskReport(
+            mean=np.asarray(params.mean_step) * g.n_steps,
+            cov=(np.asarray(params.chol_step) @ np.asarray(params.chol_step).T
+                 * g.n_steps),
+            var=float(v), cvar=float(c), port_mean=float(pm), n_paths=g.n_paths,
+        )
 
     if mesh is not None and (checkpoint is not None or checkpoint_path is not None):
         # sharded + resumable composition (per-device cursors, bit-exact resume)
@@ -129,14 +159,28 @@ def gbm_risk(
                 "QMC sampling draws Gaussian innovations (Sobol/Halton inverse "
                 "normal transform); student_t is not supported with qmc != 'none'"
             )
-        if sketch is None:
-            sketch = auto_sketch(params.mean_step, params.chol_step, g.n_steps)
         dtype = jnp.dtype(g.dtype)
+        if sketch is None:
+            if hedge is not None:
+                from mcport.options.hedged import auto_hedged_sketch
+
+                sketch = auto_hedged_sketch(
+                    params, g.n_steps, hedge,
+                    weights=w if (w >= 0).all() else None)
+            else:
+                sketch = auto_sketch(params.mean_step, params.chol_step, g.n_steps)
         z = qmc_normals(g.n_paths, a, g.qmc, g.seed, dtype)
         scale = jnp.sqrt(jnp.asarray(g.n_steps, dtype))
         lt = jnp.asarray(params.chol_step, dtype).T
         term = g.n_steps * jnp.asarray(params.mean_step, dtype) + scale * (z @ lt)
-        port = portfolio_terminal_returns(term, jnp.asarray(w, dtype))
+        if hedge is not None:
+            from mcport.options.hedged import hedged_terminal_returns
+
+            port = hedged_terminal_returns(
+                term, jnp.asarray(params.s0, dtype), *hedge.arrays
+            ) @ jnp.asarray(w, dtype)
+        else:
+            port = portfolio_terminal_returns(term, jnp.asarray(w, dtype))
         counts = histogram(port, sketch)
         v, c = sketch_var_cvar(counts, alpha, sketch)
         mean = term.mean(0)
@@ -149,7 +193,7 @@ def gbm_risk(
 
     report, _ = run_resumable_mc(
         params, w, g, sketch, alpha=alpha,
-        checkpoint=checkpoint, checkpoint_path=checkpoint_path,
+        checkpoint=checkpoint, checkpoint_path=checkpoint_path, hedge=hedge,
     )
     return report
 
@@ -174,6 +218,82 @@ def bootstrap_tail_risk(
         n_paths=g.n_paths, n_steps=g.n_steps, p_restart=p_restart,
         alpha=config.simulation.alpha, seed=g.seed,
     )
+
+
+def hedged_tail_risk(
+    data: PriceData,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+    legs_by_asset=None,
+    model: str = "gbm",
+) -> dict[str, float]:
+    """Hedged portfolio tail risk under any terminal model family.
+
+    Draws (n_paths, A) terminal simple returns from ``model`` ("gbm",
+    "student_t", "garch", "bootstrap"), settles each asset's option legs at
+    intrinsic value against the implied terminal price (terminal composition
+    of app.py:164-180; see :mod:`mcport.options.hedged`), and reports exact
+    top-k tail metrics of the hedged portfolio — {var, cvar, port_mean,
+    hedged: True}. The k-worst convention matches the simulated frontier
+    (k = ceil((1-alpha)·n_paths); VaR = k-th worst, CVaR = k-worst mean).
+
+    This is the one-stop hedged counterpart of :func:`compare_tail_risk`'s
+    families on their lax paths; ``gbm_risk(legs_by_asset=...)`` remains the
+    chunked/resumable form for huge path counts.
+    """
+    from mcport.options.hedged import HedgeSpec, hedged_from_simple
+
+    a = len(data.names)
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
+    g = config.gbm
+    alpha = config.simulation.alpha
+    spec = HedgeSpec.build(legs_by_asset, data.names)
+    s0 = np.asarray(data.prices[-1], np.float64)
+    key = jax.random.key(g.seed)
+
+    if model == "gbm" or model == "student_t":
+        from mcport.models.gbm import (
+            estimate_t_dof, terminal_log_returns, terminal_log_returns_t,
+        )
+
+        params = estimate_gbm(data.prices)
+        m = jnp.asarray(params.mean_step, jnp.float32)
+        L = jnp.asarray(params.chol_step, jnp.float32)
+        if model == "student_t":
+            term_log = terminal_log_returns_t(
+                key, m, L, estimate_t_dof(data.prices), g.n_paths, g.n_steps)
+        else:
+            term_log = terminal_log_returns(key, m, L, g.n_paths, g.n_steps)
+        simple = jnp.expm1(term_log)
+    elif model == "garch":
+        from mcport.models.garch_mc import estimate_ccc_garch, garch_terminal_returns
+
+        gparams = estimate_ccc_garch(data.port_rets)
+        simple = garch_terminal_returns(key, gparams, g.n_paths, g.n_steps)
+    elif model == "bootstrap":
+        from mcport.models.bootstrap import bootstrap_terminal_returns
+
+        simple = bootstrap_terminal_returns(
+            key, jnp.asarray(data.port_rets, jnp.float32), g.n_paths, g.n_steps)
+    else:
+        raise ValueError(
+            f"model must be 'gbm', 'student_t', 'garch' or 'bootstrap', got {model!r}")
+
+    hedged = hedged_from_simple(
+        simple, jnp.asarray(s0, simple.dtype), *spec.arrays)
+    port = hedged @ jnp.asarray(w, hedged.dtype)
+    import math as _math
+
+    k = max(1, _math.ceil((1.0 - alpha) * g.n_paths))
+    worst, _ = jax.lax.top_k(-port, k)
+    return {
+        "var": float(-worst[-1]),
+        "cvar": float(-worst.mean()),
+        "port_mean": float(port.mean()),
+        "model": model,
+        "n_paths": g.n_paths,
+        "hedged_assets": [n for n, m_ in zip(data.names, spec.hedged_mask) if m_],
+    }
 
 
 def exact_mv_frontier(

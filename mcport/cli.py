@@ -20,8 +20,12 @@ Commands:
   compare-models one portfolio, every tail-risk model family
   jump-risk    Merton systemic-jump tail risk (threshold-calibrated)
   bootstrap-risk distribution-free tail risk from resampled historical paths
+  hedged-risk  hedged tail risk across model families (--hedge JSON config;
+               option legs settle against simulated terminal prices)
   sim-frontier weight search scored against simulated GBM paths
+               (--hedge scores hedged candidates)
   dd-frontier  max return subject to a simulated max-drawdown budget
+               (--hedge: per-period-settled hedged drawdowns)
   backtest     walk-forward out-of-sample comparison of allocation rules
   stress       scenario stress test (shocked-parameter risk deltas)
   bl-frontier  Black-Litterman posterior + exact frontier (views blending)
@@ -63,6 +67,30 @@ def _emit(obj) -> None:
     sys.stdout.write("\n")
 
 
+def _hedge_from_args(args, d):
+    """(legs_by_asset, HedgeSpec) from ``--hedge FILE``, or (None, None).
+
+    The file is the JSON schema of :func:`mcport.options.hedged.legs_from_spec`;
+    strategy strikes default relative to each asset's LAST price (spot), the
+    reference's tab-1 convention (app.py:515-581)."""
+    path = getattr(args, "hedge", None)
+    if not path:
+        return None, None
+    from pathlib import Path
+
+    from mcport.options.hedged import HedgeSpec, legs_from_spec
+
+    try:
+        spec_map = json.loads(Path(path).read_text())
+    except (OSError, json.JSONDecodeError) as e:
+        raise SystemExit(f"--hedge {path}: {e}")
+    try:
+        legs = legs_from_spec(spec_map, d.names, d.prices[-1])
+        return legs, HedgeSpec.build(legs, d.names)
+    except ValueError as e:
+        raise SystemExit(f"--hedge {path}: {e}")
+
+
 def cmd_stats(args) -> None:
     from mcport.stats import STAT_COLUMNS, asset_stats_batch
 
@@ -87,7 +115,8 @@ def cmd_simulate(args) -> None:
                                     target_risk=args.target_risk),
     )
     methods = args.methods.split(",") if args.methods else DEFAULT_METHODS
-    out = run_simulation(d, cfg, methods=methods)
+    legs_by_asset, _ = _hedge_from_args(args, d)
+    out = run_simulation(d, cfg, legs_by_asset=legs_by_asset, methods=methods)
     report = {}
     for m, r in out.results.items():
         if r.opt_idx < 0:
@@ -127,9 +156,10 @@ def cmd_gbm_risk(args) -> None:
                     use_pallas=not args.no_pallas,
                     innovations=args.innovations, t_dof=t_dof)
     ck = load_checkpoint(args.checkpoint) if args.resume else None
+    _, hedge = _hedge_from_args(args, d)
     report, ck_out = run_resumable_mc(
         params, w, cfg, alpha=args.alpha, checkpoint=ck,
-        checkpoint_path=args.checkpoint,
+        checkpoint_path=args.checkpoint, hedge=hedge,
     )
     out = {
         "n_paths": report.n_paths,
@@ -143,6 +173,21 @@ def cmd_gbm_risk(args) -> None:
         "terminal_log_mean": report.mean.tolist(),
         "done": ck_out.done,
     }
+    if hedge is not None:
+        out["hedged_assets"] = [
+            n for n, m_ in zip(d.names, hedge.hedged_mask) if m_]
+        if args.path_stats:
+            out["drawdown_stats"] = (
+                "unavailable: path-stats drawdowns are unhedged "
+                "(buy-and-hold); use dd-frontier --hedge for hedged "
+                "per-period drawdowns"
+            )
+        if args.attribution:
+            out["cvar_attribution"] = (
+                "unavailable: attribution decomposes the UNHEDGED linear "
+                "portfolio; the var/cvar above are hedged"
+            )
+        args.path_stats = args.attribution = False
     if args.path_stats and args.innovations != "normal":
         out["drawdown_stats"] = (
             "unavailable: the path-stats engine draws normal innovations; "
@@ -604,6 +649,27 @@ def cmd_bootstrap_risk(args) -> None:
     })
 
 
+def cmd_hedged_risk(args) -> None:
+    from mcport.api import hedged_tail_risk
+
+    d = _universe(args)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    legs_by_asset, _ = _hedge_from_args(args, d)
+    if legs_by_asset is None:
+        raise SystemExit("hedged-risk requires --hedge FILE")
+    cfg = Config(gbm=GBMConfig(n_paths=args.paths, n_steps=args.steps,
+                               seed=args.seed),
+                 simulation=SimulationConfig(alpha=args.alpha))
+    out = {"weights": dict(zip(d.names, map(float, w)))}
+    for model in args.models.split(","):
+        out[model] = hedged_tail_risk(d, w, cfg, legs_by_asset, model=model)
+    _emit(out)
+
+
 def cmd_sim_frontier(args) -> None:
     import jax
 
@@ -615,6 +681,7 @@ def cmd_sim_frontier(args) -> None:
 
     d = _universe(args)
     params = estimate_gbm(d.prices)
+    _, hedge = _hedge_from_args(args, d)
     min_w = np.full(d.n_assets, args.min_weight) if args.min_weight else None
     max_w = np.full(d.n_assets, args.max_weight) if args.max_weight < 1.0 else None
     if args.streaming:
@@ -622,7 +689,7 @@ def cmd_sim_frontier(args) -> None:
             jax.random.key(args.seed), params,
             n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
             objective=args.objective, alpha=args.alpha, risk_free=args.risk_free,
-            min_weights=min_w, max_weights=max_w,
+            min_weights=min_w, max_weights=max_w, hedge=hedge,
         )
         _emit({
             "objective": r.objective,
@@ -630,6 +697,7 @@ def cmd_sim_frontier(args) -> None:
             "n_valid": r.n_valid,
             "n_paths": args.paths,
             "streaming": True,
+            "hedged": hedge is not None,
             "weights": dict(zip(d.names, map(float, r.opt_weights))),
             "simulated": {
                 "expected_return": r.opt_ret,
@@ -642,13 +710,14 @@ def cmd_sim_frontier(args) -> None:
         jax.random.key(args.seed), params,
         n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
         objective=args.objective, alpha=args.alpha, risk_free=args.risk_free,
-        min_weights=min_w, max_weights=max_w,
+        min_weights=min_w, max_weights=max_w, hedge=hedge,
     )
     i = r.opt_idx
     _emit({
         "objective": r.objective,
         "n_candidates": args.candidates,
         "n_paths": args.paths,
+        "hedged": hedge is not None,
         "weights": dict(zip(d.names, map(float, r.opt_weights))),
         "simulated": {
             "expected_return": float(r.ret[i]),
@@ -668,16 +737,18 @@ def cmd_dd_frontier(args) -> None:
 
     d = _universe(args)
     params = estimate_gbm(d.prices)
+    _, hedge = _hedge_from_args(args, d)
     r = drawdown_frontier_search(
         jax.random.key(args.seed), params, dd_budget=args.dd_budget,
         n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
         alpha=args.alpha, score_dtype=args.score_dtype,
-        rebalance=args.rebalance,
+        rebalance=args.rebalance, hedge=hedge,
     )
     out = {
         "dd_budget": r.dd_budget,
         "n_candidates": args.candidates,
         "n_feasible": int(r.feasible.sum()),
+        "hedged": hedge is not None,
     }
     if r.opt_idx < 0:
         out["error"] = "no candidate satisfies the drawdown budget"
@@ -731,6 +802,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target-risk", type=float, default=0.30)
     sp.add_argument("--methods", default=None,
                     help="comma list (default: all six)")
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_simulate)
 
     sp = sub.add_parser("gbm-risk", help="correlated-GBM tail risk")
@@ -751,6 +824,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-pallas", action="store_true", help="force the lax engine")
     sp.add_argument("--checkpoint", default=None, help="npz checkpoint path")
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_gbm_risk)
 
     sp = sub.add_parser("garch-risk",
@@ -868,6 +943,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.set_defaults(fn=cmd_bootstrap_risk)
 
+    sp = sub.add_parser("hedged-risk",
+                        help="hedged tail risk across model families "
+                             "(options settle against simulated prices)")
+    common(sp)
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config (required): {asset: {strategy, "
+                         "params} | {legs}}")
+    sp.add_argument("--models", default="gbm,student_t,garch,bootstrap",
+                    help="comma list of gbm,student_t,garch,bootstrap")
+    sp.add_argument("--weights", default=None, help="comma list; default equal")
+    sp.add_argument("--paths", type=int, default=100_000)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.set_defaults(fn=cmd_hedged_risk)
+
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
     common(sp)
     sp.add_argument("--candidates", type=int, default=100_000)
@@ -880,6 +971,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="constant-compile streaming engine (1M+ candidates)")
     sp.add_argument("--min-weight", type=float, default=0.0)
     sp.add_argument("--max-weight", type=float, default=1.0)
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_sim_frontier)
 
     sp = sub.add_parser("dd-frontier", help="max return s.t. a simulated max-drawdown budget")
@@ -901,6 +994,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_dd_frontier)
 
     sp = sub.add_parser("backtest",

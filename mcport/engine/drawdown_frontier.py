@@ -61,18 +61,45 @@ def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
     return term, dd
 
 
+def _lax_multi_dd_hedged(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
+                         s0, h_t, h_k, h_p, h_q):
+    """Hedged candidate scoring: each simulated step settles the option legs
+    at intrinsic value (the reference's per-period calc_options_series
+    convention, app.py:182-193, applied to simulated prices), and candidates
+    compound the hedged growth ``V_{t+1} = V_t · (1 + w'r_hedged_t)`` — the
+    rebalanced R·w semantics. Buy-and-hold of an intrinsic-settled option
+    position is not well-defined mid-path, so hedged scoring is always this
+    settled recursion."""
+    from mcport.options.hedged import hedged_step_returns
+
+    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
+    s0 = jnp.asarray(s0, dtype)
+    prices = s0 * jnp.exp(paths)                              # (P, T, A)
+    p0 = jnp.broadcast_to(s0, (n_paths, 1, s0.shape[-1]))
+    full = jnp.concatenate([p0, prices], axis=1)              # (P, T+1, A)
+    r_h = hedged_step_returns(full[:, :-1], full[:, 1:], h_t, h_k, h_p, h_q)
+    f = 1.0 + jnp.einsum("pta,wa->wpt", r_h, w)               # per-step factors
+    v = jnp.cumprod(f, axis=2)
+    ones = jnp.ones(v.shape[:2] + (1,), dtype)
+    v = jnp.concatenate([ones, v], axis=2)
+    peak = jax.lax.cummax(v, axis=2)
+    dd = jnp.min(v / peak - 1.0, axis=2)                      # (W, P)
+    term = v[:, :, -1] - 1.0
+    return term, dd
+
+
 @partial(
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "w_block",
                      "use_pallas", "dtype", "trivial_bounds", "score_dtype",
-                     "interpret", "rebalance"),
+                     "interpret", "rebalance", "hedged"),
 )
 def _score(
     key, mean_step, chol_step, min_w, max_w,
     n_candidates: int, n_paths: int, n_steps: int, alpha: float,
     w_block: int, use_pallas: bool, dtype, trivial_bounds: bool = False,
     score_dtype: str = "float32", interpret: bool = False,
-    rebalance: bool = False,
+    rebalance: bool = False, hedged: bool = False, hedge_args: tuple = (),
 ):
     k_path_seed, k_w = jax.random.split(key)
     if trivial_bounds:
@@ -88,7 +115,12 @@ def _score(
     w_pad = jnp.pad(w, ((0, n_pad - n_candidates), (0, 0)))
 
     def chunk(w_blk):
-        if use_pallas:
+        if hedged:
+            term, dd = _lax_multi_dd_hedged(
+                k_path_seed, mean_step.astype(dtype), chol_step.astype(dtype),
+                w_blk, n_paths, n_steps, dtype, *hedge_args,
+            )
+        elif use_pallas:
             from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
 
             seed = jax.random.randint(k_path_seed, (), 0, 1 << 30)
@@ -128,6 +160,7 @@ def drawdown_frontier_search(
     use_pallas: bool | None = None,
     interpret: bool = False,
     rebalance: bool = False,
+    hedge=None,
 ) -> DrawdownFrontierResult:
     """Max expected simulated return s.t. the p95-worst drawdown >= -dd_budget.
 
@@ -152,16 +185,23 @@ def drawdown_frontier_search(
     a = params.n_assets
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
-    if use_pallas is None:
+    if hedge is not None:
+        # hedged scoring is the per-period-settled recursion (see
+        # _lax_multi_dd_hedged) on the XLA path; the Pallas kernel and bf16
+        # screening tiers don't apply to it (yet)
+        use_pallas = False
+    elif use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
     trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
     mean_j, chol_j = jnp.asarray(params.mean_step), jnp.asarray(params.chol_step)
+    hedge_args = () if hedge is None else (
+        jnp.asarray(params.s0, dtype), *hedge.arrays)
     w, valid, ret, dd_p95 = _score(
         key, mean_j, chol_j,
         min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas,
         dtype, trivial, score_dtype if use_pallas else "float32", interpret,
-        rebalance,
+        rebalance, hedge is not None, hedge_args,
     )
     w, valid = np.asarray(w), np.asarray(valid)
     ret, dd_p95 = np.array(ret), np.array(dd_p95)   # writable: rescore updates

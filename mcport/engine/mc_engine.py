@@ -44,7 +44,7 @@ __all__ = ["MCCheckpoint", "RiskReport", "run_resumable_mc",
            "run_resumable_mc_with_recovery", "load_checkpoint"]
 
 
-def _run_digest(params: GBMParams, weights, config: GBMConfig) -> str:
+def _run_digest(params: GBMParams, weights, config: GBMConfig, hedge=None) -> str:
     """Binds a checkpoint to the exact computation: params, weights, seed, grid.
     Resuming with anything else is a different run and must be rejected, not
     silently continued (a stale checkpoint under a reused path would otherwise
@@ -57,6 +57,8 @@ def _run_digest(params: GBMParams, weights, config: GBMConfig) -> str:
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
              f"{config.path_block}|{config.antithetic}|"
              f"{config.innovations}|{config.t_dof}".encode())
+    if hedge is not None:
+        h.update(b"hedge|" + hedge.digest_bytes())
     return h.hexdigest()
 
 
@@ -157,7 +159,7 @@ class RiskReport:
     jax.jit,
     static_argnames=(
         "n_dispatch_blocks", "block_paths", "n_steps", "use_pallas", "antithetic",
-        "sketch", "innovations", "t_dof",
+        "sketch", "innovations", "t_dof", "hedged",
     ),
 )
 def _blocks_update(
@@ -178,6 +180,8 @@ def _blocks_update(
     sketch: SketchConfig,
     innovations: str = "normal",
     t_dof: float = 6.0,
+    hedged: bool = False,
+    hedge_args: tuple = (),
 ):
     """Fold ``n_dispatch_blocks`` consecutive path blocks in ONE device dispatch.
 
@@ -209,7 +213,16 @@ def _blocks_update(
             term = terminal_log_returns(
                 key, mean_step, chol_step, block_paths, n_steps, antithetic=antithetic
             )
-        port = portfolio_terminal_returns(term, weights)
+        if hedged:
+            # option legs settle at intrinsic value against the simulated
+            # terminal prices (elementwise PWL, fuses with the weight dot);
+            # asset moments stay the plain log-return moments — only the
+            # PORTFOLIO tail statistics change
+            from mcport.options.hedged import hedged_terminal_returns
+
+            port = hedged_terminal_returns(term, *hedge_args) @ weights
+        else:
+            port = portfolio_terminal_returns(term, weights)
         return (
             update_moments(moments, term, shift=shift),
             hist + histogram(port, sketch),
@@ -231,8 +244,17 @@ def run_resumable_mc(
     max_blocks: int | None = None,
     checkpoint_path: str | Path | None = None,
     dispatch_blocks: int = 16,
+    hedge=None,
 ) -> tuple[RiskReport, MCCheckpoint]:
     """Run (or resume) a chunked MC risk computation.
+
+    ``hedge`` (a :class:`mcport.options.hedged.HedgeSpec`) makes the
+    portfolio tail statistics HEDGED: option legs settle at intrinsic value
+    against the simulated terminal prices (terminal composition,
+    app.py:164-180 over the horizon). Asset moments (mean/cov) remain the
+    plain log-return moments. The hedge is part of the run digest, and the
+    default sketch switches to the exact PWL-bounds linear form
+    (:func:`mcport.options.hedged.auto_hedged_sketch`).
 
     ``sketch=None`` (default) derives an adaptive log1p-space sketch from the GBM
     parameters via :func:`mcport.ops.quantile.auto_sketch` — guaranteed to cover
@@ -252,13 +274,23 @@ def run_resumable_mc(
         raise ValueError(f"n_paths {config.n_paths} not divisible by path_block {block_paths}")
     n_blocks = config.n_paths // block_paths
 
-    digest = _run_digest(params, weights, config)
+    digest = _run_digest(params, weights, config, hedge)
     if checkpoint is None:
         if sketch is None:
-            sketch = auto_sketch(
-                params.mean_step, params.chol_step, config.n_steps,
-                t_dof=config.t_dof if config.innovations == "student_t" else None,
-            )
+            t_dof = config.t_dof if config.innovations == "student_t" else None
+            if hedge is not None:
+                from mcport.options.hedged import auto_hedged_sketch
+
+                w_np = np.asarray(weights, np.float64)
+                sketch = auto_hedged_sketch(
+                    params, config.n_steps, hedge,
+                    weights=w_np if (w_np >= 0).all() else None, t_dof=t_dof,
+                )
+            else:
+                sketch = auto_sketch(
+                    params.mean_step, params.chol_step, config.n_steps,
+                    t_dof=t_dof,
+                )
         shift_np = np.asarray(config.n_steps * np.asarray(params.mean_step, np.float64))
         ck = MCCheckpoint(
             seed=config.seed,
@@ -310,6 +342,8 @@ def run_resumable_mc(
     port_sum = jnp.asarray(ck.port_sum, dtype)
 
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+    hedge_args = () if hedge is None else (
+        jnp.asarray(params.s0, dtype), *hedge.arrays)
 
     start = ck.next_block
     stop = n_blocks if max_blocks is None else min(n_blocks, start + max_blocks)
@@ -322,6 +356,7 @@ def run_resumable_mc(
             mean_step, chol_step, w, shift, moments, hist, port_sum,
             group, block_paths, config.n_steps, use_pallas, config.antithetic,
             sketch, config.innovations, config.t_dof,
+            hedge is not None, hedge_args,
         )
         b += group
 
@@ -373,6 +408,7 @@ def run_resumable_mc_with_recovery(
     segment_blocks: int = 64,
     max_restarts: int = 3,
     dispatch_blocks: int = 16,
+    hedge=None,
 ) -> RiskReport:
     """Elastic driver: run in checkpointed segments, surviving transient device
     failures (SURVEY.md §5 "failure detection / elastic recovery").
@@ -396,7 +432,7 @@ def run_resumable_mc_with_recovery(
                 params, weights, config, sketch, alpha=alpha,
                 checkpoint=ck, max_blocks=segment_blocks,
                 checkpoint_path=checkpoint_path,
-                dispatch_blocks=dispatch_blocks,
+                dispatch_blocks=dispatch_blocks, hedge=hedge,
             )
             failures = 0
         except jax.errors.JaxRuntimeError:

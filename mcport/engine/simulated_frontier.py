@@ -73,7 +73,7 @@ class SimFrontierResult:
 @partial(
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "cand_block", "dtype",
-                     "trivial_bounds"),
+                     "trivial_bounds", "hedged"),
 )
 def _score_candidates(
     key: Array,
@@ -89,13 +89,22 @@ def _score_candidates(
     cand_block: int,
     dtype=jnp.float32,
     trivial_bounds: bool = False,
+    hedged: bool = False,
+    hedge_args: tuple = (),
 ):
     k_path, k_w = jax.random.split(key)
     term = terminal_log_returns(
         k_path, mean_step.astype(dtype), chol_step.astype(dtype), n_paths, n_steps,
         dtype=dtype,
     )
-    gross = jnp.exp(term) - 1.0                              # (P, A) simple returns
+    if hedged:
+        # option legs settle at intrinsic value against the simulated terminal
+        # price — elementwise PWL transform, fused into the score matmul chain
+        from mcport.options.hedged import hedged_terminal_returns
+
+        gross = hedged_terminal_returns(term, *hedge_args)   # (P, A) hedged returns
+    else:
+        gross = jnp.exp(term) - 1.0                          # (P, A) simple returns
     if trivial_bounds:
         _, sub = jax.random.split(k_w)
         w, valid = _sample_unconstrained(sub, n_candidates, min_w.shape[-1])
@@ -136,11 +145,19 @@ def simulated_weight_search(
     max_weights: np.ndarray | None = None,
     cand_block: int = 2_048,
     dtype=jnp.float32,
+    hedge=None,
 ) -> SimFrontierResult:
     """Find the candidate portfolio optimizing a *simulated* risk objective.
 
     objective: "sharpe" | "return" (maximize), "var" | "cvar" (maximize the tail
     metric = minimize tail loss, matching the reference's net semantics).
+
+    ``hedge`` (a :class:`mcport.options.hedged.HedgeSpec`) scores candidates
+    against HEDGED terminal returns: each asset's option legs settle at
+    intrinsic value against its simulated terminal price (app.py:164-180
+    applied to the horizon). The optimum is then the best hedged portfolio —
+    the composition the reference cannot do (it hedges only historical
+    series, app.py:657-667).
     """
     if objective not in OBJECTIVES:
         raise ValueError(f"unknown objective {objective!r}; expected one of {OBJECTIVES}")
@@ -149,10 +166,14 @@ def simulated_weight_search(
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
 
     trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
+    hedge_args = ()
+    if hedge is not None:
+        hedge_args = (jnp.asarray(params.s0, dtype), *hedge.arrays)
     w, valid, s = _score_candidates(
         key, jnp.asarray(params.mean_step), jnp.asarray(params.chol_step),
         min_w, max_w, risk_free,
         n_candidates, n_paths, n_steps, alpha, cand_block, dtype, trivial,
+        hedge is not None, hedge_args,
     )
     metric = {"sharpe": s.sharpe, "return": s.ret, "var": s.var, "cvar": s.cvar}[objective]
     neg_inf = jnp.asarray(-jnp.inf, metric.dtype)
@@ -277,6 +298,7 @@ def simulated_weight_search_streaming(
     dispatch_chunks: int = 16,
     dtype=jnp.float32,
     tail: str = "approx",
+    hedge=None,
 ) -> StreamingFrontierResult:
     """Million-candidate simulated-frontier search with constant compile cost.
 
@@ -308,7 +330,15 @@ def simulated_weight_search_streaming(
         k_path, jnp.asarray(params.mean_step, dtype), jnp.asarray(params.chol_step, dtype),
         n_paths, n_steps, dtype=dtype,
     )
-    gross = jnp.exp(term) - 1.0
+    if hedge is not None:
+        # hedged scoring (see simulated_weight_search): the (P, A) matrix is
+        # transformed ONCE here, device-resident; per-chunk cost is unchanged
+        from mcport.options.hedged import hedged_terminal_returns
+
+        gross = hedged_terminal_returns(
+            term, jnp.asarray(params.s0, dtype), *hedge.arrays)
+    else:
+        gross = jnp.exp(term) - 1.0
     k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
 
     carry = _BestCarry(

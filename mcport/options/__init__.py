@@ -12,6 +12,14 @@ from mcport.options.payoff import (
     price_grid,
     profit_loss_percent,
 )
+from mcport.options.hedged import (
+    HedgeSpec,
+    auto_hedged_sketch,
+    hedged_from_simple,
+    hedged_return_bounds,
+    hedged_step_returns,
+    hedged_terminal_returns,
+)
 from mcport.options.strategies import STRATEGIES, strategy_legs
 
 __all__ = [
@@ -27,4 +35,10 @@ __all__ = [
     "profit_loss_percent",
     "STRATEGIES",
     "strategy_legs",
+    "HedgeSpec",
+    "hedged_terminal_returns",
+    "hedged_from_simple",
+    "hedged_step_returns",
+    "hedged_return_bounds",
+    "auto_hedged_sketch",
 ]

@@ -35,7 +35,63 @@ __all__ = ["sharded_path_risk", "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
            "sharded_merton_risk", "sharded_importance_tail",
-           "sharded_dcc_risk", "sharded_cvar_attribution"]
+           "sharded_dcc_risk", "sharded_cvar_attribution",
+           "sharded_hedged_gbm_risk"]
+
+
+def sharded_hedged_gbm_risk(
+    seed,
+    params,
+    weights,
+    hedge,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    axis: str = "paths",
+):
+    """Hedged terminal tail risk over a paths mesh.
+
+    Each device draws its counter-seeded slice of GBM terminals, settles the
+    option legs at intrinsic value (mcport.options.hedged terminal
+    composition), and the only cross-device traffic is the psum of the
+    portfolio histogram + sum — same communication shape as
+    :func:`mcport.parallel.sharded_mc.sharded_gbm_risk`. Returns
+    (var, cvar, port_mean), replicated.
+    """
+    from mcport.options.hedged import auto_hedged_sketch, hedged_terminal_returns
+
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    if sketch is None:
+        w_np = np.asarray(weights, np.float64)
+        sketch = auto_hedged_sketch(
+            params, n_steps, hedge,
+            weights=w_np if (w_np >= 0).all() else None)
+
+    def local(seed, mean_step, chol_step, s0, w, h_t, h_k, h_p, h_q):
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed + idx * SEED_STRIDE)
+        term = terminal_log_returns(key, mean_step, chol_step, n_local, n_steps)
+        port = hedged_terminal_returns(term, s0, h_t, h_k, h_p, h_q) @ w
+        counts = jax.lax.psum(histogram(port, sketch), axis)
+        p_sum = jax.lax.psum(port.sum(), axis)
+        v, c = sketch_var_cvar(counts, alpha, sketch)
+        return v, c, p_sum / n_paths
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(),) * 9, out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+    dt = jnp.float32
+    return fn(
+        jnp.asarray(seed, jnp.int32),
+        jnp.asarray(params.mean_step, dt), jnp.asarray(params.chol_step, dt),
+        jnp.asarray(params.s0, dt), jnp.asarray(weights, dt), *hedge.arrays,
+    )
 
 
 def sharded_path_risk(

@@ -112,3 +112,63 @@ def test_native_loader_flag(eth):
 def test_parser_rejects_unknown_method():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["nonsense"])
+
+
+def test_hedged_risk_command(btc, eth, tmp_path):
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "BTC_USD 7 Years Weekly": {"strategy": "Married Put",
+                                   "params": {"premium_put": 0.0}},
+    }))
+    out = run_cli(["hedged-risk", btc, eth, "--period", "W",
+                   "--hedge", str(hedge), "--models", "gbm,bootstrap",
+                   "--paths", "4096", "--steps", "13"])
+    for model in ("gbm", "bootstrap"):
+        assert out[model]["cvar"] <= out[model]["var"]
+        assert out[model]["hedged_assets"] == ["BTC_USD 7 Years Weekly"]
+    # missing --hedge refuses
+    with pytest.raises(SystemExit, match="requires --hedge"):
+        run_cli(["hedged-risk", btc, "--period", "W"])
+
+
+def test_gbm_risk_hedged_flag(btc, eth, tmp_path):
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "BTC_USD 7 Years Weekly": {"strategy": "Married Put",
+                                   "params": {"premium_put": 0.0}},
+    }))
+    base = run_cli(["gbm-risk", btc, eth, "--period", "W", "--paths", "8192",
+                    "--steps", "13", "--no-pallas"])
+    out = run_cli(["gbm-risk", btc, eth, "--period", "W", "--paths", "8192",
+                   "--steps", "13", "--no-pallas", "--hedge", str(hedge),
+                   "--path-stats"])
+    assert out["hedged_assets"] == ["BTC_USD 7 Years Weekly"]
+    assert out["cvar"] >= base["cvar"]          # zero-premium put floors losses
+    assert "unhedged" in out["drawdown_stats"]  # honest unavailability note
+
+
+def test_sim_and_dd_frontier_hedged_flag(btc, eth, tmp_path):
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "ETH_USD 7 Years Weekly": {
+            "legs": [["BUY_ASSET", 0, 0, 1.0], ["BUY_PUT", 1.0, 0.0, 1.0]]},
+    }))
+    out = run_cli(["sim-frontier", btc, eth, "--period", "W",
+                   "--candidates", "512", "--paths", "1024", "--steps", "13",
+                   "--hedge", str(hedge)])
+    assert out["hedged"] is True and "weights" in out
+    out = run_cli(["dd-frontier", btc, eth, "--period", "W",
+                   "--candidates", "128", "--paths", "512", "--steps", "13",
+                   "--dd-budget", "0.9", "--hedge", str(hedge)])
+    assert out["hedged"] is True
+
+
+def test_hedge_file_errors(btc, tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(SystemExit):
+        run_cli(["gbm-risk", btc, "--period", "W", "--hedge", str(bad)])
+    wrong = tmp_path / "wrong.json"
+    wrong.write_text(json.dumps({"NOPE": {"strategy": "Collar"}}))
+    with pytest.raises(SystemExit, match="not in the universe"):
+        run_cli(["gbm-risk", btc, "--period", "W", "--hedge", str(wrong)])
