@@ -428,27 +428,20 @@ def risk_based_weights(
     }
 
 
-class _SkipDCC(Exception):
-    """Control-flow marker: DCC excluded by request, not by failure."""
-
-
 def compare_tail_risk(
     data: PriceData,
     weights: Sequence[float] | np.ndarray | None = None,
     config: Config = Config(),
-    include_dcc: bool = True,
 ) -> dict[str, dict[str, float]]:
     """One portfolio, every model family: {model: {var, cvar, mean}}.
 
-    ``include_dcc=False`` skips the DCC family: its unrolled simulation
-    graph costs a multi-minute FIRST compile on TPU (amortized afterwards;
-    see models/dcc.py) — opt out for quick cold-cache comparisons.
-
     Runs GBM (normal), GBM (student-t, moment-fitted dof), CCC-GARCH,
-    Merton systemic jumps (threshold-calibrated), and the stationary block
-    bootstrap on the same universe/weights/config — the risk-model
-    sensitivity view no single engine gives. All engines share the path
-    count/horizon from ``config.gbm`` and alpha from ``config.simulation``.
+    DCC-GARCH (fused Pallas kernel on TPU — ~1.4 s Mosaic compile, 6.8x the
+    lax scan; see ops/pallas_dcc.py), Merton systemic jumps
+    (threshold-calibrated), and the stationary block bootstrap on the same
+    universe/weights/config — the risk-model sensitivity view no single
+    engine gives. All engines share the path count/horizon from
+    ``config.gbm`` and alpha from ``config.simulation``.
     """
     import dataclasses
 
@@ -493,8 +486,6 @@ def compare_tail_risk(
         out["ccc_garch"] = {"error": str(e)}
 
     try:
-        if not include_dcc:
-            raise _SkipDCC()
         from mcport.models.dcc import dcc_risk, estimate_dcc_garch
 
         dp = estimate_dcc_garch(data.port_rets)
@@ -503,8 +494,6 @@ def compare_tail_risk(
         out["dcc_garch"] = pack(v, c, m)
         out["dcc_garch"]["a_dcc"] = dp.a_dcc
         out["dcc_garch"]["b_dcc"] = dp.b_dcc
-    except _SkipDCC:
-        pass
     except Exception as e:
         out["dcc_garch"] = {"error": str(e)}
 

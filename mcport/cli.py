@@ -579,7 +579,7 @@ def cmd_compare_models(args) -> None:
                       use_pallas=not args.no_pallas),
         simulation=SimulationConfig(alpha=args.alpha),
     )
-    out = compare_tail_risk(d, w, cfg, include_dcc=not args.no_dcc)
+    out = compare_tail_risk(d, w, cfg)
     _emit({
         "engine": "model-comparison",
         "n_paths": cfg.gbm.n_paths,
@@ -914,9 +914,6 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--no-pallas", action="store_true")
-    sp.add_argument("--no-dcc", action="store_true",
-                    help="skip the DCC family (its first TPU compile takes "
-                         "minutes; amortized on repeat runs)")
     sp.set_defaults(fn=cmd_compare_models)
 
     sp = sub.add_parser("jump-risk",

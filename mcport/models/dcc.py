@@ -13,16 +13,18 @@ by maximizing the correlation log-likelihood of the standardized residuals).
 
 TPU mapping: the (a, b) likelihood surface is evaluated as ONE vmapped
 ``lax.scan`` over a feasible grid (coarse-to-fine; no line searches, no
-data-dependent control flow). Simulation is a ``lax.scan`` whose per-path
-(A, A) correlation state lives as A(A+1)/2 CONTIGUOUS (n,) lower-triangle
-vectors, with the Cholesky unrolled (Cholesky-Banachiewicz, path batch as
-the vector axis) into pure elementwise ops — XLA's batched small-matrix
-``linalg.cholesky`` scalarizes on TPU (measured 0.001e9 path-steps/s; the
-(n, A, A) unrolled form 0.067e9; this triangle layout 0.13-0.14e9 = 130x,
-i.e. a 1M-path x 52-step tail run in ~0.4 s kernel time). The unrolled
-triangle makes the step graph large: first compile is minutes — amortize it
-over production-sized runs. Memory is n_paths * A(A+1)/2 floats for the Q
-carry; chunk paths at the caller for very large runs.
+data-dependent control flow). Simulation auto-selects the fused Pallas
+kernel on TPU (:mod:`mcport.ops.pallas_dcc` — VMEM-resident Q planes,
+column-slab Cholesky; measured 0.68e9 path-steps/s at A=15/1M paths with a
+~1.4 s Mosaic compile, vs this module's lax scan at 0.10e9 / 13 s XLA
+compile — benchmarks/bench_dcc.py). The lax path here is the tested
+reference form: a ``lax.scan`` whose per-path (A, A) correlation state
+lives as A(A+1)/2 CONTIGUOUS (n,) lower-triangle vectors, with the Cholesky
+unrolled (Cholesky-Banachiewicz, path batch as the vector axis) into pure
+elementwise ops — XLA's batched small-matrix ``linalg.cholesky`` scalarizes
+on TPU (measured 0.001e9 path-steps/s; the (n, A, A) unrolled form
+0.067e9; the triangle layout 130x that). Memory is n_paths * A(A+1)/2
+floats for the Q carry; chunk paths at the caller for very large runs.
 
 Reference anchor: the reference has no multivariate vol model at all
 (GARCH(1,1) appears only in forecast bands, /root/reference/app.py:347-350);
@@ -233,8 +235,25 @@ def _dcc_simulate(
 def dcc_terminal_returns(
     key: Array, params: DCCGarchParams, n_paths: int, n_steps: int,
     dtype=jnp.float32,
+    use_pallas: bool | None = None,
+    seed: int | None = None,
 ) -> Array:
-    """(n_paths, A) terminal compounded simple returns under DCC-GARCH(1,1)."""
+    """(n_paths, A) terminal compounded simple returns under DCC-GARCH(1,1).
+
+    ``use_pallas=None`` auto-selects the fused VMEM kernel on TPU
+    (:mod:`mcport.ops.pallas_dcc` — seconds-scale compile and ~10x the lax
+    scan's throughput there; same law, independent stream). ``seed`` pins the
+    kernel's counter-addressed streams; by default it is derived from ``key``
+    so distinct keys give independent runs on every backend."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+
+        if seed is None:
+            seed = jax.random.randint(key, (), 0, 1 << 20)
+        return pallas_dcc_terminal_returns(
+            jnp.asarray(seed, jnp.int32), params, n_paths, n_steps)
     b = params.base
     s = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
     return _dcc_simulate(

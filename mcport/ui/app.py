@@ -256,48 +256,39 @@ else:
         }
 
         st.markdown("### 📊 نمودار سود و زیان")
+        _VLINE_LABELS = {"breakeven": "نقطه سربه‌سر", "spot": "قیمت فعلی"}
         for name, legs in legs_by_asset.items():
             spot = float(resampled[name].iloc[-1])
-            pp, qa = purchase[name], qty_assets[name]
-            grid = np.asarray(price_grid(spot))
-            payoffs = np.asarray(calculate_payoff(legs, pp, grid))
-            breakeven = calculate_breakeven(legs, pp)
-            plpct = np.asarray(profit_loss_percent(payoffs, pp, qa))
+            v = payoff_view(legs, purchase[name], qty_assets[name], spot)
 
             fig = go.Figure()
             fig.add_trace(go.Scatter(
-                x=grid, y=payoffs, mode="lines", fill="tozeroy",
-                line=dict(color="green" if payoffs[-1] >= 0 else "red"),
+                x=v.grid, y=v.payoffs, mode="lines", fill="tozeroy",
+                line=dict(color=v.base_color),
                 name=f"سود و زیان {name}",
                 hovertemplate="قیمت: %{x:.2f}<br>سود/زیان: %{y:.2f}<br>درصد: %{text:.2f}%<extra></extra>",
-                text=plpct,
+                text=v.pl_pct,
             ))
-            for i in range(len(payoffs) - 1):  # color flip at zero crossings
-                if payoffs[i] * payoffs[i + 1] < 0:
-                    fig.add_trace(go.Scatter(
-                        x=[grid[i], grid[i + 1]], y=[payoffs[i], payoffs[i + 1]],
-                        mode="lines", fill="tonexty",
-                        line=dict(color="green" if payoffs[i + 1] >= 0 else "red"),
-                        showlegend=False, hoverinfo="skip",
-                    ))
-            for x, color, label in [(breakeven, "blue", "نقطه سربه‌سر"),
-                                    (spot, "gray", "قیمت فعلی")]:
+            for x0, x1, y0, y1, color in v.segments:   # zero-crossing flips
                 fig.add_trace(go.Scatter(
-                    x=[x, x], y=[payoffs.min(), payoffs.max()], mode="lines",
-                    line=dict(color=color, dash="dash"), name=label,
+                    x=[x0, x1], y=[y0, y1], mode="lines", fill="tonexty",
+                    line=dict(color=color), showlegend=False, hoverinfo="skip",
+                ))
+            for x, color, key in v.vlines:
+                fig.add_trace(go.Scatter(
+                    x=[x, x], y=[v.max_loss, v.max_profit], mode="lines",
+                    line=dict(color=color, dash="dash"),
+                    name=_VLINE_LABELS[key],
                 ))
             fig.update_layout(title=f"نمودار سود و زیان برای {name}",
                               xaxis_title="قیمت دارایی", yaxis_title="سود و زیان (دلار)",
                               template="plotly_white", showlegend=True)
             st.plotly_chart(fig, use_container_width=True)
 
-            investment = pp * qa
             st.markdown(f"### 📋 تحلیل استراتژی برای {name}")
-            st.markdown(f"**نقطه سربه‌سر**: {breakeven:.2f} دلار")
-            st.markdown(f"**حداکثر سود**: {format_money(payoffs.max())} "
-                        f"({format_percent(payoffs.max() / investment)})")
-            st.markdown(f"**حداکثر زیان**: {format_money(payoffs.min())} "
-                        f"({format_percent(payoffs.min() / investment)})")
+            st.markdown(f"**نقطه سربه‌سر**: {v.analysis['breakeven']} دلار")
+            st.markdown(f"**حداکثر سود**: {v.analysis['max_profit']}")
+            st.markdown(f"**حداکثر زیان**: {v.analysis['max_loss']}")
         if st.button("🔄 به‌روزرسانی"):
             st.rerun()
 
@@ -315,28 +306,25 @@ else:
         )
         out = run_simulation(data, cfg, legs_by_asset=legs_by_asset)
         for method, r in out.results.items():
-            color = METHODS[method]["color"]
-            metric_name = METHODS[method]["metric"]
             st.markdown(f"#### مرز کارا - {method}")
-            if r.opt_idx < 0:
+            v = frontier_view(method, r, asset_names, user_rf,
+                              st.session_state["investment_amount"])
+            if v is None:
                 st.warning("هیچ پرتفویی با محدودیت‌های وزن سازگار نیست.")
                 continue
-            valid = r.valid
             fig = go.Figure()
             fig.add_trace(go.Scatter(
-                x=r.std[valid] * 100, y=r.ret[valid] * 100, mode="markers",
-                marker=dict(color=r.metric[valid], colorscale=color,
-                            colorbar=dict(title=metric_name.upper()), size=7),
+                x=v.xs, y=v.ys, mode="markers",
+                marker=dict(color=v.colors, colorscale=v.colorscale,
+                            colorbar=dict(title=v.metric_name.upper()), size=7),
                 name="پرتفوی‌ها",
             ))
-            if method == "MPT":
-                x, y = cal_line(user_rf, float(r.metric[r.opt_idx]),
-                                float(r.std.max()) * 1.3 * 100)
-                fig.add_trace(go.Scatter(x=x, y=y, mode="lines",
+            if v.cal is not None:
+                fig.add_trace(go.Scatter(x=v.cal[0], y=v.cal[1], mode="lines",
                                          line=dict(dash="dash", color="red"),
                                          name="خط بازار سرمایه (CAL)"))
             fig.add_trace(go.Scatter(
-                x=[r.std[r.opt_idx] * 100], y=[r.ret[r.opt_idx] * 100],
+                x=[v.opt_x], y=[v.opt_y],
                 mode="markers+text", marker=dict(size=14, color="red"),
                 text=[f"بهینه {method}"], textposition="top right",
                 name=f"پرتفوی بهینه {method}",
@@ -346,18 +334,16 @@ else:
             st.plotly_chart(fig, use_container_width=True)
 
             st.markdown(f"#### تخصیص دارایی - {method}")
-            w = r.opt_weights
-            dollars = r.allocations(st.session_state["investment_amount"])
             cols = st.columns(len(asset_names))
-            for i, name in enumerate(asset_names):
+            for i, (name, pct, money) in enumerate(v.cards):
                 with cols[i]:
                     st.markdown(
                         f"<div style='text-align:center;direction:rtl'><b>{name}</b><br>"
-                        f"{format_percent(w[i])}<br>{format_money(dollars[i])}</div>",
+                        f"{pct}<br>{money}</div>",
                         unsafe_allow_html=True,
                     )
             st.plotly_chart(
-                px.pie(values=dollars, names=asset_names,
+                px.pie(values=v.pie_values, names=list(v.pie_names),
                        title=f"توزیع دلاری پرتفوی بهینه - {method}", hole=0.4),
                 use_container_width=True,
             )
@@ -368,18 +354,18 @@ else:
         for i, name in enumerate(asset_names):
             st.markdown(f"#### پیش‌بینی برای {name}")
             forecasts = forecast_prices(data.prices[:, i])
+            v = forecast_view(float(data.prices[-1, i]), forecasts)
             fig = go.Figure()
-            last_price = float(data.prices[-1, i])
-            fig.add_trace(go.Scatter(x=[0], y=[last_price], mode="markers",
+            fig.add_trace(go.Scatter(x=[0], y=[v.last_price], mode="markers",
                                      name="قیمت فعلی", marker=dict(size=10, color="blue")))
-            for h, f in forecasts.items():
+            for (h, price, label), (_, lo, hi) in zip(v.points, v.ci_segments):
                 fig.add_trace(go.Scatter(
-                    x=[h], y=[f.price], mode="markers+text",
-                    text=[f"{f.price:.2f} $"], textposition="top center",
+                    x=[h], y=[price], mode="markers+text",
+                    text=[label], textposition="top center",
                     name=f"{h} ماه", marker=dict(size=8),
                 ))
                 fig.add_trace(go.Scatter(
-                    x=[h, h], y=list(f.conf_int), mode="lines",
+                    x=[h, h], y=[lo, hi], mode="lines",
                     line=dict(color="gray", dash="dash"),
                     name=f"بازه اطمینان {h} ماه",
                 ))

@@ -1,0 +1,109 @@
+"""Pallas DCC kernel vs the lax reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcport.models.dcc import DCCGarchParams, dcc_terminal_returns
+from mcport.models.garch_mc import CCCGarchParams
+from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+
+A = 3
+CORR = np.array([[1.0, 0.55, 0.3], [0.55, 1.0, 0.45], [0.3, 0.45, 1.0]])
+BASE = CCCGarchParams(
+    mu=np.array([5e-4, 1e-3, 2e-4]),
+    omega=np.array([4e-6, 6e-6, 3e-6]),
+    alpha=np.array([0.08, 0.12, 0.06]),
+    beta=np.array([0.88, 0.82, 0.9]),
+    corr_chol=np.linalg.cholesky(CORR),
+    sigma2_0=np.array([1e-4, 2e-4, 8e-5]),
+    eps2_0=np.array([1e-4, 2e-4, 8e-5]),
+)
+PARAMS = DCCGarchParams(
+    base=BASE, a_dcc=0.06, b_dcc=0.90,
+    q0=CORR + 0.05 * np.eye(A), e0=np.array([0.4, -1.1, 0.2]),
+)
+KW = dict(interpret=True, block=128)
+
+
+def test_kernel_matches_lax_law():
+    n, steps = 20_000, 32
+    got = np.asarray(pallas_dcc_terminal_returns(3, PARAMS, n, steps, **KW))
+    ref = np.asarray(dcc_terminal_returns(jax.random.key(3), PARAMS, n, steps))
+    assert got.shape == (n, A)
+    se = ref.std(0) / np.sqrt(n)
+    np.testing.assert_allclose(got.mean(0), ref.mean(0), atol=float(6 * se.max()))
+    np.testing.assert_allclose(got.std(0), ref.std(0), rtol=0.08)
+    c_got = np.corrcoef(got, rowvar=False)
+    c_ref = np.corrcoef(ref, rowvar=False)
+    np.testing.assert_allclose(c_got, c_ref, atol=0.06)
+
+
+def test_zero_dynamics_reduces_to_ccc_law():
+    """a=b=0 freezes Q_t = S every step: the law equals CCC-GARCH."""
+    from mcport.models.garch_mc import garch_terminal_returns
+
+    p0 = DCCGarchParams(base=BASE, a_dcc=0.0, b_dcc=0.0, q0=CORR,
+                        e0=np.zeros(A))
+    n, steps = 20_000, 24
+    got = np.asarray(pallas_dcc_terminal_returns(7, p0, n, steps, **KW))
+    ref = np.asarray(garch_terminal_returns(jax.random.key(7), BASE, n, steps))
+    np.testing.assert_allclose(
+        np.corrcoef(got, rowvar=False), np.corrcoef(ref, rowvar=False),
+        atol=0.05)
+    np.testing.assert_allclose(got.std(0), ref.std(0), rtol=0.08)
+
+
+def test_zero_vol_closed_form():
+    base = CCCGarchParams(
+        mu=np.array([0.01, -0.005, 0.002]),
+        omega=np.zeros(A), alpha=np.zeros(A), beta=np.zeros(A),
+        corr_chol=np.eye(A), sigma2_0=np.zeros(A), eps2_0=np.zeros(A),
+    )
+    p = DCCGarchParams(base=base, a_dcc=0.05, b_dcc=0.9, q0=np.eye(A),
+                       e0=np.zeros(A))
+    out = np.asarray(pallas_dcc_terminal_returns(1, p, 64, 6, **KW))
+    # atol: f32 per-step (1 + mu) rounding accumulates ~1e-7 absolute
+    np.testing.assert_allclose(out[:, 0], 1.01 ** 6 - 1, atol=3e-7)
+    np.testing.assert_allclose(out[:, 1], 0.995 ** 6 - 1, atol=3e-7)
+    np.testing.assert_allclose(out[:, 2], 1.002 ** 6 - 1, atol=3e-7)
+
+
+def test_deterministic_and_padding_independent():
+    a = np.asarray(pallas_dcc_terminal_returns(5, PARAMS, 300, 7, **KW))
+    b = np.asarray(pallas_dcc_terminal_returns(5, PARAMS, 300, 7, **KW))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    # result must not depend on how many paths are padded into the block
+    c = np.asarray(pallas_dcc_terminal_returns(5, PARAMS, 257, 7, **KW))
+    np.testing.assert_array_equal(a[:257], c)
+
+
+def test_prefetch_same_stream():
+    """Prefetch consumes the identical draw sequence. In interpret mode the
+    two loop shapes can FUSE differently (observed: 2/768 elements off by
+    ~1e-7 through the rsqrt/Cholesky chain), so this asserts stream identity
+    to float tolerance, not bitwise — the hardware stream is stateful and
+    order-identical by construction (pallas_gbm.paired_step_loop)."""
+    a = np.asarray(pallas_dcc_terminal_returns(9, PARAMS, 256, 9,
+                                               prefetch=False, **KW))
+    b = np.asarray(pallas_dcc_terminal_returns(9, PARAMS, 256, 9,
+                                               prefetch=True, **KW))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_correlation_rises_after_common_shocks():
+    """The DCC point: with news weight a > 0, Q_t's off-diagonals move with
+    realized shock products. Start Q below S: the mean-reverting (1-a-b)S
+    pull must raise the simulated correlation relative to frozen dynamics."""
+    lo = np.array([[1.0, 0.05, 0.05], [0.05, 1.0, 0.05], [0.05, 0.05, 1.0]])
+    p_dyn = DCCGarchParams(base=BASE, a_dcc=0.05, b_dcc=0.6, q0=lo,
+                           e0=np.zeros(A))
+    p_frozen = DCCGarchParams(base=BASE, a_dcc=0.0, b_dcc=1.0, q0=lo,
+                              e0=np.zeros(A))
+    n, steps = 16_384, 40
+    dyn = np.asarray(pallas_dcc_terminal_returns(11, p_dyn, n, steps, **KW))
+    frz = np.asarray(pallas_dcc_terminal_returns(11, p_frozen, n, steps, **KW))
+    c_dyn = np.corrcoef(dyn, rowvar=False)[0, 1]
+    c_frz = np.corrcoef(frz, rowvar=False)[0, 1]
+    assert c_dyn > c_frz + 0.1   # reverts toward S's 0.55 vs frozen 0.05
