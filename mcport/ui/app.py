@@ -38,18 +38,11 @@ except ImportError as _e:  # pragma: no cover - UI tier is optional
 from mcport.config import Config, DataConfig, PortfolioConfig, SimulationConfig
 from mcport.data import dedupe_names, read_csv_file, download_prices
 from mcport.data.pipeline import combine_prices, stats_returns
-from mcport.engine import METHODS, cal_line, run_simulation
+from mcport.engine import run_simulation
 from mcport.models import forecast_prices
-from mcport.options import (
-    Legs,
-    calculate_breakeven,
-    calculate_payoff,
-    price_grid,
-    profit_loss_percent,
-    strategy_legs,
-)
+from mcport.options import Legs, strategy_legs
 from mcport.stats import DISPLAY_COLUMNS, asset_stats_batch
-from mcport.utils import format_money, format_percent
+from mcport.ui.view import forecast_view, frontier_view, payoff_view
 
 st.set_page_config(page_title="شبیه‌ساز پرتفوی حرفه‌ای", layout="wide")
 
