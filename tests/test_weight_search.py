@@ -165,3 +165,35 @@ def test_reproducible(market):
     b = run_method(jax.random.key(5), "Monte Carlo", rets, mean_ann, cov_ann, n_portfolios=100)
     np.testing.assert_array_equal(a.weights, b.weights)
     assert a.opt_idx == b.opt_idx
+
+
+def test_fused_methods_bit_identical_to_sequential():
+    """run_all_methods' single-dispatch path must reproduce per-method
+    run_method EXACTLY (same split keys, same draws, same metrics/optima) —
+    for both trivial and constrained bounds."""
+    import jax
+
+    from mcport.engine.weight_search import run_all_methods, run_method
+
+    rng = np.random.default_rng(11)
+    a = 3
+    rets = rng.normal(1e-3, 0.03, (60, a))
+    mean_ann = rets.mean(0) * 52
+    cov_ann = np.cov(rets, rowvar=False, ddof=1) * 52
+    methods = ("Monte Carlo", "VaR", "CVaR", "MPT", "Equal Weight", "Target Risk")
+    for bounds in (dict(),
+                   dict(min_weights=np.array([0.05, 0.0, 0.1]),
+                        max_weights=np.array([0.8, 0.6, 1.0]))):
+        fused = run_all_methods(jax.random.key(4), rets, mean_ann, cov_ann,
+                                methods=methods, n_portfolios=400, **bounds)
+        keys = jax.random.split(jax.random.key(4), len(methods))
+        for m, k in zip(methods, keys):
+            seq = run_method(k, m, rets, mean_ann, cov_ann, n_portfolios=400,
+                             **bounds)
+            f = fused[m]
+            np.testing.assert_array_equal(f.weights, seq.weights)
+            np.testing.assert_array_equal(f.valid, seq.valid)
+            np.testing.assert_array_equal(f.metric, seq.metric)
+            np.testing.assert_array_equal(f.ret, seq.ret)
+            np.testing.assert_array_equal(f.std, seq.std)
+            assert f.opt_idx == seq.opt_idx
