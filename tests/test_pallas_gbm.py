@@ -276,3 +276,26 @@ def test_correlate_split_semantics():
     want = (chol @ chol.T).astype(np.float64)
     # MC error at 16k paths ~ 1/sqrt(16k) ~ 0.8%; quantization bias is 3e-6
     np.testing.assert_allclose(cov, want, rtol=0, atol=6 * 4e-4 / np.sqrt(16_384))
+
+
+def test_asset_axis_padding_guard():
+    """Guard for the A = 31/63/127 bench sizes (benchmarks/bench_scaling.py):
+    odd widths one below a sublane multiple must pad cleanly in BOTH kernels
+    — terminal stds match the factor diagonal, and path-stats' portfolio
+    terminal equals the weighted exp of its own per-asset terminals (padding
+    rows contribute exactly zero through the weight vector)."""
+    for a in (31, 63):
+        rng = np.random.default_rng(a)
+        corr = 0.4 * np.eye(a) + 0.6
+        chol = np.linalg.cholesky(0.0004 * corr).astype(np.float32)
+        mean = rng.normal(1e-3, 5e-4, a).astype(np.float32)
+        w = rng.dirichlet(np.ones(a)).astype(np.float32)
+        term, port, dd = gbm_path_stats(0, mean, chol, w, 512, 6, **KW)
+        term, port, dd = map(np.asarray, (term, port, dd))
+        assert term.shape == (512, a)
+        np.testing.assert_allclose(
+            port, (np.exp(term) @ w) - 1.0, atol=5e-6)
+        assert (dd <= 0).all() and (dd >= -1).all()
+        out = np.asarray(pallas_terminal_log_returns(0, mean, chol, 4_000, 8, **KW))
+        want_sd = np.sqrt(np.diag(chol @ chol.T) * 8)
+        np.testing.assert_allclose(out.std(0), want_sd, rtol=0.15)
