@@ -59,17 +59,33 @@ def main():
     a_pad = 16
 
     def iso_kernel(seed_ref, m_ref, lt_ref, w_ref, out_ref, *, n_steps, mode,
-                   unroll, dd_dtype):
+                   unroll, dd_dtype, corr):
         block = out_ref.shape[1]
         pair = pg._make_normal_pair(False, seed_ref, (a_pad, block))
         m = m_ref[:]
         lt = lt_ref[:]
         w = w_ref[:]
+        bkw = dict(precision="bfloat16", preferred_element_type=jnp.float32)
+        if corr == "split":
+            correlate = pg.correlate
+        elif corr == "split2":
+            # 2-term exact-L split: drops the l3 tail (~2^-18 relative on L)
+            l1 = lt.astype(jnp.bfloat16)
+            l2 = (lt - l1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def correlate(_lt, z):
+                zb = z.astype(jnp.bfloat16)
+                return jnp.dot(l1, zb, **bkw) + jnp.dot(l2, zb, **bkw)
+        else:  # "bf16": the biased single pass (ceiling reference)
+            lb = lt.astype(jnp.bfloat16)
+
+            def correlate(_lt, z):
+                return jnp.dot(lb, z.astype(jnp.bfloat16), **bkw)
 
         def chain(z, acc, lvl, peak, dd):
             if mode == "rng_only":
                 return acc + z, lvl, peak, dd
-            y = pg.correlate(lt, z)
+            y = correlate(lt, z)
             x = m + y
             acc = acc + x
             if mode == "corr_only":
@@ -86,24 +102,29 @@ def main():
                 dd = jnp.minimum(dd, v / peak - 1.0)
             return acc, v, peak, dd
 
+        # Mosaic only supports unroll=1/full in lowered fori loops, so unroll
+        # is MANUAL: one body iteration consumes `unroll` Box-Muller pairs
+        # (2*unroll steps), preserving draw order.
         if mode == "paircorr":
             def body(i, carry):
                 acc, lvl, peak, dd = carry
-                z1, z2 = pair(i)
-                y = pg.correlate(lt, jnp.concatenate([z1, z2], axis=1))
-                for half in (y[:, :block], y[:, block:]):
-                    x = m + half
-                    acc = acc + x
-                    v = jnp.sum(w * jnp.exp(acc), axis=0, keepdims=True)
-                    peak = jnp.maximum(peak, v)
-                    dd = jnp.minimum(dd, v / peak - 1.0)
+                for u in range(unroll):
+                    z1, z2 = pair(i * unroll + u)
+                    y = correlate(lt, jnp.concatenate([z1, z2], axis=1))
+                    for half in (y[:, :block], y[:, block:]):
+                        x = m + half
+                        acc = acc + x
+                        v = jnp.sum(w * jnp.exp(acc), axis=0, keepdims=True)
+                        peak = jnp.maximum(peak, v)
+                        dd = jnp.minimum(dd, v / peak - 1.0)
                 return acc, v, peak, dd
         else:
             def body(i, carry):
                 acc, lvl, peak, dd = carry
-                z1, z2 = pair(i)
-                acc, lvl, peak, dd = chain(z1, acc, lvl, peak, dd)
-                acc, lvl, peak, dd = chain(z2, acc, lvl, peak, dd)
+                for u in range(unroll):
+                    z1, z2 = pair(i * unroll + u)
+                    acc, lvl, peak, dd = chain(z1, acc, lvl, peak, dd)
+                    acc, lvl, peak, dd = chain(z2, acc, lvl, peak, dd)
                 return acc, lvl, peak, dd
 
         ddt = jnp.bfloat16 if dd_dtype == "bfloat16" else jnp.float32
@@ -111,22 +132,23 @@ def main():
                 jnp.ones((1, block), jnp.float32),
                 jnp.ones((1, block), ddt),
                 jnp.zeros((1, block), ddt))
-        acc, lvl, peak, dd = jax.lax.fori_loop(0, n_steps // 2, body, init,
-                                               unroll=unroll)
+        acc, lvl, peak, dd = jax.lax.fori_loop(0, n_steps // (2 * unroll),
+                                               body, init)
         out_ref[0:1, :] = jnp.sum(acc, axis=0, keepdims=True)
         out_ref[1:2, :] = lvl.astype(jnp.float32)
         out_ref[2:3, :] = dd.astype(jnp.float32)
         out_ref[3:, :] = jnp.zeros((out_ref.shape[0] - 3, block), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("mode", "unroll", "dd_dtype"))
-    def run(seed, mode="full", unroll=1, dd_dtype="float32"):
+    @functools.partial(jax.jit,
+                       static_argnames=("mode", "unroll", "dd_dtype", "corr"))
+    def run(seed, mode="full", unroll=1, dd_dtype="float32", corr="split"):
         m_pad = jnp.zeros((a_pad, 1), jnp.float32).at[:N_ASSETS, 0].set(mean)
         lt_pad = jnp.zeros((a_pad, a_pad), jnp.float32).at[:N_ASSETS, :N_ASSETS].set(chol)
         w_pad = jnp.zeros((a_pad, 1), jnp.float32).at[:N_ASSETS, 0].set(w_np)
         grid = N_PATHS // BLOCK
         out = pl.pallas_call(
             functools.partial(iso_kernel, n_steps=N_STEPS, mode=mode,
-                              unroll=unroll, dd_dtype=dd_dtype),
+                              unroll=unroll, dd_dtype=dd_dtype, corr=corr),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -165,9 +187,13 @@ def main():
                       ("unroll=4", dict(mode="full", unroll=4)),
                       ("paircorr", dict(mode="paircorr")),
                       ("paircorr+unroll2", dict(mode="paircorr", unroll=2)),
+                      ("split2 correlate", dict(mode="full", corr="split2")),
+                      ("bf16 correlate (ceiling)", dict(mode="full", corr="bf16")),
+                      ("split2+paircorr+u2",
+                       dict(mode="paircorr", unroll=2, corr="split2")),
                       ("bf16 dd carry", dict(mode="full", dd_dtype="bfloat16")),
-                      ("bf16 dd + unroll2",
-                       dict(mode="full", unroll=2, dd_dtype="bfloat16"))):
+                      ("best combo: paircorr+u2+bf16dd",
+                       dict(mode="paircorr", unroll=2, dd_dtype="bfloat16"))):
         print(f"  {label:18s}: {measure(**kw):6.2f}e9")
 
     # production kernel for reference (same process)

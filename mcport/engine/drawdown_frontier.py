@@ -115,7 +115,7 @@ def _score(
     w_pad = jnp.pad(w, ((0, n_pad - n_candidates), (0, 0)))
 
     def chunk(w_blk):
-        if hedged:
+        if hedged and not use_pallas:
             term, dd = _lax_multi_dd_hedged(
                 k_path_seed, mean_step.astype(dtype), chol_step.astype(dtype),
                 w_blk, n_paths, n_steps, dtype, *hedge_args,
@@ -128,6 +128,7 @@ def _score(
                 seed, mean_step, chol_step, w_blk, n_paths, n_steps,
                 interpret=interpret, score_dtype=score_dtype,
                 rebalance=rebalance,
+                hedge_args=hedge_args if hedged else None,
             )
         else:
             term, dd = _lax_multi_dd(
@@ -185,12 +186,7 @@ def drawdown_frontier_search(
     a = params.n_assets
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
-    if hedge is not None:
-        # hedged scoring is the per-period-settled recursion (see
-        # _lax_multi_dd_hedged) on the XLA path; the Pallas kernel and bf16
-        # screening tiers don't apply to it (yet)
-        use_pallas = False
-    elif use_pallas is None:
+    if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
     trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
@@ -220,8 +216,10 @@ def drawdown_frontier_search(
         from mcport.ops.pallas_multi_dd import (
             BF16_DD_ERR_BOUND, BF16_DD_ERR_REBAL_COEF,
         )
+        # hedged scoring compounds per-step like rebalance mode: same widening
         margin = BF16_DD_ERR_BOUND + (
-            BF16_DD_ERR_REBAL_COEF * math.sqrt(n_steps) if rebalance else 0.0)
+            BF16_DD_ERR_REBAL_COEF * math.sqrt(n_steps)
+            if (rebalance or hedge is not None) else 0.0)
         pool = np.nonzero(valid & (dd_p95 >= -(budget + margin)))[0]
         if pool.size:
             from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
@@ -243,6 +241,7 @@ def drawdown_frontier_search(
                 term_x, dd_x = gbm_multi_portfolio_dd(
                     seed, mean_j, chol_j, jnp.asarray(w[batch]), n_paths,
                     n_steps, interpret=interpret, rebalance=rebalance,
+                    hedge_args=hedge_args if hedge is not None else None,
                 )
                 ret[batch] = np.asarray(term_x.mean(axis=1))
                 worst, _ = jax.lax.top_k(-dd_x, k_tail)

@@ -43,10 +43,14 @@ BF16_DD_ERR_REBAL_COEF = 1.4e-2  # rebalance widening: coef*sqrt(n_steps) (~5e-2
 
 
 def _multi_dd_kernel(
-    seed_ref, m_ref, lt_ref, w_ref, term_ref, dd_ref, *, n_steps: int,
+    seed_ref, m_ref, lt_ref, w_ref, *rest, n_steps: int,
     interpret: bool, prefetch: bool = False, score_dtype: str = "float32",
-    rebalance: bool = False
+    rebalance: bool = False, hedged: bool = False
 ):
+    if hedged:
+        s0_ref, ht_ref, hk_ref, hp_ref, hq_ref, term_ref, dd_ref = rest
+    else:
+        term_ref, dd_ref = rest
     w_pad, block = term_ref.shape
     a_pad = m_ref.shape[0]
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
@@ -92,6 +96,60 @@ def _multi_dd_kernel(
         def score_dot(e):
             return jnp.dot(w, e, precision="float32",
                            preferred_element_type=jnp.float32)
+
+    if hedged:
+        # hedged per-period settlement (mcport.options.hedged semantics): the
+        # asset PRICE state evolves in VMEM; each step settles every leg at
+        # intrinsic value against the move P -> P·exp(x) (app.py:164-180 per
+        # period), and candidates compound V_{t+1} = V_t · (1 + W r_hedged)
+        # — the same (w_pad, a_pad) x (a_pad, block) scoring matmul as
+        # rebalance mode, applied to the hedged return matrix. Leg types are
+        # a static-L unrolled 7-way select per (asset, leg); qty-0 padding
+        # rows contribute exactly zero.
+        s0 = s0_ref[:]                            # (a_pad, 1), padding 1.0
+        n_legs = ht_ref.shape[1]
+
+        def hedged_returns(p_prev, p_new):
+            r = jnp.zeros((a_pad, block), jnp.float32)
+            up = p_new - p_prev
+            for l in range(n_legs):
+                t = ht_ref[:, l:l + 1]            # (a_pad, 1) int32
+                k = hk_ref[:, l:l + 1]
+                prem = hp_ref[:, l:l + 1]
+                q = hq_ref[:, l:l + 1]
+                call_iv = jnp.maximum(p_new - k, 0.0)
+                put_iv = jnp.maximum(k - p_new, 0.0)
+                numer = jnp.where(
+                    t == 0, up, jnp.where(
+                        (t == 1) | (t == 6), -up, jnp.where(
+                            t == 2, call_iv - prem, jnp.where(
+                                t == 3, prem - call_iv, jnp.where(
+                                    t == 4, put_iv - prem,
+                                    prem - put_iv)))))     # t == 5
+                r = r + q * numer
+            return r / p_prev
+
+        def one_step(z, carry):
+            p, v, peak, dd = carry
+            x = m + _pg.correlate(lt, z)
+            p_new = p * jnp.exp(x)
+            f = 1.0 + score_dot(hedged_returns(p, p_new))   # (w_pad, block)
+            v = v * f
+            peak = jnp.maximum(peak, v)
+            dd = jnp.minimum(dd, v / peak - 1.0)
+            return p_new, v, peak, dd
+
+        init = (
+            jnp.broadcast_to(s0, (a_pad, block)).astype(jnp.float32),
+            jnp.ones((w_pad, block), jnp.float32),
+            jnp.ones((w_pad, block), jnp.float32),
+            jnp.zeros((w_pad, block), jnp.float32),
+        )
+        _, v, peak, dd = paired_step_loop(normal_pair, one_step, init,
+                                          n_steps, prefetch)
+        term_ref[:] = v - 1.0
+        dd_ref[:] = dd
+        return
 
     if rebalance:
         # per-period rebalancing to the candidate weights (the reference's
@@ -161,6 +219,7 @@ def gbm_multi_portfolio_dd(
     prefetch: bool = False,
     score_dtype: str = "float32",
     rebalance: bool = False,
+    hedge_args: tuple | None = None,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
@@ -180,6 +239,14 @@ def gbm_multi_portfolio_dd(
     per-step matmul cost. With bf16 the compounding recursion accumulates
     operand rounding into terminal returns too (~sqrt(T)·1e-3 relative).
 
+    ``hedge_args = (s0 (A,), type_id (A, L) int, strike (A, L),
+    premium (A, L), qty (A, L))`` switches to HEDGED per-period settlement
+    (mcport.options.hedged semantics, app.py:164-193 per simulated step):
+    the asset price state evolves in VMEM and candidates compound
+    ``V_{t+1} = V_t · (1 + W r_hedged_t)`` — the settled recursion (implies
+    rebalanced wealth; ``rebalance`` is ignored). Composes with every
+    score_dtype tier.
+
     Padded-peak note: padded candidate rows have V_0 = 1 from init but V_t = 0
     afterwards, giving dd = -1 on padding; those rows are sliced away here.
     """
@@ -197,7 +264,7 @@ def gbm_multi_portfolio_dd(
             gbm_multi_portfolio_dd(seed, mean_step, chol_step,
                                    w[i:i + max_w], n_paths, n_steps,
                                    block, interpret, prefetch, score_dtype,
-                                   rebalance)
+                                   rebalance, hedge_args)
             for i in range(0, w_cnt, max_w)
         ]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
@@ -210,16 +277,37 @@ def gbm_multi_portfolio_dd(
     n_pad = _round_up(n_paths, block)
     grid = n_pad // block
 
+    hedged = hedge_args is not None
+    hedge_inputs, hedge_specs = [], []
+    if hedged:
+        s0, ht, hk, hp, hq = hedge_args
+        n_legs = ht.shape[-1]
+        # s0 padding 1.0 keeps the kernel's r/p_prev division defined on
+        # padded rows (their qty rows are 0, so they contribute nothing)
+        s0_p = jnp.ones((a_pad, 1), jnp.float32).at[:a, 0].set(
+            jnp.asarray(s0, jnp.float32))
+        pad2 = lambda x, dt: jnp.zeros((a_pad, n_legs), dt).at[:a, :].set(
+            jnp.asarray(x, dt))
+        hedge_inputs = [s0_p, pad2(ht, jnp.int32), pad2(hk, jnp.float32),
+                        pad2(hp, jnp.float32), pad2(hq, jnp.float32)]
+        leg_spec = lambda: pl.BlockSpec((a_pad, n_legs), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        hedge_specs = [
+            pl.BlockSpec((a_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            leg_spec(), leg_spec(), leg_spec(), leg_spec(),
+        ]
+
     term, dd = pl.pallas_call(
         functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret,
                           prefetch=prefetch, score_dtype=score_dtype,
-                          rebalance=rebalance),
+                          rebalance=rebalance, hedged=hedged),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((a_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((a_pad, a_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w_pad, a_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *hedge_specs,
         ],
         out_specs=(
             pl.BlockSpec((w_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -230,5 +318,5 @@ def gbm_multi_portfolio_dd(
             jax.ShapeDtypeStruct((w_pad, n_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), m_p, lt_p, w_p)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), m_p, lt_p, w_p, *hedge_inputs)
     return term[:w_cnt, :n_paths], dd[:w_cnt, :n_paths]

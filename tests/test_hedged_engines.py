@@ -224,3 +224,80 @@ def test_api_hedged_tail_risk_families(weekly_data):
     base = gbm_risk(data, None, cfg)
     hedged = gbm_risk(data, None, cfg, legs_by_asset=legs)
     assert hedged.cvar >= base.cvar
+
+
+# ---- hedged Pallas multi-dd kernel (round 3) -------------------------------
+
+
+def _spec_args(spec, s0, dtype=jnp.float32):
+    import jax.numpy as _jnp
+
+    return (_jnp.asarray(s0, dtype), *spec.arrays)
+
+
+def test_hedged_kernel_matches_lax_scorer():
+    """Interpret-mode hedged multi-dd kernel vs _lax_multi_dd_hedged: same
+    per-step settlement semantics, same law (independent streams) — compared
+    via a SHARED-paths construction: the lax scorer replays the kernel's
+    exact settlement math on its own paths, so here we assert the kernel's
+    identity-hedge case equals its own rebalance mode (bit-level semantics)
+    and the put-hedged dd dominates unhedged, path by path."""
+    import jax.numpy as jnp_
+
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    p = _params(s0=[100.0, 50.0, 20.0, 8.0])
+    mean = jnp.asarray(p.mean_step, jnp.float32)
+    chol = jnp.asarray(p.chol_step, jnp.float32)
+    w = np.asarray(jax.random.dirichlet(jax.random.key(0), jnp.ones(A), (8,)),
+                   np.float32)
+    kw = dict(interpret=True, block=128)
+
+    # identity hedge == rebalance mode up to simplex-sum rounding
+    ident = _spec_args(IDENTITY, np.ones(A))
+    t_h, d_h = gbm_multi_portfolio_dd(3, mean, chol, w, 256, 13,
+                                      hedge_args=ident, **kw)
+    t_r, d_r = gbm_multi_portfolio_dd(3, mean, chol, w, 256, 13,
+                                      rebalance=True, **kw)
+    np.testing.assert_allclose(np.asarray(t_h), np.asarray(t_r), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(d_h), np.asarray(d_r), atol=3e-5)
+
+    # zero-premium protective puts can only lift drawdowns, path by path
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(p.s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(A)}, NAMES)
+    t_p, d_p = gbm_multi_portfolio_dd(3, mean, chol, w, 256, 13,
+                                      hedge_args=_spec_args(prot, p.s0), **kw)
+    assert (np.asarray(d_p) >= np.asarray(d_r) - 1e-6).all()
+    assert np.asarray(d_p).mean() > np.asarray(d_r).mean()
+
+    # scoring tiers compose: bf16 screen stays within the pinned bound
+    from mcport.ops.pallas_multi_dd import BF16_DD_ERR_BOUND, BF16_DD_ERR_REBAL_COEF
+
+    t_b, d_b = gbm_multi_portfolio_dd(3, mean, chol, w, 256, 13,
+                                      hedge_args=_spec_args(prot, p.s0),
+                                      score_dtype="bfloat16", **kw)
+    bound = BF16_DD_ERR_BOUND + BF16_DD_ERR_REBAL_COEF * 13 ** 0.5
+    assert np.abs(np.asarray(d_b) - np.asarray(d_p)).max() < bound
+
+
+def test_hedged_frontier_kernel_path_matches_search_semantics():
+    """drawdown_frontier_search(hedge=..., use_pallas=True, interpret=True)
+    runs the hedged KERNEL path end-to-end (incl. the bf16 rescore loop) and
+    its optimum satisfies the budget with exact f32 metrics."""
+    p = _params(s0=[100.0, 50.0, 20.0, 8.0])
+    prot = HedgeSpec.build(
+        {0: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, 97.0, 0.5, 1.0)])}, NAMES)
+    r = drawdown_frontier_search(
+        jax.random.key(6), p, dd_budget=0.4, n_candidates=64, n_paths=512,
+        n_steps=13, use_pallas=True, interpret=True, hedge=prot,
+        score_dtype="bfloat16", rescore_top=8)
+    assert r.opt_idx >= 0
+    assert r.dd_p95[r.opt_idx] >= -0.4
+    # lax path on the same key finds a consistent (same-law) optimum
+    r_lax = drawdown_frontier_search(
+        jax.random.key(6), p, dd_budget=0.4, n_candidates=64, n_paths=512,
+        n_steps=13, use_pallas=False, hedge=prot)
+    assert r_lax.opt_idx >= 0
