@@ -175,12 +175,18 @@ def sharded_simulated_frontier(
     alpha: float = 0.95,
     objective: str = "cvar",
     axis: str = "cand",
+    hedge_args: tuple | None = None,
 ) -> tuple[Array, Array]:
     """Candidate-sharded simulated-frontier search → (best weights, best metric).
 
     Every device draws the SAME terminal path set (identical key — replication by
     construction beats broadcasting 16k x A floats over ICI) and its OWN candidate
     shard; winners resolve via one tiny all_gather.
+
+    ``hedge_args = (s0, *HedgeSpec.arrays)`` scores candidates against HEDGED
+    terminal returns (mcport.options.hedged terminal settlement) — the leg
+    arrays are replicated (tiny) and the transform runs inside the
+    shard_map, so communication is unchanged.
     """
     n_dev = mesh.shape[axis]
     if n_candidates % n_dev:
@@ -193,7 +199,16 @@ def sharded_simulated_frontier(
         k_path, k_w = jax.random.split(key)
         term = terminal_log_returns(k_path, mean_step, chol_step, n_paths, n_steps,
                                     dtype=mean_step.dtype)
-        gross = jnp.exp(term) - 1.0
+        if hedge_args is not None:
+            from mcport.options.hedged import hedged_terminal_returns
+
+            s0, ht, hk, hp, hq = hedge_args
+            gross = hedged_terminal_returns(
+                jnp.asarray(term), jnp.asarray(s0, term.dtype),
+                jnp.asarray(ht), jnp.asarray(hk), jnp.asarray(hp),
+                jnp.asarray(hq))
+        else:
+            gross = jnp.exp(term) - 1.0
         w, valid = sample_constrained_weights(
             jax.random.fold_in(k_w, idx), n_local, min_w, max_w
         )

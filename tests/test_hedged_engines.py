@@ -301,3 +301,23 @@ def test_hedged_frontier_kernel_path_matches_search_semantics():
         jax.random.key(6), p, dd_budget=0.4, n_candidates=64, n_paths=512,
         n_steps=13, use_pallas=False, hedge=prot)
     assert r_lax.opt_idx >= 0
+
+
+def test_sharded_frontier_hedged_identity_bit_equal(eight_devices):
+    from jax.sharding import Mesh
+
+    from mcport.parallel.sharded_engines import sharded_simulated_frontier
+
+    p = _params()
+    mesh = Mesh(np.array(eight_devices), ("cand",))
+    kw = dict(n_candidates=512, n_paths=1024, n_steps=13, mesh=mesh,
+              objective="cvar")
+    w0, m0 = sharded_simulated_frontier(
+        jax.random.key(1), p.mean_step, p.chol_step,
+        np.zeros(A), np.ones(A), **kw)
+    w1, m1 = sharded_simulated_frontier(
+        jax.random.key(1), p.mean_step, p.chol_step,
+        np.zeros(A), np.ones(A),
+        hedge_args=(np.ones(A), *IDENTITY.arrays), **kw)
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    assert float(m0) == float(m1)
