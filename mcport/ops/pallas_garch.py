@@ -35,7 +35,8 @@ __all__ = ["pallas_garch_terminal_returns"]
 
 def _garch_kernel(
     seed_ref, mu_ref, omega_ref, alpha_ref, beta_ref, lr_ref, s2_ref, e2_ref,
-    out_ref, *, n_steps: int, interpret: bool, prefetch: bool = False
+    out_ref, *, n_steps: int, interpret: bool, prefetch: bool = False,
+    unroll: int = 1
 ):
     a_pad, block = out_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
@@ -62,18 +63,18 @@ def _garch_kernel(
     # draw-ahead pipeline (pallas_gbm.paired_step_loop): bit-identical either
     # way; A/B the default on hardware via benchmarks/bench_prefetch.py
     s2, e2, cum = paired_step_loop(normal_pair, one_step, init, n_steps,
-                                   prefetch)
+                                   prefetch, unroll)
     out_ref[:] = cum - 1.0
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret",
-                              "prefetch")
+                              "prefetch", "unroll")
 )
 def _call(
     seed, mu, omega, alpha, beta, corr_chol, sigma2_0, eps2_0,
     n_paths: int, n_steps: int, block: int, interpret: bool,
-    prefetch: bool = False,
+    prefetch: bool = False, unroll: int = 1,
 ):
     a = mu.shape[-1]
     a_pad = max(8, _round_up(a, 8))
@@ -90,7 +91,7 @@ def _call(
 
     out = pl.pallas_call(
         functools.partial(_garch_kernel, n_steps=n_steps, interpret=interpret,
-                          prefetch=prefetch),
+                          prefetch=prefetch, unroll=unroll),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -117,6 +118,7 @@ def pallas_garch_terminal_returns(
     block: int = 1024,
     interpret: bool = False,
     prefetch: bool = True,
+    unroll: int = 1,
 ) -> Array:
     """Terminal compounded simple returns (n_paths, A) under CCC-GARCH(1,1).
 
@@ -127,5 +129,5 @@ def pallas_garch_terminal_returns(
     return _call(
         seed, params.mu, params.omega, params.alpha, params.beta,
         params.corr_chol, params.sigma2_0, params.eps2_0,
-        n_paths, n_steps, block, interpret, prefetch,
+        n_paths, n_steps, block, interpret, prefetch, unroll,
     )

@@ -504,7 +504,7 @@ _EXPS_COEF = (
 
 
 def paired_step_loop(normal_pair, one_step, init, n_steps: int,
-                     prefetch: bool = False):
+                     prefetch: bool = False, unroll: int = 1):
     """Run ``one_step`` ``n_steps`` times, drawing shocks two-at-a-time.
 
     ``normal_pair(i)`` yields the (z_{2i}, z_{2i+1}) shock pair; ``one_step(z,
@@ -517,7 +517,39 @@ def paired_step_loop(normal_pair, one_step, init, n_steps: int,
     counter-addressed, so outputs are bit-identical to ``prefetch=False``
     (tested); one trailing pair is drawn and discarded. For an odd
     ``n_steps`` the tail step reuses the pair the last iteration prefetched.
+
+    ``unroll > 1`` MANUALLY unrolls that many pairs (2*unroll steps) per loop
+    iteration — Mosaic rejects ``fori_loop(unroll=)`` inside kernels, but a
+    bigger hand-unrolled body gives its scheduler cross-step overlap of the
+    correlate matmul with the next step's PRNG/Box-Muller chain: measured
+    +38% on the path-stats kernel (3.8 -> 5.25e9, the round-3 roofline's
+    biggest lever, benchmarks/bench_path_stats_roofline.py — where the
+    draw-ahead prefetch gave only +8%). Draw order is unchanged (ascending
+    pair index, tail pairs consumed sequentially after the main loop), so
+    outputs are stream-identical; ``prefetch`` is ignored when unroll > 1
+    (the unrolled block subsumes its overlap).
     """
+    if unroll > 1:
+        n_pairs = n_steps // 2
+        main = n_pairs // unroll
+
+        def body(i, carry):
+            for u in range(unroll):
+                z1, z2 = normal_pair(i * unroll + u)
+                carry = one_step(z1, carry)
+                carry = one_step(z2, carry)
+            return carry
+
+        state = jax.lax.fori_loop(0, main, body, init)
+        for j in range(main * unroll, n_pairs):
+            z1, z2 = normal_pair(jnp.asarray(j, jnp.int32))
+            state = one_step(z1, state)
+            state = one_step(z2, state)
+        if n_steps % 2 == 1:
+            z1, _ = normal_pair(jnp.asarray(n_pairs, jnp.int32))
+            state = one_step(z1, state)
+        return state
+
     if prefetch:
         def body(i, carry):
             (z1, z2), st = carry
@@ -558,7 +590,7 @@ def _exp_small(x: Array) -> Array:
 def _path_stats_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
     interpret: bool, impl: str = "eup_sum", rebalance: bool = False,
-    prefetch: bool = False
+    prefetch: bool = False, unroll: int = 1
 ):
     """impl selects the per-step portfolio-value pipeline (same math, same
     draws; see the module docstring A/B table):
@@ -629,7 +661,7 @@ def _path_stats_kernel(
         jnp.zeros((1, block), jnp.float32),
     )
     acc, lvl, peak, dd = paired_step_loop(normal_pair, one_step, init,
-                                          n_steps, prefetch)
+                                          n_steps, prefetch, unroll)
 
     term_ref[:] = acc
     v_t = lvl if rebalance else value(acc, lvl)
@@ -641,7 +673,7 @@ def _path_stats_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_paths", "n_steps", "block", "interpret", "impl", "rebalance",
-                     "prefetch")
+                     "prefetch", "unroll")
 )
 def gbm_path_stats(
     seed: Array,
@@ -655,6 +687,7 @@ def gbm_path_stats(
     impl: str = "eup_sum",
     rebalance: bool = False,
     prefetch: bool = True,
+    unroll: int = 2,
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
@@ -678,7 +711,8 @@ def gbm_path_stats(
 
     term, stats = pl.pallas_call(
         functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
-                          impl=impl, rebalance=rebalance, prefetch=prefetch),
+                          impl=impl, rebalance=rebalance, prefetch=prefetch,
+                          unroll=unroll),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

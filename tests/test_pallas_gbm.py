@@ -299,3 +299,36 @@ def test_asset_axis_padding_guard():
         out = np.asarray(pallas_terminal_log_returns(0, mean, chol, 4_000, 8, **KW))
         want_sd = np.sqrt(np.diag(chol @ chol.T) * 8)
         np.testing.assert_allclose(out.std(0), want_sd, rtol=0.15)
+
+
+def test_unroll_same_stream():
+    """unroll=2/4 consume the identical draw sequence (main loop + tail
+    pairs + odd step); outputs match unroll=1 to fusion tolerance for
+    path-stats and GARCH (like prefetch, the loop SHAPE may fuse
+    differently)."""
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_garch import pallas_garch_terminal_returns
+
+    a = 3
+    rng = np.random.default_rng(2)
+    corr = 0.4 * np.eye(a) + 0.6
+    chol = np.linalg.cholesky(0.0004 * corr).astype(np.float32)
+    mean = rng.normal(1e-3, 5e-4, a).astype(np.float32)
+    w = rng.dirichlet(np.ones(a)).astype(np.float32)
+    for steps in (8, 9, 10, 13):       # even, odd, tail-pair cases
+        outs = [gbm_path_stats(7, mean, chol, w, 256, steps, unroll=u, **KW)
+                for u in (1, 2, 4)]
+        for o in outs[1:]:
+            for x, y in zip(outs[0], o):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           atol=2e-6)
+    gp = CCCGarchParams(
+        mu=mean.astype(np.float64), omega=np.full(a, 4e-6),
+        alpha=np.full(a, 0.08), beta=np.full(a, 0.9),
+        corr_chol=np.linalg.cholesky(corr), sigma2_0=np.full(a, 1e-4),
+        eps2_0=np.full(a, 1e-4))
+    g1 = pallas_garch_terminal_returns(5, gp, 256, 9, interpret=True, block=128,
+                                       unroll=1)
+    g2 = pallas_garch_terminal_returns(5, gp, 256, 9, interpret=True, block=128,
+                                       unroll=2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-6)
