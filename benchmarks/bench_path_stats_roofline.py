@@ -191,9 +191,8 @@ def main():
                       ("bf16 correlate (ceiling)", dict(mode="full", corr="bf16")),
                       ("split2+paircorr+u2",
                        dict(mode="paircorr", unroll=2, corr="split2")),
-                      ("bf16 dd carry", dict(mode="full", dd_dtype="bfloat16")),
-                      ("best combo: paircorr+u2+bf16dd",
-                       dict(mode="paircorr", unroll=2, dd_dtype="bfloat16"))):
+                      ("bf16 dd carry", dict(mode="full", dd_dtype="bfloat16"))):
+        # (paircorr ignores dd_dtype — its body is f32-only)
         print(f"  {label:18s}: {measure(**kw):6.2f}e9")
 
     # production kernel for reference (same process)
