@@ -118,13 +118,15 @@ def pallas_garch_terminal_returns(
     block: int = 1024,
     interpret: bool = False,
     prefetch: bool = True,
-    unroll: int = 1,
+    unroll: int = 4,
 ) -> Array:
     """Terminal compounded simple returns (n_paths, A) under CCC-GARCH(1,1).
 
-    ``prefetch`` draw-ahead pipelines the step loop (bit-identical outputs,
-    measured ~8-12% faster on the v5e; see pallas_gbm.paired_step_loop and
-    benchmarks/bench_prefetch.py).
+    ``unroll=4`` (default) manually unrolls 4 Box-Muller pairs per loop
+    iteration — +29% over the round-2 prefetch default on the v5e
+    (3.80 -> 4.91e9 path-steps/s, benchmarks/bench_unroll.py), same draw
+    stream. ``prefetch`` applies only at unroll=1 (the round-2 pipelining
+    lever, ~8-12%).
     """
     return _call(
         seed, params.mu, params.omega, params.alpha, params.beta,
