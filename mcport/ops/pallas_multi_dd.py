@@ -45,7 +45,7 @@ BF16_DD_ERR_REBAL_COEF = 1.4e-2  # rebalance widening: coef*sqrt(n_steps) (~5e-2
 def _multi_dd_kernel(
     seed_ref, m_ref, lt_ref, w_ref, *rest, n_steps: int,
     interpret: bool, prefetch: bool = False, score_dtype: str = "float32",
-    rebalance: bool = False, hedged: bool = False
+    rebalance: bool = False, hedged: bool = False, unroll: int = 1
 ):
     if hedged:
         s0_ref, ht_ref, hk_ref, hp_ref, hq_ref, term_ref, dd_ref = rest
@@ -146,7 +146,7 @@ def _multi_dd_kernel(
             jnp.zeros((w_pad, block), jnp.float32),
         )
         _, v, peak, dd = paired_step_loop(normal_pair, one_step, init,
-                                          n_steps, prefetch)
+                                          n_steps, prefetch, unroll)
         term_ref[:] = v - 1.0
         dd_ref[:] = dd
         return
@@ -171,7 +171,7 @@ def _multi_dd_kernel(
             jnp.zeros((w_pad, block), jnp.float32),
         )
         v, peak, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
-                                       prefetch)
+                                       prefetch, unroll)
         term_ref[:] = v - 1.0
         dd_ref[:] = dd
         return
@@ -196,7 +196,7 @@ def _multi_dd_kernel(
     # matmul already keeps the MXU busy), so the default stays False — see
     # benchmarks/bench_prefetch.py
     acc, peak, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
-                                     prefetch)
+                                     prefetch, unroll)
 
     term_ref[:] = jnp.dot(w, jnp.exp(acc), precision="float32",
                           preferred_element_type=jnp.float32) - 1.0
@@ -205,7 +205,7 @@ def _multi_dd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "prefetch",
-                              "score_dtype", "rebalance")
+                              "score_dtype", "rebalance", "unroll")
 )
 def gbm_multi_portfolio_dd(
     seed: Array,
@@ -220,6 +220,7 @@ def gbm_multi_portfolio_dd(
     score_dtype: str = "float32",
     rebalance: bool = False,
     hedge_args: tuple | None = None,
+    unroll: int = 1,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
@@ -264,7 +265,7 @@ def gbm_multi_portfolio_dd(
             gbm_multi_portfolio_dd(seed, mean_step, chol_step,
                                    w[i:i + max_w], n_paths, n_steps,
                                    block, interpret, prefetch, score_dtype,
-                                   rebalance, hedge_args)
+                                   rebalance, hedge_args, unroll)
             for i in range(0, w_cnt, max_w)
         ]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
@@ -300,7 +301,7 @@ def gbm_multi_portfolio_dd(
     term, dd = pl.pallas_call(
         functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret,
                           prefetch=prefetch, score_dtype=score_dtype,
-                          rebalance=rebalance, hedged=hedged),
+                          rebalance=rebalance, hedged=hedged, unroll=unroll),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
