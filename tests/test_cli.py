@@ -172,3 +172,23 @@ def test_hedge_file_errors(btc, tmp_path):
     wrong.write_text(json.dumps({"NOPE": {"strategy": "Collar"}}))
     with pytest.raises(SystemExit, match="not in the universe"):
         run_cli(["gbm-risk", btc, "--period", "W", "--hedge", str(wrong)])
+
+
+def test_simulate_hedged_flag(btc, eth, tmp_path):
+    """--hedge reweights the HISTORICAL series (reference tab-2 semantics,
+    app.py:659-667) through legs_from_spec; metrics shift vs unhedged."""
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "ETH_USD 7 Years Weekly": {"strategy": "Covered Call",
+                                   "params": {"premium_call": 0.02}},
+    }))
+    base = run_cli(["simulate", btc, eth, "--period", "W",
+                    "--n-portfolios", "200", "--methods", "Monte Carlo"])
+    out = run_cli(["simulate", btc, eth, "--period", "W",
+                   "--n-portfolios", "200", "--methods", "Monte Carlo",
+                   "--hedge", str(hedge)])
+    m0 = base["methods"]["Monte Carlo"]
+    m1 = out["methods"]["Monte Carlo"]
+    assert m1["n_valid"] > 0
+    # the covered-call overlay changes the assembled return series
+    assert m1["expected_return_ann"] != m0["expected_return_ann"]
