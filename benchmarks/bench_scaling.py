@@ -64,8 +64,11 @@ def main():
                 return acc
             return f
 
-        rt = N_PATHS * N_STEPS / diff_timed(loop(term_one), k=4) / 1e9
-        rp = N_PATHS * N_STEPS / diff_timed(loop(ps_one), k=4) / 1e9
+        # sub-10ms reps sit in the tunnel noise floor (CLAUDE.md): scale k
+        # so each rep batch is >~100 ms
+        k = max(4, int(64 // max(a_pad // 8, 1)))
+        rt = N_PATHS * N_STEPS / diff_timed(loop(term_one), k=k) / 1e9
+        rp = N_PATHS * N_STEPS / diff_timed(loop(ps_one), k=k) / 1e9
         print(f"{a:>4} {a_pad:>6} {rt:>9.2f} {rp:>10.2f} "
               f"{rt * a_pad:>10.0f} {rp * a_pad:>12.0f}")
 
