@@ -347,3 +347,88 @@ def test_bootstrap_risk_keyed_runs_differ_on_kernel_path():
     p1 = bootstrap_risk(jax.random.key(1), hist, w, n_paths=8_192, n_steps=8, seed=7)
     p2 = bootstrap_risk(jax.random.key(2), hist, w, n_paths=8_192, n_steps=8, seed=7)
     assert float(p1.port_mean) == float(p2.port_mean)
+
+
+def test_dcc_kernel_compiled_law():
+    """Round 3: the fused DCC kernel on hardware PRNG — law vs the lax
+    triangle scan (same params, independent streams), on-device reductions
+    only."""
+    from mcport.models.dcc import DCCGarchParams, dcc_terminal_returns
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+
+    a = 4
+    corr = 0.4 * np.eye(a) + 0.6
+    sig0 = np.full(a, 4e-4)
+    base = CCCGarchParams(
+        mu=np.full(a, 1e-3), omega=sig0 * 0.1, alpha=np.full(a, 0.08),
+        beta=np.full(a, 0.9), corr_chol=np.linalg.cholesky(corr),
+        sigma2_0=sig0, eps2_0=sig0)
+    p = DCCGarchParams(base=base, a_dcc=0.06, b_dcc=0.88, q0=corr,
+                       e0=np.zeros(a))
+    n, steps = 65_536, 26
+    got = pallas_dcc_terminal_returns(7, p, n, steps)
+    ref = dcc_terminal_returns(jax.random.key(7), p, n, steps,
+                               use_pallas=False)
+    g_mean = np.asarray(jax.device_get(got.mean(0)))
+    g_std = np.asarray(jax.device_get(got.std(0)))
+    r_mean = np.asarray(jax.device_get(ref.mean(0)))
+    r_std = np.asarray(jax.device_get(ref.std(0)))
+    se = r_std / np.sqrt(n)
+    np.testing.assert_allclose(g_mean, r_mean, atol=float(6 * se.max()))
+    np.testing.assert_allclose(g_std, r_std, rtol=0.05)
+    # cross-asset correlation carried through the dynamic Q state
+    gc = float(jax.device_get(jnp.corrcoef(got.T)[0, 1]))
+    rc = float(jax.device_get(jnp.corrcoef(ref.T)[0, 1]))
+    assert abs(gc - rc) < 0.05
+
+
+def test_hedged_multi_dd_compiled():
+    """Round 3: hedged per-period settlement on hardware — identity hedge
+    tracks rebalance mode; protective puts lift every drawdown."""
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    a = 4
+    mean = np.full(a, 1e-3, np.float32)
+    chol = _chol(a).astype(np.float32)
+    s0 = np.array([100.0, 50.0, 20.0, 8.0], np.float32)
+    cand = np.random.default_rng(3).dirichlet(np.ones(a), 16).astype(np.float32)
+    ident = (np.ones(a, np.float32),
+             np.zeros((a, 1), np.int32), np.zeros((a, 1), np.float32),
+             np.zeros((a, 1), np.float32), np.ones((a, 1), np.float32))
+    t_h, d_h = gbm_multi_portfolio_dd(9, mean, chol, cand, 16_384, 13,
+                                      hedge_args=ident)
+    t_r, d_r = gbm_multi_portfolio_dd(9, mean, chol, cand, 16_384, 13,
+                                      rebalance=True)
+    assert float(jax.device_get(jnp.max(jnp.abs(t_h - t_r)))) < 5e-5
+    assert float(jax.device_get(jnp.max(jnp.abs(d_h - d_r)))) < 5e-5
+
+    prot = (s0,
+            np.tile(np.array([[0, 4]], np.int32), (a, 1)),
+            np.stack([np.zeros(a, np.float32), s0 * 0.98], 1),
+            np.zeros((a, 2), np.float32),
+            np.ones((a, 2), np.float32))
+    t_p, d_p = gbm_multi_portfolio_dd(9, mean, chol, cand, 16_384, 13,
+                                      hedge_args=prot)
+    # zero-premium puts dominate TERMINAL wealth path-by-path (each per-step
+    # factor is >=) up to op-order rounding: the hedged recursion computes
+    # 1 + W@r while rebalance computes W@exp(x), so paths where the puts
+    # never pay agree only to ~1e-4 compounded f32 rounding. Drawdowns
+    # improve in aggregate but NOT pointwise — a put payout can raise an
+    # early peak and deepen a later RELATIVE drawdown.
+    assert bool(jax.device_get(jnp.all(t_p >= t_r - 5e-4)))
+    assert float(jax.device_get(d_p.mean())) > float(jax.device_get(d_r.mean()))
+
+
+def test_unroll_compiled_same_stream(kernels):
+    """unroll=1 vs the unroll=2 default consume the same hardware stream:
+    path-stats outputs agree to fusion tolerance at even/odd steps."""
+    a = 4
+    mean = np.full(a, 1e-3, np.float32)
+    chol = _chol(a).astype(np.float32)
+    w = np.full(a, 0.25, np.float32)
+    for steps in (12, 13):
+        o1 = kernels.gbm_path_stats(11, mean, chol, w, 8_192, steps, unroll=1)
+        o2 = kernels.gbm_path_stats(11, mean, chol, w, 8_192, steps, unroll=2)
+        for x, y in zip(o1, o2):
+            assert float(jax.device_get(jnp.max(jnp.abs(x - y)))) < 2e-6
