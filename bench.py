@@ -127,7 +127,7 @@ def fleet(mean, chol):
 
     rate = N_PATHS * N_STEPS / diff_timed(_chain(pstats), k=4)
     _emit("gbm_path_stats_path_steps_per_sec", rate,
-          "path-steps/s (15 assets, 252 steps, split correlate, prefetch)",
+          "path-steps/s (15 assets, 252 steps, split correlate, unroll=2)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
 
     # -- CCC-GARCH kernel
@@ -149,7 +149,7 @@ def fleet(mean, chol):
 
     rate = N_PATHS * N_STEPS / diff_timed(_chain(garch), k=4)
     _emit("garch_path_steps_per_sec", rate,
-          "path-steps/s (CCC-GARCH(1,1), 15 assets, 252 steps)",
+          "path-steps/s (CCC-GARCH(1,1), 15 assets, 252 steps, unroll=4)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
 
     # -- multi-portfolio drawdown scoring tiers
