@@ -98,5 +98,44 @@ def main():
         print(f"  lax:    {N_PATHS * N_STEPS / sec / 1e9:.2f}e9 path-steps/s")
 
 
+def unroll_ab():
+    """DCC kernel unroll A/B (run after main's warm compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.models.dcc import DCCGarchParams
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+    from mcport.utils.profiling import diff_timed
+
+    rng = np.random.default_rng(0)
+    corr = 0.5 * np.eye(N_ASSETS) + 0.5
+    sig0 = np.full(N_ASSETS, 4e-4)
+    base = CCCGarchParams(
+        mu=rng.normal(1e-3, 5e-4, N_ASSETS), omega=sig0 * 0.1,
+        alpha=np.full(N_ASSETS, 0.08), beta=np.full(N_ASSETS, 0.9),
+        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
+    params = DCCGarchParams(base=base, a_dcc=0.05, b_dcc=0.9,
+                            q0=corr, e0=np.zeros(N_ASSETS))
+    for u in (1, 2):
+        @jax.jit
+        def one(seed, u=u):
+            return pallas_dcc_terminal_returns(
+                seed, params, N_PATHS, N_STEPS, prefetch=False,
+                unroll=u).sum() * 1e-9
+
+        def loop(k, one=one):
+            acc = jnp.float32(0)
+            for i in range(k):
+                acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
+            return acc
+
+        sec = diff_timed(loop, k=3)
+        print(f"  unroll={u}: {N_PATHS * N_STEPS / sec / 1e9:.2f}e9 path-steps/s")
+
+
 if __name__ == "__main__":
-    main()
+    if "--unroll" in sys.argv:
+        unroll_ab()
+    else:
+        main()

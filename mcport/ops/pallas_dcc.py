@@ -51,7 +51,7 @@ __all__ = ["pallas_dcc_terminal_returns"]
 def _dcc_kernel(
     seed_ref, mu_ref, om_ref, al_ref, be_ref, s_ref, ab_ref, q0_ref, d0_ref,
     e0_ref, s20_ref, e20_ref, out_ref, *, n_steps: int, n_assets: int,
-    interpret: bool, prefetch: bool = False,
+    interpret: bool, prefetch: bool = False, unroll: int = 1,
 ):
     a_pad, block = out_ref.shape
     A = n_assets
@@ -106,18 +106,19 @@ def _dcc_kernel(
         tuple(bcast(q0_ref[:, j:j + 1]) for j in range(A)),
         jnp.ones((a_pad, block), jnp.float32),
     )
-    *_, cum = paired_step_loop(normal_pair, one_step, init, n_steps, prefetch)
+    *_, cum = paired_step_loop(normal_pair, one_step, init, n_steps, prefetch,
+                               unroll)
     out_ref[:] = cum - 1.0
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret",
-                              "prefetch")
+                              "prefetch", "unroll")
 )
 def _call(
     seed, mu, omega, alpha, beta, s, a_dcc, b_dcc, q0, e0, sigma2_0, eps2_0,
     n_paths: int, n_steps: int, block: int, interpret: bool,
-    prefetch: bool = False,
+    prefetch: bool = False, unroll: int = 1,
 ):
     a = mu.shape[-1]
     a_pad = max(8, _round_up(a, 8))
@@ -138,7 +139,8 @@ def _call(
     q0j = jnp.asarray(q0, jnp.float32)
     out = pl.pallas_call(
         functools.partial(_dcc_kernel, n_steps=n_steps, n_assets=a,
-                          interpret=interpret, prefetch=prefetch),
+                          interpret=interpret, prefetch=prefetch,
+                          unroll=unroll),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
@@ -172,13 +174,16 @@ def pallas_dcc_terminal_returns(
     block: int = 512,
     interpret: bool = False,
     prefetch: bool = True,
+    unroll: int = 2,
 ) -> Array:
     """(n_paths, A) terminal compounded simple returns under DCC-GARCH(1,1).
 
     ``params`` is a :class:`mcport.models.dcc.DCCGarchParams`. Same law as
     :func:`mcport.models.dcc.dcc_terminal_returns` (independent stream).
     ``block`` defaults to 512: the Q planes cost A x (A_pad, block) VMEM, so
-    the DCC block is half the GARCH kernel's.
+    the DCC block is half the GARCH kernel's. ``unroll=2`` (default) is the
+    round-3 manual-unroll lever: 0.74 -> 0.81e9 path-steps/s on the v5e
+    (bench_dcc.py --unroll); stream order unchanged.
     """
     b = params.base
     import numpy as np
@@ -188,4 +193,5 @@ def pallas_dcc_terminal_returns(
         seed, b.mu, b.omega, b.alpha, b.beta, s,
         params.a_dcc, params.b_dcc, params.q0, params.e0,
         b.sigma2_0, b.eps2_0, n_paths, n_steps, block, interpret, prefetch,
+        unroll,
     )
