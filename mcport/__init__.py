@@ -42,6 +42,7 @@ def __getattr__(name):
     """Lazy re-exports of the workflow API (mcport.load_universe, mcport.simulate,
     ...) without importing jax/pandas at package-import time."""
     _API = ("load_universe", "compute_stats", "simulate", "gbm_risk",
+            "hedged_tail_risk",
             "bootstrap_tail_risk", "exact_mv_frontier", "exact_cvar_frontier",
             "exact_cdar_frontier",
             "risk_based_weights", "compare_tail_risk", "forecast")

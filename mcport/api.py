@@ -112,13 +112,31 @@ def gbm_risk(
     sketch = None if g.auto_sketch else config.sketch
 
     if hedge is not None and mesh is not None:
+        # the sharded hedged engine is the one-shot plain-normal form; refuse
+        # (rather than silently drop) every option it does not honor
+        unsupported = []
+        if checkpoint is not None or checkpoint_path is not None:
+            unsupported.append("checkpoint/resume")
+        if g.innovations != "normal":
+            unsupported.append(f"innovations={g.innovations!r}")
+        if g.qmc != "none":
+            unsupported.append(f"qmc={g.qmc!r}")
+        if g.antithetic:
+            unsupported.append("antithetic")
+        if unsupported:
+            raise ValueError(
+                "hedged gbm_risk over a mesh does not support "
+                + ", ".join(unsupported)
+                + " yet; drop mesh= (the single-chip hedged engine supports "
+                "them) or drop legs_by_asset")
         from mcport.parallel.sharded_engines import sharded_hedged_gbm_risk
 
         v, c, pm = sharded_hedged_gbm_risk(
             g.seed, params, w, hedge, n_paths=g.n_paths, n_steps=g.n_steps,
-            mesh=mesh, alpha=alpha,
+            mesh=mesh, alpha=alpha, sketch=sketch,
         )
         return RiskReport(
+            # analytic moments (mean/cov are not sampled on this path)
             mean=np.asarray(params.mean_step) * g.n_steps,
             cov=(np.asarray(params.chol_step) @ np.asarray(params.chol_step).T
                  * g.n_steps),

@@ -803,7 +803,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--methods", default=None,
                     help="comma list (default: all six)")
     sp.add_argument("--hedge", default=None, metavar="FILE",
-                    help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
+                    help="JSON hedge config: {asset: {strategy, params} | "
+                         "{legs}} — legs reweight the HISTORICAL return "
+                         "series (reference tab-2 semantics, app.py:659-667;"
+                         " the simulated-tier settlement lives in gbm-risk/"
+                         "sim-frontier/dd-frontier/hedged-risk --hedge)")
     sp.set_defaults(fn=cmd_simulate)
 
     sp = sub.add_parser("gbm-risk", help="correlated-GBM tail risk")

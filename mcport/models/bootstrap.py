@@ -150,7 +150,7 @@ def bootstrap_risk(
         # keyed runs must differ on the kernel path too (the pre-fix default
         # seed=0 made every keyed TPU run bit-identical — a silent
         # platform-dependent reproducibility trap)
-        seed = jax.random.randint(key, (), 0, 1 << 20)
+        seed = jax.random.randint(key, (), 0, 1 << 30)
     return _bootstrap_risk_impl(
         key, jnp.asarray(seed, jnp.int32), jnp.asarray(returns),
         jnp.asarray(weights), n_paths, n_steps, p_restart, alpha, sketch,

@@ -251,7 +251,7 @@ def dcc_terminal_returns(
         from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
 
         if seed is None:
-            seed = jax.random.randint(key, (), 0, 1 << 20)
+            seed = jax.random.randint(key, (), 0, 1 << 30)
         return pallas_dcc_terminal_returns(
             jnp.asarray(seed, jnp.int32), params, n_paths, n_steps)
     b = params.base

@@ -124,8 +124,11 @@ def _multi_dd_kernel(
                         (t == 1) | (t == 6), -up, jnp.where(
                             t == 2, call_iv - prem, jnp.where(
                                 t == 3, prem - call_iv, jnp.where(
-                                    t == 4, put_iv - prem,
-                                    prem - put_iv)))))     # t == 5
+                                    t == 4, put_iv - prem, jnp.where(
+                                        t == 5, prem - put_iv,
+                                        0.0))))))  # unknown type: 0, matching
+                # legs.leg_period_return's default branch (HedgeSpec.build
+                # validates types, so this is defense in depth, not dispatch)
                 r = r + q * numer
             return r / p_prev
 

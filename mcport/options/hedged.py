@@ -238,26 +238,17 @@ def hedged_return_bounds(
     for i in range(a):
         pts = [s_lo[i], s_hi[i]]
         pts += [k for k in spec.strike[i] if s_lo[i] < k < s_hi[i]]
-        S = np.asarray(pts)
+        S = np.asarray(pts, np.float64)
+        # evaluate through the SAME leg formula the engines use (no third
+        # copy of the payoff table to drift)
         r = np.zeros_like(S)
         for l in range(L):
-            t = int(spec.type_id[i, l])
-            K, prem, q = spec.strike[i, l], spec.premium[i, l], spec.qty[i, l]
-            if q == 0.0:
+            if spec.qty[i, l] == 0.0:
                 continue
-            up = S - s0[i]
-            call_iv = np.maximum(S - K, 0.0)
-            put_iv = np.maximum(K - S, 0.0)
-            numer = {
-                int(LegType.BUY_ASSET): up,
-                int(LegType.SELL_ASSET): -up,
-                int(LegType.BUY_CALL): call_iv - prem,
-                int(LegType.SELL_CALL): prem - call_iv,
-                int(LegType.BUY_PUT): put_iv - prem,
-                int(LegType.SELL_PUT): prem - put_iv,
-                int(LegType.SELL_FUTURES): -up,
-            }[t]
-            r = r + q * (numer / s0[i] if s0[i] != 0 else 0.0)
+            r = r + spec.qty[i, l] * np.asarray(leg_period_return(
+                jnp.asarray(int(spec.type_id[i, l])), jnp.asarray(S),
+                jnp.asarray(float(s0[i])), jnp.asarray(spec.strike[i, l]),
+                jnp.asarray(spec.premium[i, l])))
         lo[i], hi[i] = r.min(), r.max()
     return lo, hi
 

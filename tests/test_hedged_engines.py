@@ -325,3 +325,31 @@ def test_sharded_frontier_hedged_identity_bit_equal(eight_devices):
         hedge_args=(np.ones(A), *IDENTITY.arrays), **kw)
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
     assert float(m0) == float(m1)
+
+
+def test_hedged_mesh_refuses_unsupported_options(eight_devices):
+    """gbm_risk(mesh=..., legs_by_asset=...) must REFUSE (not silently drop)
+    options the sharded hedged engine does not honor (round-3 review fix)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from mcport.api import gbm_risk
+
+    p = _params()
+    mesh = Mesh(np.array(eight_devices), ("paths",))
+    legs = {0: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0)])}
+    base = Config(gbm=GBMConfig(n_paths=8192, path_block=1024, n_steps=4,
+                                use_pallas=False))
+    for field, val, msg in (("antithetic", True, "antithetic"),
+                            ("innovations", "student_t", "innovations"),
+                            ("qmc", "sobol", "qmc")):
+        cfg = Config(gbm=dataclasses.replace(base.gbm, **{field: val}))
+        with pytest.raises(ValueError, match=msg):
+            gbm_risk(p, np.full(A, 0.25), cfg, mesh=mesh, legs_by_asset=legs)
+    with pytest.raises(ValueError, match="checkpoint"):
+        gbm_risk(p, np.full(A, 0.25), base, mesh=mesh, legs_by_asset=legs,
+                 checkpoint_path="/tmp/nope.npz")
+    # the supported plain form still runs
+    rep = gbm_risk(p, np.full(A, 0.25), base, mesh=mesh, legs_by_asset=legs)
+    assert np.isfinite([rep.var, rep.cvar]).all()
