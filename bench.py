@@ -152,6 +152,25 @@ def fleet(mean, chol):
           "path-steps/s (CCC-GARCH(1,1), 15 assets, 252 steps, unroll=4)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
 
+    # -- DCC-GARCH kernel (round 3: the fused VMEM-Cholesky form)
+    from mcport.models.dcc import DCCGarchParams
+    from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+
+    dcc_steps = 52   # the DCC risk horizon convention (models/dcc.py)
+    dp = DCCGarchParams(base=gp, a_dcc=0.05, b_dcc=0.9,
+                        q0=0.5 * np.eye(N_ASSETS) + 0.5,
+                        e0=np.zeros(N_ASSETS))
+
+    @jax.jit
+    def dcc(seed):
+        return pallas_dcc_terminal_returns(
+            seed, dp, N_PATHS, dcc_steps).sum() * 1e-9
+
+    rate = N_PATHS * dcc_steps / diff_timed(_chain(dcc), k=3)
+    _emit("dcc_path_steps_per_sec", rate,
+          "path-steps/s (DCC-GARCH(1,1), 15 assets, 52 steps, fused kernel)",
+          rate / BASELINE_PATH_STEPS_PER_SEC)
+
     # -- multi-portfolio drawdown scoring tiers
     from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
 
