@@ -111,24 +111,26 @@ def gbm_risk(
     # (e.g. to reproduce fixed-grid bin geometry).
     sketch = None if g.auto_sketch else config.sketch
 
+    if mesh is not None and g.qmc != "none":
+        raise ValueError(
+            "qmc sampling is single-chip only (the sharded engines draw "
+            "pseudo-random counter-addressed streams); drop mesh= or set "
+            "qmc='none'")
+
     if hedge is not None and mesh is not None:
-        # the sharded hedged engine is the one-shot plain-normal form; refuse
-        # (rather than silently drop) every option it does not honor
-        unsupported = []
-        if checkpoint is not None or checkpoint_path is not None:
-            unsupported.append("checkpoint/resume")
-        if g.innovations != "normal":
-            unsupported.append(f"innovations={g.innovations!r}")
-        if g.qmc != "none":
-            unsupported.append(f"qmc={g.qmc!r}")
-        if g.antithetic:
-            unsupported.append("antithetic")
-        if unsupported:
-            raise ValueError(
-                "hedged gbm_risk over a mesh does not support "
-                + ", ".join(unsupported)
-                + " yet; drop mesh= (the single-chip hedged engine supports "
-                "them) or drop legs_by_asset")
+        if (checkpoint is not None or checkpoint_path is not None
+                or g.innovations != "normal" or g.antithetic):
+            # the sharded RESUMABLE engine carries the full option surface
+            # (checkpoints, student_t, antithetic) with hedged settlement —
+            # bit-identical to the single-chip hedged engine's block grid
+            from mcport.parallel.sharded_resumable import run_sharded_resumable_mc
+
+            report, _ = run_sharded_resumable_mc(
+                params, w, mesh, g, sketch, alpha=alpha,
+                checkpoint=checkpoint, checkpoint_path=checkpoint_path,
+                hedge=hedge,
+            )
+            return report
         from mcport.parallel.sharded_engines import sharded_hedged_gbm_risk
 
         v, c, pm = sharded_hedged_gbm_risk(

@@ -121,6 +121,7 @@ def load_sharded_checkpoint(path: str | Path) -> ShardedMCCheckpoint:
     static_argnames=(
         "mesh", "axis", "blocks_per_device", "block_paths", "n_steps",
         "n_dev", "use_pallas", "antithetic", "sketch", "innovations", "t_dof",
+        "hedged",
     ),
 )
 def _sharded_blocks_update(
@@ -144,6 +145,8 @@ def _sharded_blocks_update(
     sketch: SketchConfig,
     innovations: str = "normal",
     t_dof: float = 6.0,
+    hedged: bool = False,
+    hedge_args: tuple = (),
 ):
     """Each device folds its round-robin share of ``blocks_per_device * n_dev``
     consecutive global blocks into its OWN accumulator slice. No collectives."""
@@ -181,7 +184,16 @@ def _sharded_blocks_update(
                     key, mean_step, chol_step, block_paths, n_steps,
                     antithetic=antithetic,
                 )
-            port = portfolio_terminal_returns(term, weights)
+            if hedged:
+                # option legs settle against simulated terminal prices
+                # (mcport.options.hedged terminal composition); asset
+                # moments stay the plain log-return moments — identical to
+                # the single-chip engine's hedged semantics
+                from mcport.options.hedged import hedged_terminal_returns
+
+                port = hedged_terminal_returns(term, *hedge_args) @ weights
+            else:
+                port = portfolio_terminal_returns(term, weights)
             return (
                 update_moments(moments, term, shift=shift),
                 hist + histogram(port, sketch),
@@ -221,6 +233,7 @@ def run_sharded_resumable_mc(
     checkpoint_path: str | Path | None = None,
     axis: str = "paths",
     use_pallas: bool | None = None,
+    hedge=None,
 ) -> tuple[RiskReport, ShardedMCCheckpoint]:
     """Run (or resume) the chunked MC risk computation over a device mesh.
 
@@ -241,13 +254,23 @@ def run_sharded_resumable_mc(
     if n_blocks % n_dev:
         raise ValueError(f"n_blocks {n_blocks} not divisible by mesh size {n_dev}")
 
-    digest = _run_digest(params, weights, config)
+    digest = _run_digest(params, weights, config, hedge)
     if checkpoint is None:
         if sketch is None:
-            sketch = auto_sketch(
-                params.mean_step, params.chol_step, config.n_steps,
-                t_dof=config.t_dof if config.innovations == "student_t" else None,
-            )
+            t_dof = config.t_dof if config.innovations == "student_t" else None
+            if hedge is not None:
+                from mcport.options.hedged import auto_hedged_sketch
+
+                w_np = np.asarray(weights, np.float64)
+                sketch = auto_hedged_sketch(
+                    params, config.n_steps, hedge,
+                    weights=w_np if (w_np >= 0).all() else None, t_dof=t_dof,
+                )
+            else:
+                sketch = auto_sketch(
+                    params.mean_step, params.chol_step, config.n_steps,
+                    t_dof=t_dof,
+                )
         shift_np = np.asarray(config.n_steps * np.asarray(params.mean_step, np.float64))
         ck = ShardedMCCheckpoint(
             seed=config.seed,
@@ -317,6 +340,9 @@ def run_sharded_resumable_mc(
             mesh, axis, (stop - start) // n_dev, block_paths, config.n_steps,
             n_dev, use_pallas, config.antithetic, sketch,
             config.innovations, config.t_dof,
+            hedge is not None,
+            () if hedge is None else (jnp.asarray(params.s0, dtype),
+                                      *hedge.arrays),
         )
         jax.block_until_ready(hist)
 

@@ -327,29 +327,45 @@ def test_sharded_frontier_hedged_identity_bit_equal(eight_devices):
     assert float(m0) == float(m1)
 
 
-def test_hedged_mesh_refuses_unsupported_options(eight_devices):
-    """gbm_risk(mesh=..., legs_by_asset=...) must REFUSE (not silently drop)
-    options the sharded hedged engine does not honor (round-3 review fix)."""
+def test_hedged_mesh_full_option_surface(eight_devices, tmp_path):
+    """gbm_risk(mesh=..., legs_by_asset=...) routes checkpoint/student_t/
+    antithetic through the sharded RESUMABLE engine (bit-identical block grid
+    to the single-chip hedged engine); qmc+mesh refuses for all engines."""
     import dataclasses
 
     from jax.sharding import Mesh
 
     from mcport.api import gbm_risk
 
-    p = _params()
+    p = _params(s0=[100.0, 50.0, 20.0, 8.0])
     mesh = Mesh(np.array(eight_devices), ("paths",))
-    legs = {0: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0)])}
+    legs = {0: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                               (LegType.BUY_PUT, 95.0, 0.5, 1.0)])}
+    w = np.full(A, 0.25)
     base = Config(gbm=GBMConfig(n_paths=8192, path_block=1024, n_steps=4,
                                 use_pallas=False))
-    for field, val, msg in (("antithetic", True, "antithetic"),
-                            ("innovations", "student_t", "innovations"),
-                            ("qmc", "sobol", "qmc")):
+
+    # qmc + mesh refuses (hedged or not)
+    qcfg = Config(gbm=dataclasses.replace(base.gbm, qmc="sobol"))
+    with pytest.raises(ValueError, match="qmc"):
+        gbm_risk(p, w, qcfg, mesh=mesh, legs_by_asset=legs)
+    with pytest.raises(ValueError, match="qmc"):
+        gbm_risk(p, w, qcfg, mesh=mesh)
+
+    # hedged + mesh + checkpoint: resumable route, bit-identical to the
+    # single-chip hedged engine on the same block grid
+    single = gbm_risk(p, w, base, legs_by_asset=legs)
+    sharded = gbm_risk(p, w, base, mesh=mesh, legs_by_asset=legs,
+                       checkpoint_path=str(tmp_path / "ck.npz"))
+    assert sharded.var == single.var and sharded.cvar == single.cvar
+
+    # hedged + mesh + student_t/antithetic run through the same route
+    for field, val in (("innovations", "student_t"), ("antithetic", True)):
         cfg = Config(gbm=dataclasses.replace(base.gbm, **{field: val}))
-        with pytest.raises(ValueError, match=msg):
-            gbm_risk(p, np.full(A, 0.25), cfg, mesh=mesh, legs_by_asset=legs)
-    with pytest.raises(ValueError, match="checkpoint"):
-        gbm_risk(p, np.full(A, 0.25), base, mesh=mesh, legs_by_asset=legs,
-                 checkpoint_path="/tmp/nope.npz")
-    # the supported plain form still runs
-    rep = gbm_risk(p, np.full(A, 0.25), base, mesh=mesh, legs_by_asset=legs)
+        rep = gbm_risk(p, w, cfg, mesh=mesh, legs_by_asset=legs,
+                       checkpoint_path=str(tmp_path / f"ck_{field}.npz"))
+        assert np.isfinite([rep.var, rep.cvar]).all()
+
+    # the plain one-shot form still runs
+    rep = gbm_risk(p, w, base, mesh=mesh, legs_by_asset=legs)
     assert np.isfinite([rep.var, rep.cvar]).all()
