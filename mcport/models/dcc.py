@@ -15,9 +15,9 @@ TPU mapping: the (a, b) likelihood surface is evaluated as ONE vmapped
 ``lax.scan`` over a feasible grid (coarse-to-fine; no line searches, no
 data-dependent control flow). Simulation auto-selects the fused Pallas
 kernel on TPU (:mod:`mcport.ops.pallas_dcc` — VMEM-resident Q planes,
-column-slab Cholesky; measured 0.68e9 path-steps/s at A=15/1M paths with a
-~1.4 s Mosaic compile, vs this module's lax scan at 0.10e9 / 13 s XLA
-compile — benchmarks/bench_dcc.py). The lax path here is the tested
+column-slab Cholesky; measured 0.74-0.81e9 path-steps/s at A=15/1M paths
+(unroll=2 default) with a ~1.4 s Mosaic compile, vs this module's lax scan
+at 0.10e9 / 13 s XLA compile — benchmarks/bench_dcc.py). The lax path here is the tested
 reference form: a ``lax.scan`` whose per-path (A, A) correlation state
 lives as A(A+1)/2 CONTIGUOUS (n,) lower-triangle vectors, with the Cholesky
 unrolled (Cholesky-Banachiewicz, path batch as the vector axis) into pure
@@ -241,7 +241,7 @@ def dcc_terminal_returns(
     """(n_paths, A) terminal compounded simple returns under DCC-GARCH(1,1).
 
     ``use_pallas=None`` auto-selects the fused VMEM kernel on TPU
-    (:mod:`mcport.ops.pallas_dcc` — seconds-scale compile and ~10x the lax
+    (:mod:`mcport.ops.pallas_dcc` — seconds-scale compile and ~8x the lax
     scan's throughput there; same law, independent stream). ``seed`` pins the
     kernel's counter-addressed streams; by default it is derived from ``key``
     so distinct keys give independent runs on every backend."""
