@@ -176,12 +176,22 @@ def cmd_gbm_risk(args) -> None:
     if hedge is not None:
         out["hedged_assets"] = [
             n for n, m_ in zip(d.names, hedge.hedged_mask) if m_]
-        if args.path_stats:
+        if args.path_stats and args.innovations != "normal":
             out["drawdown_stats"] = (
-                "unavailable: path-stats drawdowns are unhedged "
-                "(buy-and-hold); use dd-frontier --hedge for hedged "
-                "per-period drawdowns"
+                "unavailable: the hedged path-stats engine draws normal "
+                "innovations; terminal VaR/CVaR above do use "
+                + args.innovations
             )
+        elif args.path_stats:
+            # hedged per-period-settled drawdown distribution (round 3)
+            from mcport.engine.path_risk import run_path_risk
+
+            pr = run_path_risk(params, w, cfg, alpha=args.alpha, hedge=hedge)
+            out["max_drawdown"] = {
+                "settlement": "per-period hedged",
+                "mean": pr.dd_mean, "median": pr.dd_median,
+                "p95_worst": pr.dd_p95,
+            }
         if args.attribution:
             out["cvar_attribution"] = (
                 "unavailable: attribution decomposes the UNHEDGED linear "

@@ -67,13 +67,14 @@ def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
     jax.jit,
     static_argnames=(
         "n_blocks", "block_paths", "n_steps", "use_pallas", "sketch", "dd_sketch",
-        "rebalance",
+        "rebalance", "hedged",
     ),
 )
 def _accumulate(
     seed, mean_step, chol_step, weights,
     n_blocks: int, block_paths: int, n_steps: int, use_pallas: bool,
     sketch: SketchConfig, dd_sketch: SketchConfig, rebalance: bool = False,
+    hedged: bool = False, hedge_args: tuple = (),
 ):
     a = mean_step.shape[-1]
     dtype = mean_step.dtype
@@ -81,7 +82,26 @@ def _accumulate(
     def one_block(b, carry):
         h_port, h_dd, s_port, s_dd = carry
         block_seed = (seed + (b + 1) * SEED_STRIDE).astype(jnp.int32)
-        if use_pallas:
+        if hedged:
+            # per-period option settlement (mcport.options.hedged): score the
+            # single portfolio through the hedged candidate machinery (W=1)
+            if use_pallas:
+                from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+                term, dd2 = gbm_multi_portfolio_dd(
+                    block_seed, mean_step, chol_step, weights[None, :],
+                    block_paths, n_steps, hedge_args=hedge_args,
+                )
+            else:
+                from mcport.engine.drawdown_frontier import _lax_multi_dd_hedged
+
+                key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+                term, dd2 = _lax_multi_dd_hedged(
+                    key, mean_step, chol_step, weights[None, :], block_paths,
+                    n_steps, mean_step.dtype, *hedge_args,
+                )
+            port, dd = term[0], dd2[0]
+        elif use_pallas:
             from mcport.ops.pallas_gbm import gbm_path_stats
 
             _, port, dd = gbm_path_stats(
@@ -118,11 +138,18 @@ def run_path_risk(
     dd_sketch: SketchConfig = DD_SKETCH,
     alpha: float = 0.95,
     rebalance: bool = False,
+    hedge=None,
 ) -> PathRiskReport:
     """Simulated path risk for one portfolio: terminal VaR/CVaR + drawdown stats.
 
     ``rebalance=True`` resets to the target weights every period (the
-    reference's historical-series semantics); False is buy-and-hold."""
+    reference's historical-series semantics); False is buy-and-hold.
+
+    ``hedge`` (a HedgeSpec) switches to HEDGED per-period settlement
+    (options settle at intrinsic value each simulated step; implies the
+    rebalanced wealth recursion). Short legs can in principle drive wealth
+    negative, in which case drawdowns below -1 clamp into the dd sketch's
+    lowest bin."""
     block_paths = config.path_block
     if config.n_paths % block_paths:
         raise ValueError(
@@ -138,7 +165,9 @@ def run_path_risk(
         jnp.asarray(params.chol_step, dtype),
         jnp.asarray(weights, dtype),
         n_blocks, block_paths, config.n_steps, use_pallas, sketch, dd_sketch,
-        rebalance,
+        rebalance, hedge is not None,
+        () if hedge is None else (jnp.asarray(params.s0, dtype),
+                                  *hedge.arrays),
     )
     v, c = sketch_var_cvar(h_port, alpha, sketch)
     # dd quantiles: p95-worst = the 5th percentile of the (negative) dd sample

@@ -144,7 +144,10 @@ def test_gbm_risk_hedged_flag(btc, eth, tmp_path):
                    "--path-stats"])
     assert out["hedged_assets"] == ["BTC_USD 7 Years Weekly"]
     assert out["cvar"] >= base["cvar"]          # zero-premium put floors losses
-    assert "unhedged" in out["drawdown_stats"]  # honest unavailability note
+    # round 3: --path-stats now reports the hedged per-period drawdown dist
+    dd = out["max_drawdown"]
+    assert dd["settlement"] == "per-period hedged"
+    assert -1.0 <= dd["p95_worst"] <= dd["median"] <= 0.0
 
 
 def test_sim_and_dd_frontier_hedged_flag(btc, eth, tmp_path):

@@ -137,3 +137,36 @@ def test_rebalanced_engine_differs_from_buy_and_hold():
     # with drifting weights the two portfolio processes genuinely differ
     assert abs(bh.port_mean - rb.port_mean) > 1e-4
     assert bh.var != rb.var
+
+
+def test_run_path_risk_hedged_per_period():
+    """Hedged path risk (W=1 through the hedged scorer): identity hedge
+    matches rebalance mode; protective puts improve the dd distribution."""
+    from mcport.options import HedgeSpec, LegType, Legs
+
+    a = 3
+    rng = np.random.default_rng(9)
+    corr = 0.4 * np.eye(a) + 0.6
+    vols = np.array([0.05, 0.06, 0.04])
+    p = GBMParams(s0=np.array([100.0, 50.0, 20.0]),
+                  mean_step=np.full(a, 1e-3),
+                  chol_step=np.linalg.cholesky(vols[:, None] * vols[None, :] * corr))
+    cfg = GBMConfig(n_paths=4096, path_block=2048, n_steps=13, use_pallas=False)
+    w = np.full(a, 1.0 / a)
+    names = ["X0", "X1", "X2"]
+
+    ident = HedgeSpec.build({}, names)
+    base = run_path_risk(p, w, cfg, rebalance=True)
+    # identity spec over s0 != 1 evaluates (S-s0*...)/prev per step == plain
+    # per-period return: same LAW and nearly the same numbers (op order)
+    hid = run_path_risk(p, w, cfg, hedge=ident)
+    assert abs(hid.dd_p95 - base.dd_p95) < 5e-3
+    assert abs(hid.port_mean - base.port_mean) < 5e-3
+
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(p.s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(a)}, names)
+    hp = run_path_risk(p, w, cfg, hedge=prot)
+    assert hp.dd_mean > base.dd_mean
+    assert hp.var > base.var
