@@ -308,8 +308,13 @@ def sharded_simulated_frontier_2d(
     sketch: SketchConfig | None = None,
     paths_axis: str = "paths",
     cand_axis: str = "cand",
+    hedge_args: tuple | None = None,
 ) -> tuple[Array, Array]:
     """Simulated-frontier search sharded over BOTH mesh axes (dp x tp).
+
+    ``hedge_args = (s0, *HedgeSpec.arrays)`` scores hedged terminal returns
+    (replicated leg arrays; default sketch switches to the exact-PWL-bounds
+    hedged form).
 
     The 1-D form (:func:`sharded_simulated_frontier`) replicates the whole path
     set on every device; here paths shard too — each device simulates only its
@@ -338,7 +343,20 @@ def sharded_simulated_frontier_2d(
     n_local_p = n_paths // n_dev_p
     n_local_c = n_candidates // n_dev_c
     if sketch is None:
-        sketch = auto_sketch(mean_step, chol_step, n_steps, n_bins=2048)
+        if hedge_args is not None:
+            from types import SimpleNamespace
+
+            from mcport.options.hedged import HedgeSpec, auto_hedged_sketch
+
+            s0, ht, hk, hp, hq = (np.asarray(x) for x in hedge_args)
+            sketch = auto_hedged_sketch(
+                SimpleNamespace(mean_step=np.asarray(mean_step),
+                                chol_step=np.asarray(chol_step), s0=s0),
+                n_steps,
+                HedgeSpec(ht, hk, hp, hq, np.zeros(len(s0), bool)),
+                n_bins=2048)
+        else:
+            sketch = auto_sketch(mean_step, chol_step, n_steps, n_bins=2048)
 
     def local(key, mean_step, chol_step, min_w, max_w):
         p_idx = jax.lax.axis_index(paths_axis)
@@ -348,7 +366,15 @@ def sharded_simulated_frontier_2d(
             jax.random.fold_in(k_path, p_idx), mean_step, chol_step,
             n_local_p, n_steps, dtype=mean_step.dtype,
         )
-        gross = jnp.exp(term) - 1.0                        # (p_local, A)
+        if hedge_args is not None:
+            from mcport.options.hedged import hedged_terminal_returns
+
+            h_s0, h_t, h_k, h_p, h_q = hedge_args
+            gross = hedged_terminal_returns(
+                term, jnp.asarray(h_s0, term.dtype), jnp.asarray(h_t),
+                jnp.asarray(h_k), jnp.asarray(h_p), jnp.asarray(h_q))
+        else:
+            gross = jnp.exp(term) - 1.0                    # (p_local, A)
         w, valid = sample_constrained_weights(
             jax.random.fold_in(k_w, c_idx), n_local_c, min_w, max_w
         )

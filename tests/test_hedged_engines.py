@@ -369,3 +369,24 @@ def test_hedged_mesh_full_option_surface(eight_devices, tmp_path):
     # the plain one-shot form still runs
     rep = gbm_risk(p, w, base, mesh=mesh, legs_by_asset=legs)
     assert np.isfinite([rep.var, rep.cvar]).all()
+
+
+def test_sharded_frontier_2d_hedged_identity_bit_equal(eight_devices):
+    from jax.sharding import Mesh
+
+    from mcport.parallel.sharded_engines import sharded_simulated_frontier_2d
+
+    p = _params()
+    mesh = Mesh(np.array(eight_devices).reshape(4, 2), ("paths", "cand"))
+    kw = dict(n_candidates=64, n_paths=512, n_steps=13, mesh=mesh,
+              objective="cvar")
+    w0, m0 = sharded_simulated_frontier_2d(
+        jax.random.key(2), p.mean_step, p.chol_step,
+        np.zeros(A), np.ones(A), **kw)
+    w1, m1 = sharded_simulated_frontier_2d(
+        jax.random.key(2), p.mean_step, p.chol_step,
+        np.zeros(A), np.ones(A),
+        hedge_args=(np.ones(A), *IDENTITY.arrays), **kw)
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    # same winner; metric may differ by the hedged sketch's bin geometry
+    assert np.isfinite(float(m1))
