@@ -223,7 +223,7 @@ def gbm_multi_portfolio_dd(
     score_dtype: str = "float32",
     rebalance: bool = False,
     hedge_args: tuple | None = None,
-    unroll: int = 1,
+    unroll: int = 2,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
@@ -250,6 +250,10 @@ def gbm_multi_portfolio_dd(
     ``V_{t+1} = V_t · (1 + W r_hedged_t)`` — the settled recursion (implies
     rebalanced wealth; ``rebalance`` is ignored). Composes with every
     score_dtype tier.
+
+    ``unroll=2`` (default) manually unrolls two Box-Muller pairs per loop
+    iteration — +17% on the v5e (88.5 -> 103.3e9 cand-path-steps/s at
+    W=256, f32 scoring), same draw stream; see pallas_gbm.paired_step_loop.
 
     Padded-peak note: padded candidate rows have V_0 = 1 from init but V_t = 0
     afterwards, giving dd = -1 on padding; those rows are sliced away here.

@@ -200,3 +200,21 @@ def test_multi_dd_flag_matrix_composes():
                     assert (np.asarray(dd) == np.asarray(base[1])).all()
                 else:
                     assert np.abs(np.asarray(dd) - np.asarray(base[1])).max() < atol
+
+
+def test_multi_dd_unroll_same_stream():
+    """unroll=1/2/4 consume the identical draw sequence in every scoring mode
+    (main loop + tail pairs + odd step); outputs match to fusion tolerance.
+    Pins the unroll=2 production default against the unroll=1 reference."""
+    w = np.asarray(jax.random.dirichlet(jax.random.key(8), jnp.ones(A), (8,)),
+                   np.float32)
+    for steps in (8, 9, 10, 13):       # even, odd, tail-pair cases
+        for rebalance in (False, True):
+            outs = [gbm_multi_portfolio_dd(13, MEAN, CHOL, w, 512, steps,
+                                           rebalance=rebalance, unroll=u, **KW)
+                    for u in (1, 2, 4)]
+            for term, dd in outs[1:]:
+                np.testing.assert_allclose(np.asarray(term),
+                                           np.asarray(outs[0][0]), atol=2e-6)
+                np.testing.assert_allclose(np.asarray(dd),
+                                           np.asarray(outs[0][1]), atol=2e-6)

@@ -390,3 +390,31 @@ def test_sharded_frontier_2d_hedged_identity_bit_equal(eight_devices):
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
     # same winner; metric may differ by the hedged sketch's bin geometry
     assert np.isfinite(float(m1))
+
+
+def test_hedged_kernel_unroll_same_stream():
+    """Hedged settlement mode consumes the identical draw stream at
+    unroll=1/2/4 (pins the unroll=2 production default): even/odd step
+    counts, protective-put legs."""
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    p = _params(s0=[100.0, 50.0, 20.0, 8.0])
+    mean = jnp.asarray(p.mean_step, jnp.float32)
+    chol = jnp.asarray(p.chol_step, jnp.float32)
+    w = np.asarray(jax.random.dirichlet(jax.random.key(2), jnp.ones(A), (8,)),
+                   np.float32)
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(p.s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(A)}, NAMES)
+    args = _spec_args(prot, p.s0)
+    kw = dict(interpret=True, block=128)
+    for steps in (9, 13):
+        outs = [gbm_multi_portfolio_dd(17, mean, chol, w, 256, steps,
+                                       hedge_args=args, unroll=u, **kw)
+                for u in (1, 2, 4)]
+        for term, dd in outs[1:]:
+            np.testing.assert_allclose(np.asarray(term),
+                                       np.asarray(outs[0][0]), atol=2e-6)
+            np.testing.assert_allclose(np.asarray(dd),
+                                       np.asarray(outs[0][1]), atol=2e-6)
