@@ -30,7 +30,8 @@ from mcport.config import SketchConfig
 from mcport.seeding import SEED_STRIDE
 from mcport.ops.quantile import histogram, sketch_var_cvar
 
-__all__ = ["BootstrapRisk", "bootstrap_terminal_returns", "bootstrap_risk"]
+__all__ = ["BootstrapRisk", "bootstrap_terminal_returns",
+           "bootstrap_path_stats", "bootstrap_risk"]
 
 
 @partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
@@ -69,6 +70,76 @@ def bootstrap_terminal_returns(
     init = (idx0, jnp.ones((n_paths, a), dtype))
     (_, gross), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return gross - 1.0
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def bootstrap_path_stats(
+    key: Array,
+    returns: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    p_restart: float = 0.2,
+    dtype=jnp.float32,
+    hedge_args: tuple | None = None,
+) -> tuple[Array, Array]:
+    """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) of W
+    candidate portfolios over stationary-bootstrap paths — the lax reference
+    for :func:`mcport.ops.pallas_bootstrap.pallas_bootstrap_path_stats`
+    (same model, independent stream).
+
+    Same resampling recursion (and the SAME draw stream: identical
+    (key, step) Threefry addressing) as :func:`bootstrap_terminal_returns`;
+    candidates compound the per-period rebalanced wealth
+    ``V_{t+1} = V_t (1 + w'r_t)`` with running peak/drawdown carries.
+    ``hedge_args = (s0, type_id, strike, premium, qty)`` switches to hedged
+    per-period settlement against the resampled price path
+    ``p_{t+1} = p_t (1 + r_t)``
+    (:func:`mcport.options.hedged.hedged_step_returns`)."""
+    r = jnp.asarray(returns, dtype)
+    t_len, a = r.shape
+    w = jnp.asarray(weights, dtype)
+    if w.ndim == 1:
+        w = w[None, :]
+    w_t = w.T
+    hedged = hedge_args is not None
+    if hedged:
+        s0, ht, hk, hp, hq = hedge_args
+        p0 = jnp.broadcast_to(jnp.asarray(s0, dtype), (n_paths, a))
+    else:
+        p0 = jnp.ones((n_paths, a), dtype)
+
+    k_start, k_scan = jax.random.split(jax.random.fold_in(key, 0x626F6F74))
+    idx0 = jax.random.randint(k_start, (n_paths,), 0, t_len)
+
+    def step(carry, t):
+        idx, p, v, peak, dd = carry
+        kt = jax.random.fold_in(k_scan, t)
+        k_u, k_j = jax.random.split(kt)
+        restart = jax.random.uniform(k_u, (n_paths,)) < p_restart
+        jump = jax.random.randint(k_j, (n_paths,), 0, t_len)
+        idx = jnp.where(restart, jump, (idx + 1) % t_len)
+        r_t = r[idx]                                        # (n_paths, A)
+        if hedged:
+            from mcport.options.hedged import hedged_step_returns
+
+            p_new = p * (1.0 + r_t)
+            r_score = hedged_step_returns(p, p_new, ht, hk, hp, hq)
+            p = p_new
+        else:
+            r_score = r_t
+        v = v * (1.0 + r_score @ w_t)                       # (n, W)
+        peak = jnp.maximum(peak, v)
+        dd = jnp.minimum(dd, v / peak - 1.0)
+        return (idx, p, v, peak, dd), None
+
+    n_cand = w.shape[0]
+    init = (idx0, p0,
+            jnp.ones((n_paths, n_cand), dtype),
+            jnp.ones((n_paths, n_cand), dtype),
+            jnp.zeros((n_paths, n_cand), dtype))
+    (_, _, v, _, dd), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return (v - 1.0).T, dd.T
 
 
 class BootstrapRisk(NamedTuple):

@@ -29,7 +29,8 @@ from jax import Array
 from mcport.models.garch import Garch11Fit, fit_garch_11
 
 __all__ = ["CCCGarchParams", "estimate_ccc_garch", "simulate_garch_returns",
-           "garch_terminal_returns", "standardized_residuals"]
+           "garch_terminal_returns", "garch_path_stats",
+           "standardized_residuals"]
 
 
 @dataclass(frozen=True)
@@ -151,6 +152,86 @@ def simulate_garch_returns(
         jnp.asarray(params.corr_chol, dtype).T,
         jnp.asarray(params.sigma2_0, dtype), jnp.asarray(params.eps2_0, dtype),
         n_paths, n_steps, full_paths, dtype, t_df,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def _path_stats(
+    key, mu, omega, alpha, beta, corr_chol_t, sigma2_0, eps2_0, w_t,
+    n_paths: int, n_steps: int, dtype, hedge_args=None,
+):
+    a = mu.shape[-1]
+    hedged = hedge_args is not None
+    if hedged:
+        s0, ht, hk, hp, hq = hedge_args
+        p0 = jnp.broadcast_to(jnp.asarray(s0, dtype), (n_paths, a))
+    else:
+        p0 = jnp.ones((n_paths, a), dtype)
+    n_cand = w_t.shape[-1]
+
+    def step(carry, t):
+        sigma2, eps_prev2, p, v, peak, dd = carry
+        zk = jax.random.fold_in(key, t)
+        z = jax.random.normal(zk, (n_paths, a), dtype) @ corr_chol_t
+        sigma2 = omega + alpha * eps_prev2 + beta * sigma2
+        eps = jnp.sqrt(jnp.maximum(sigma2, 0.0)) * z
+        r_t = mu + eps
+        if hedged:
+            from mcport.options.hedged import hedged_step_returns
+
+            p_new = p * (1.0 + r_t)
+            r_score = hedged_step_returns(p, p_new, ht, hk, hp, hq)
+            p = p_new
+        else:
+            r_score = r_t
+        v = v * (1.0 + r_score @ w_t)                       # (n, W)
+        peak = jnp.maximum(peak, v)
+        dd = jnp.minimum(dd, v / peak - 1.0)
+        return (sigma2, eps**2, p, v, peak, dd), None
+
+    init = (
+        jnp.broadcast_to(sigma2_0, (n_paths, a)).astype(dtype),
+        jnp.broadcast_to(eps2_0, (n_paths, a)).astype(dtype),
+        p0,
+        jnp.ones((n_paths, n_cand), dtype),
+        jnp.ones((n_paths, n_cand), dtype),
+        jnp.zeros((n_paths, n_cand), dtype),
+    )
+    (_, _, _, v, _, dd), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return (v - 1.0).T, dd.T
+
+
+def garch_path_stats(
+    key: Array,
+    params: CCCGarchParams,
+    weights,
+    n_paths: int,
+    n_steps: int,
+    dtype=jnp.float32,
+    hedge_args: tuple | None = None,
+) -> tuple[Array, Array]:
+    """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) of W
+    candidate portfolios over CCC-GARCH paths — the lax reference for
+    :func:`mcport.ops.pallas_garch.pallas_garch_path_stats` (same model,
+    independent stream).
+
+    Candidates compound the per-period rebalanced wealth recursion
+    ``V_{t+1} = V_t (1 + w'r_t)`` (the reference's historical R·w
+    semantics, app.py:710, applied to simulated GARCH returns).
+    ``hedge_args = (s0, type_id, strike, premium, qty)`` switches to hedged
+    per-period settlement: the asset price path ``p_{t+1} = p_t (1 + r_t)``
+    settles every option leg at intrinsic value each step
+    (:func:`mcport.options.hedged.hedged_step_returns`)."""
+    w = jnp.asarray(weights, dtype)
+    if w.ndim == 1:
+        w = w[None, :]
+    return _path_stats(
+        key,
+        jnp.asarray(params.mu, dtype), jnp.asarray(params.omega, dtype),
+        jnp.asarray(params.alpha, dtype), jnp.asarray(params.beta, dtype),
+        jnp.asarray(params.corr_chol, dtype).T,
+        jnp.asarray(params.sigma2_0, dtype), jnp.asarray(params.eps2_0, dtype),
+        w.T, n_paths, n_steps, dtype, hedge_args,
     )
 
 

@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mcport.ops import pallas_gbm as _pg
 from mcport.ops.pallas_gbm import _make_normal_pair, _round_up, paired_step_loop
 
-__all__ = ["gbm_multi_portfolio_dd", "BF16_DD_ERR_BOUND", "BF16_DD_ERR_REBAL_COEF"]
+__all__ = ["gbm_multi_portfolio_dd", "make_hedged_returns",
+           "BF16_DD_ERR_BOUND", "BF16_DD_ERR_REBAL_COEF"]
 
 # Pinned bf16-screening drawdown perturbation bounds. These are the SINGLE
 # source of truth shared by the rescore margin in
@@ -40,6 +41,42 @@ __all__ = ["gbm_multi_portfolio_dd", "BF16_DD_ERR_BOUND", "BF16_DD_ERR_REBAL_COE
 # bound must land inside the rescore pool for the exact-optimum guarantee.
 BF16_DD_ERR_BOUND = 8e-3        # buy-and-hold |dd_p95| bound (tested at 13-26 steps)
 BF16_DD_ERR_REBAL_COEF = 1.4e-2  # rebalance widening: coef*sqrt(n_steps) (~5e-2 @ 13)
+
+
+def make_hedged_returns(ht_ref, hk_ref, hp_ref, hq_ref):
+    """In-kernel per-period option settlement (mcport.options.hedged
+    semantics, app.py:164-180 per simulated step): returns a
+    ``hedged_returns(p_prev, p_new)`` closure mapping an (A_pad, block)
+    price move to the qty-weighted hedged return matrix. Leg types are a
+    static-L unrolled 7-way select per (asset, leg); qty-0 padding rows
+    contribute exactly zero. Shared by every path kernel with a hedged
+    mode (multi-dd GBM, GARCH, bootstrap)."""
+    n_legs = ht_ref.shape[1]
+
+    def hedged_returns(p_prev, p_new):
+        r = jnp.zeros_like(p_new)
+        up = p_new - p_prev
+        for l in range(n_legs):
+            t = ht_ref[:, l:l + 1]            # (a_pad, 1) int32
+            k = hk_ref[:, l:l + 1]
+            prem = hp_ref[:, l:l + 1]
+            q = hq_ref[:, l:l + 1]
+            call_iv = jnp.maximum(p_new - k, 0.0)
+            put_iv = jnp.maximum(k - p_new, 0.0)
+            numer = jnp.where(
+                t == 0, up, jnp.where(
+                    (t == 1) | (t == 6), -up, jnp.where(
+                        t == 2, call_iv - prem, jnp.where(
+                            t == 3, prem - call_iv, jnp.where(
+                                t == 4, put_iv - prem, jnp.where(
+                                    t == 5, prem - put_iv,
+                                    0.0))))))  # unknown type: 0, matching
+            # legs.leg_period_return's default branch (HedgeSpec.build
+            # validates types, so this is defense in depth, not dispatch)
+            r = r + q * numer
+        return r / p_prev
+
+    return hedged_returns
 
 
 def _multi_dd_kernel(
@@ -107,30 +144,7 @@ def _multi_dd_kernel(
         # a static-L unrolled 7-way select per (asset, leg); qty-0 padding
         # rows contribute exactly zero.
         s0 = s0_ref[:]                            # (a_pad, 1), padding 1.0
-        n_legs = ht_ref.shape[1]
-
-        def hedged_returns(p_prev, p_new):
-            r = jnp.zeros((a_pad, block), jnp.float32)
-            up = p_new - p_prev
-            for l in range(n_legs):
-                t = ht_ref[:, l:l + 1]            # (a_pad, 1) int32
-                k = hk_ref[:, l:l + 1]
-                prem = hp_ref[:, l:l + 1]
-                q = hq_ref[:, l:l + 1]
-                call_iv = jnp.maximum(p_new - k, 0.0)
-                put_iv = jnp.maximum(k - p_new, 0.0)
-                numer = jnp.where(
-                    t == 0, up, jnp.where(
-                        (t == 1) | (t == 6), -up, jnp.where(
-                            t == 2, call_iv - prem, jnp.where(
-                                t == 3, prem - call_iv, jnp.where(
-                                    t == 4, put_iv - prem, jnp.where(
-                                        t == 5, prem - put_iv,
-                                        0.0))))))  # unknown type: 0, matching
-                # legs.leg_period_return's default branch (HedgeSpec.build
-                # validates types, so this is defense in depth, not dispatch)
-                r = r + q * numer
-            return r / p_prev
+        hedged_returns = make_hedged_returns(ht_ref, hk_ref, hp_ref, hq_ref)
 
         def one_step(z, carry):
             p, v, peak, dd = carry

@@ -1,0 +1,280 @@
+"""Candidate path-stats (terminal + max drawdown) for the GARCH and bootstrap
+families: lax references and fused Pallas kernels (interpret tier).
+
+These are the GARCH/bootstrap counterparts of gbm_multi_portfolio_dd: W
+candidate portfolios compound the per-period rebalanced wealth recursion
+``V_{t+1} = V_t (1 + w'r_t)`` (the reference's historical R·w semantics,
+/root/reference/app.py:710, applied to simulated paths) with running peak /
+max-drawdown carries; ``hedge_args`` switches to per-period option settlement
+(mcport.options.hedged, app.py:164-193).
+
+Identity oracle: an all-BUY_ASSET qty-1 HedgeSpec with s0 = 1 makes the hedged
+transform compute (p(1+r) - p)/p == r up to rounding — hedged engines must
+match their plain forms to float tolerance on the SAME stream.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcport.models.bootstrap import bootstrap_path_stats
+from mcport.models.garch_mc import CCCGarchParams, garch_path_stats
+from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats
+from mcport.ops.pallas_garch import pallas_garch_path_stats
+from mcport.options import HedgeSpec, LegType, Legs
+
+A = 2
+NAMES = ["A0", "A1"]
+PARAMS = CCCGarchParams(
+    mu=np.array([5e-4, 1e-3]),
+    omega=np.array([4e-6, 6e-6]),
+    alpha=np.array([0.08, 0.12]),
+    beta=np.array([0.88, 0.82]),
+    corr_chol=np.linalg.cholesky(np.array([[1.0, 0.6], [0.6, 1.0]])),
+    sigma2_0=np.array([1e-4, 2e-4]),
+    eps2_0=np.array([1e-4, 2e-4]),
+)
+W = np.array([[0.5, 0.5], [0.2, 0.8], [1.0, 0.0]], np.float32)
+KW = dict(interpret=True, block=128)
+IDENTITY = HedgeSpec.build({}, NAMES)
+IDENT_ARGS = (np.ones(A, np.float32), *IDENTITY.arrays)
+
+
+@pytest.fixture(scope="module")
+def history():
+    rng = np.random.default_rng(42)  # local: immune to suite draw order
+    return (rng.standard_t(5, (150, A)) * 0.02 + 0.002).astype(np.float32)
+
+
+def _protective_put(s0):
+    return HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(A)}, NAMES)
+
+
+# ---- GARCH lax reference ---------------------------------------------------
+
+
+def test_garch_lax_zero_vol_closed_form():
+    p = CCCGarchParams(
+        mu=np.array([0.01, -0.005]),
+        omega=np.zeros(A), alpha=np.zeros(A), beta=np.zeros(A),
+        corr_chol=np.eye(A), sigma2_0=np.zeros(A), eps2_0=np.zeros(A),
+    )
+    steps = 6
+    term, dd = garch_path_stats(jax.random.key(0), p, W, 64, steps)
+    r_port = W @ np.array([0.01, -0.005])               # per-period w'mu
+    want = (1 + r_port) ** steps - 1
+    term, dd = np.asarray(term), np.asarray(dd)
+    np.testing.assert_allclose(
+        term, np.broadcast_to(want[:, None], term.shape), rtol=5e-5)
+    # monotone wealth: dd = 0 for positive drift, full decline for negative
+    want_dd = np.minimum((1 + r_port) ** steps - 1, 0.0)
+    np.testing.assert_allclose(
+        dd, np.broadcast_to(want_dd[:, None], dd.shape), atol=2e-6)
+
+
+def test_garch_lax_single_weight_vector_and_dd_sign():
+    term, dd = garch_path_stats(jax.random.key(1), PARAMS, W[0], 1024, 13)
+    assert term.shape == (1, 1024) and dd.shape == (1, 1024)
+    d = np.asarray(dd)
+    assert (d <= 0).all() and (d >= -1).all()
+    # dd bounds terminal decline: V_T/1 - 1 >= min over t of V_t/peak_t - 1
+    assert (np.asarray(term) >= d - 1e-6).all()
+
+
+def test_garch_lax_hedged_identity_matches_plain():
+    kw = dict(n_paths=512, n_steps=13)
+    t0, d0 = garch_path_stats(jax.random.key(2), PARAMS, W, **kw)
+    t1, d1 = garch_path_stats(jax.random.key(2), PARAMS, W, **kw,
+                              hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=3e-6)
+
+
+# ---- GARCH Pallas kernel ---------------------------------------------------
+
+
+def test_garch_kernel_zero_vol_closed_form():
+    p = CCCGarchParams(
+        mu=np.array([0.01, -0.005]),
+        omega=np.zeros(A), alpha=np.zeros(A), beta=np.zeros(A),
+        corr_chol=np.eye(A), sigma2_0=np.zeros(A), eps2_0=np.zeros(A),
+    )
+    steps = 6
+    term, dd = pallas_garch_path_stats(1, p, W, 256, steps, **KW)
+    r_port = W @ np.array([0.01, -0.005])
+    want = (1 + r_port) ** steps - 1
+    term, dd = np.asarray(term), np.asarray(dd)
+    np.testing.assert_allclose(
+        term, np.broadcast_to(want[:, None], term.shape), rtol=5e-5)
+    want_dd = np.minimum(want, 0.0)
+    np.testing.assert_allclose(
+        dd, np.broadcast_to(want_dd[:, None], dd.shape), atol=2e-6)
+
+
+def test_garch_kernel_matches_lax_law():
+    n, steps = 16_384, 26
+    tk, dk = pallas_garch_path_stats(3, PARAMS, W, n, steps, **KW)
+    tl, dl = garch_path_stats(jax.random.key(3), PARAMS, W, n, steps)
+    tk, dk, tl, dl = (np.asarray(x, np.float64) for x in (tk, dk, tl, dl))
+    se = tl.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(tk.mean(1) - tl.mean(1)) < 6 * se)
+    assert np.all(np.abs(tk.std(1) / tl.std(1) - 1) < 0.1)
+    # drawdown distribution agreement (median + p5)
+    for q in (0.05, 0.5):
+        qk = np.quantile(dk, q, axis=1)
+        ql = np.quantile(dl, q, axis=1)
+        np.testing.assert_allclose(qk, ql, atol=0.02)
+
+
+def test_garch_kernel_hedged_identity_same_stream():
+    tk, dk = pallas_garch_path_stats(5, PARAMS, W, 512, 13, **KW)
+    th, dh = pallas_garch_path_stats(5, PARAMS, W, 512, 13, **KW,
+                                     hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(tk), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dk), atol=3e-6)
+
+
+def test_garch_kernel_protective_put_dominates_terminal():
+    s0 = np.array([100.0, 50.0])
+    prot = _protective_put(s0)
+    args = (s0.astype(np.float32), *prot.arrays)
+    tr, dr = pallas_garch_path_stats(7, PARAMS, W, 512, 13, **KW,
+                                     hedge_args=(s0, *IDENTITY.arrays))
+    tp, dp = pallas_garch_path_stats(7, PARAMS, W, 512, 13, **KW,
+                                     hedge_args=args)
+    # zero-premium puts dominate per-period returns → terminal wealth
+    # dominates path-by-path (same stream); dd improves in aggregate
+    assert (np.asarray(tp) >= np.asarray(tr) - 1e-6).all()
+    assert np.asarray(dp).mean() >= np.asarray(dr).mean()
+
+
+def test_garch_kernel_deterministic_unroll_stream_identity():
+    outs = [pallas_garch_path_stats(9, PARAMS, W, 256, 13, **KW, unroll=u)
+            for u in (1, 2, 4)]
+    for t, d in outs[1:]:
+        np.testing.assert_allclose(np.asarray(t), np.asarray(outs[0][0]),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(outs[0][1]),
+                                   atol=2e-6)
+    t2, d2 = pallas_garch_path_stats(9, PARAMS, W, 256, 13, **KW, unroll=2)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(outs[1][0]))
+
+
+def test_garch_kernel_candidate_chunking():
+    w_many = np.asarray(
+        jax.random.dirichlet(jax.random.key(0), jnp.ones(A), (300,)),
+        np.float32)
+    t, d = pallas_garch_path_stats(11, PARAMS, w_many, 128, 5, **KW)
+    assert t.shape == (300, 128) and d.shape == (300, 128)
+    # chunk boundary continuity: candidates 0..255 and 256.. share the
+    # per-block stream (same seed), so identical weights give identical rows
+    w_dup = np.vstack([w_many[:260], w_many[:1]])
+    t2, _ = pallas_garch_path_stats(11, PARAMS, w_dup, 128, 5, **KW)
+    np.testing.assert_array_equal(np.asarray(t2[-1]), np.asarray(t2[0]))
+
+
+# ---- bootstrap lax reference ----------------------------------------------
+
+
+def test_bootstrap_lax_iid_mean_and_hedged_identity(history):
+    n, steps = 16_384, 8
+    term, dd = bootstrap_path_stats(jax.random.key(1), history, W, n, steps,
+                                    p_restart=1.0)
+    term = np.asarray(term, np.float64)
+    r_port = history.astype(np.float64) @ W.T.astype(np.float64)  # (T, Wn)
+    want = (1 + r_port.mean(0)) ** steps - 1
+    se = term.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(term.mean(1) - want) < 6 * se)
+    assert (np.asarray(dd) <= 0).all()
+    t1, d1 = bootstrap_path_stats(jax.random.key(1), history, W, 512, 8,
+                                  p_restart=1.0)
+    t2, d2 = bootstrap_path_stats(jax.random.key(1), history, W, 512, 8,
+                                  p_restart=1.0, hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=3e-6)
+
+
+def test_bootstrap_lax_same_stream_as_terminal(history):
+    """Candidate terminals reproduce w'-compounding of the SAME resampled
+    rows as bootstrap_terminal_returns draws (identical (key, step)
+    addressing): for a one-hot weight vector the rebalanced wealth equals the
+    per-asset gross compound exactly."""
+    from mcport.models.bootstrap import bootstrap_terminal_returns
+
+    e0 = np.zeros(A, np.float32)
+    e0[0] = 1.0
+    term, _ = bootstrap_path_stats(jax.random.key(3), history, e0, 256, 13)
+    ref = bootstrap_terminal_returns(jax.random.key(3), history, 256, 13)
+    np.testing.assert_allclose(np.asarray(term[0]), np.asarray(ref)[:, 0],
+                               atol=2e-6)
+
+
+# ---- bootstrap Pallas kernel ----------------------------------------------
+
+
+def test_bootstrap_kernel_one_step_rows(history):
+    """One step, always restart: each path's candidate return is w'r for
+    SOME history row (exact one-hot selection + f32 scoring matmul)."""
+    term, dd = pallas_bootstrap_path_stats(3, history, W, 1_024, 1,
+                                           p_restart=1.0, **KW)
+    term = np.asarray(term)
+    cand = history @ W.T                                # (T, Wn)
+    for i in range(W.shape[0]):
+        eq = np.isclose(term[i][:, None], cand[None, :, i],
+                        rtol=1e-5, atol=1e-7)
+        assert eq.any(axis=1).all()
+    np.testing.assert_allclose(np.asarray(dd), np.minimum(term, 0.0),
+                               atol=1e-7)
+
+
+def test_bootstrap_kernel_matches_lax_law(history):
+    n, steps, p = 16_384, 12, 0.25
+    tk, dk = pallas_bootstrap_path_stats(11, history, W, n, steps,
+                                         p_restart=p, **KW)
+    tl, dl = bootstrap_path_stats(jax.random.key(4), history, W, n, steps,
+                                  p_restart=p)
+    tk, dk, tl, dl = (np.asarray(x, np.float64) for x in (tk, dk, tl, dl))
+    se = tl.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(tk.mean(1) - tl.mean(1)) < 6 * se)
+    assert np.all(np.abs(tk.std(1) / tl.std(1) - 1) < 0.1)
+    for q in (0.05, 0.5):
+        np.testing.assert_allclose(np.quantile(dk, q, axis=1),
+                                   np.quantile(dl, q, axis=1), atol=0.02)
+
+
+def test_bootstrap_kernel_hedged_identity_same_stream(history):
+    tk, dk = pallas_bootstrap_path_stats(5, history, W, 512, 13, **KW)
+    th, dh = pallas_bootstrap_path_stats(5, history, W, 512, 13, **KW,
+                                         hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(tk), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dk), atol=3e-6)
+
+
+def test_bootstrap_kernel_protective_put_dominates(history):
+    s0 = np.array([100.0, 50.0], np.float32)
+    prot = _protective_put(s0)
+    tr, dr = pallas_bootstrap_path_stats(7, history, W, 512, 13, **KW,
+                                         hedge_args=(s0, *IDENTITY.arrays))
+    tp, dp = pallas_bootstrap_path_stats(7, history, W, 512, 13, **KW,
+                                         hedge_args=(s0, *prot.arrays))
+    assert (np.asarray(tp) >= np.asarray(tr) - 1e-6).all()
+    assert np.asarray(dp).mean() >= np.asarray(dr).mean()
+
+
+def test_bootstrap_kernel_deterministic_and_chunking(history):
+    a = pallas_bootstrap_path_stats(9, history, W, 256, 7, **KW)
+    b = pallas_bootstrap_path_stats(9, history, W, 256, 7, **KW)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    w_many = np.asarray(
+        jax.random.dirichlet(jax.random.key(1), jnp.ones(A), (300,)),
+        np.float32)
+    t, d = pallas_bootstrap_path_stats(9, history, w_many, 128, 5, **KW)
+    assert t.shape == (300, 128) and d.shape == (300, 128)
+    w_dup = np.vstack([w_many[:260], w_many[:1]])
+    t2, _ = pallas_bootstrap_path_stats(9, history, w_dup, 128, 5, **KW)
+    np.testing.assert_array_equal(np.asarray(t2[-1]), np.asarray(t2[0]))
