@@ -39,6 +39,7 @@ __all__ = [
     "simulate",
     "gbm_risk",
     "hedged_tail_risk",
+    "path_tail_risk",
     "bootstrap_tail_risk",
     "exact_mv_frontier",
     "exact_cvar_frontier",
@@ -314,6 +315,76 @@ def hedged_tail_risk(
         "n_paths": g.n_paths,
         "hedged_assets": [n for n, m_ in zip(data.names, spec.hedged_mask) if m_],
     }
+
+
+def path_tail_risk(
+    data: PriceData,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+    model: str = "gbm",
+    legs_by_asset=None,
+    p_restart: float = 0.2,
+    rebalance: bool = True,
+) -> dict[str, float]:
+    """Per-period PATH risk for one portfolio under any path model family:
+    terminal VaR/CVaR plus the simulated max-drawdown distribution.
+
+    The path-dependent counterpart of :func:`hedged_tail_risk` /
+    :func:`compare_tail_risk`: where those settle at the horizon, this
+    evolves full paths and reports {var, cvar, port_mean, dd_mean,
+    dd_median, dd_p95, model, n_paths} from the fused path-stats engines
+    (mcport.engine.path_risk; Pallas kernels on TPU). ``model`` is "gbm"
+    (correlated log-normal, ``rebalance`` selects buy-and-hold vs per-period
+    rebalancing — GARCH/bootstrap are inherently rebalanced), "garch"
+    (CCC-GARCH(1,1), volatility clustering) or "bootstrap" (stationary
+    block bootstrap of the history, distribution-free). The reference
+    computes drawdown only on historical returns (app.py:252-256); this is
+    its forward-looking simulated extension.
+
+    ``legs_by_asset`` switches every family to HEDGED per-period option
+    settlement against the simulated price path (app.py:164-193 semantics,
+    per step; see :mod:`mcport.options.hedged`).
+    """
+    from mcport.engine.path_risk import (
+        run_bootstrap_path_risk, run_garch_path_risk, run_path_risk,
+    )
+    from mcport.options.hedged import HedgeSpec
+
+    a = len(data.names)
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
+    g = config.gbm
+    alpha = config.simulation.alpha
+    spec = (None if legs_by_asset is None
+            else HedgeSpec.build(legs_by_asset, data.names))
+    s0 = np.asarray(data.prices[-1], np.float64)
+
+    if model == "gbm":
+        params = estimate_gbm(data.prices)
+        rep = run_path_risk(params, w, g, alpha=alpha, rebalance=rebalance,
+                            hedge=spec)
+    elif model == "garch":
+        from mcport.models.garch_mc import estimate_ccc_garch
+
+        gparams = estimate_ccc_garch(data.port_rets)
+        rep = run_garch_path_risk(gparams, w, g, alpha=alpha, hedge=spec,
+                                  s0=s0)
+    elif model == "bootstrap":
+        rep = run_bootstrap_path_risk(data.port_rets, w, g,
+                                      p_restart=p_restart, alpha=alpha,
+                                      hedge=spec, s0=s0)
+    else:
+        raise ValueError(
+            f"model must be 'gbm', 'garch' or 'bootstrap', got {model!r}")
+
+    out = {
+        "var": rep.var, "cvar": rep.cvar, "port_mean": rep.port_mean,
+        "dd_mean": rep.dd_mean, "dd_median": rep.dd_median,
+        "dd_p95": rep.dd_p95, "model": model, "n_paths": rep.n_paths,
+    }
+    if spec is not None:
+        out["hedged_assets"] = [
+            n for n, m_ in zip(data.names, spec.hedged_mask) if m_]
+    return out
 
 
 def exact_mv_frontier(

@@ -22,6 +22,9 @@ Commands:
   bootstrap-risk distribution-free tail risk from resampled historical paths
   hedged-risk  hedged tail risk across model families (--hedge JSON config;
                option legs settle against simulated terminal prices)
+  path-risk    per-period path risk across model families: terminal VaR/CVaR
+               + simulated max-drawdown distribution (--hedge: per-period
+               option settlement)
   sim-frontier weight search scored against simulated GBM paths
                (--hedge scores hedged candidates)
   dd-frontier  max return subject to a simulated max-drawdown budget
@@ -680,6 +683,33 @@ def cmd_hedged_risk(args) -> None:
     _emit(out)
 
 
+def cmd_path_risk(args) -> None:
+    from mcport.api import path_tail_risk
+
+    d = _universe(args)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    legs_by_asset, _ = _hedge_from_args(args, d)
+    block = min(args.paths, 8192)
+    n_paths = _round_paths(args.paths, block)
+    cfg = Config(gbm=GBMConfig(n_paths=n_paths, n_steps=args.steps,
+                               seed=args.seed, path_block=block),
+                 simulation=SimulationConfig(alpha=args.alpha))
+    rebalance = not args.buy_and_hold
+    out = {"weights": dict(zip(d.names, map(float, w))),
+           "settlement": ("per-period hedged" if legs_by_asset is not None
+                          else "unhedged"),
+           "rebalance_gbm": rebalance}
+    for model in args.models.split(","):
+        out[model] = path_tail_risk(
+            d, w, cfg, model=model, legs_by_asset=legs_by_asset,
+            p_restart=args.p_restart, rebalance=rebalance)
+    _emit(out)
+
+
 def cmd_sim_frontier(args) -> None:
     import jax
 
@@ -969,6 +999,27 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.set_defaults(fn=cmd_hedged_risk)
+
+    sp = sub.add_parser("path-risk",
+                        help="per-period path risk across model families "
+                             "(terminal VaR/CVaR + max-drawdown distribution)")
+    common(sp)
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config: per-period option settlement")
+    sp.add_argument("--models", default="gbm,garch,bootstrap",
+                    help="comma list of gbm,garch,bootstrap")
+    sp.add_argument("--weights", default=None, help="comma list; default equal")
+    sp.add_argument("--paths", type=int, default=65_536)
+    sp.add_argument("--steps", type=int, default=52)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--p-restart", type=float, default=0.2,
+                    help="bootstrap restart probability (1/expected block len)")
+    sp.add_argument("--buy-and-hold", action="store_true",
+                    help="buy-and-hold GBM wealth instead of the default "
+                         "per-period rebalancing (GARCH/bootstrap always "
+                         "rebalance — cross-family comparability)")
+    sp.set_defaults(fn=cmd_path_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
     common(sp)

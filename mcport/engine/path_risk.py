@@ -22,7 +22,8 @@ from mcport.models.gbm import GBMParams, simulate_log_paths
 from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
-__all__ = ["PathRiskReport", "run_path_risk", "DD_SKETCH"]
+__all__ = ["PathRiskReport", "run_path_risk", "run_garch_path_risk",
+           "run_bootstrap_path_risk", "DD_SKETCH"]
 
 # drawdowns live in [-1, 0]; a dedicated tight sketch keeps quantile error tiny
 DD_SKETCH = SketchConfig(n_bins=4096, lo=-1.0, hi=0.0)
@@ -181,3 +182,135 @@ def run_path_risk(
         dd_p95=float(dd_p95), dd_median=float(dd_med),
         n_paths=n,
     )
+
+
+def _reduce_family_blocks(block_fn, config: GBMConfig, sketch: SketchConfig,
+                          dd_sketch: SketchConfig, alpha: float):
+    """Shared block loop for the model-family path-risk engines: ``block_fn``
+    maps (block_index, block_seed) -> ((1, block) terminal, (1, block) dd);
+    sketches and sums accumulate on device, a Python loop drives dispatch
+    (block counts are small — tens — and the per-block engines are jitted, so
+    dispatch overlaps compute; the GBM engine's fused fori_loop form is not
+    worth a third jit cache per model family)."""
+    block_paths = config.path_block
+    if config.n_paths % block_paths:
+        raise ValueError(
+            f"n_paths {config.n_paths} not divisible by path_block {block_paths}"
+        )
+    n_blocks = config.n_paths // block_paths
+    h_port = jnp.zeros((sketch.n_bins,), jnp.float32)
+    h_dd = jnp.zeros((dd_sketch.n_bins,), jnp.float32)
+    s_port = jnp.zeros((), jnp.float32)
+    s_dd = jnp.zeros((), jnp.float32)
+    for b in range(n_blocks):
+        block_seed = np.int32(config.seed + (b + 1) * SEED_STRIDE)
+        term, dd = block_fn(b, block_seed)
+        port, ddv = term[0], dd[0]
+        h_port = h_port + histogram(port, sketch)
+        h_dd = h_dd + histogram(ddv, dd_sketch)
+        s_port = s_port + port.sum()
+        s_dd = s_dd + ddv.sum()
+    v, c = sketch_var_cvar(h_port, alpha, sketch)
+    dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
+    dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
+    n = config.n_paths
+    return PathRiskReport(
+        var=float(v), cvar=float(c),
+        port_mean=float(s_port) / n,
+        dd_mean=float(s_dd) / n,
+        dd_p95=float(dd_p95), dd_median=float(dd_med),
+        n_paths=n,
+    )
+
+
+def run_garch_path_risk(
+    params,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig = SketchConfig(),
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+    s0: np.ndarray | None = None,
+) -> PathRiskReport:
+    """Simulated path risk under CCC-GARCH(1,1) paths: terminal VaR/CVaR plus
+    the max-drawdown distribution of one portfolio (the volatility-clustered
+    counterpart of :func:`run_path_risk`; per-period REBALANCED wealth —
+    GARCH paths are simple-return recursions, so rebalanced compounding is
+    the natural reference semantics, app.py:710).
+
+    ``params`` is a :class:`mcport.models.garch_mc.CCCGarchParams`. ``hedge``
+    (a HedgeSpec) switches to hedged per-period option settlement against the
+    simulated price path and requires ``s0`` (current asset prices). TPU runs
+    the fused Pallas kernel (:func:`mcport.ops.pallas_garch
+    .pallas_garch_path_stats`); elsewhere the lax reference."""
+    from mcport.models.garch_mc import garch_path_stats
+    from mcport.ops.pallas_garch import pallas_garch_path_stats
+
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged GARCH path risk requires s0 (asset prices)")
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    w = jnp.asarray(weights, jnp.float32)[None, :]
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    def block_fn(_b, block_seed):
+        if use_pallas:
+            return pallas_garch_path_stats(
+                block_seed, params, w, config.path_block, config.n_steps,
+                hedge_args=hedge_args)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+        return garch_path_stats(key, params, w, config.path_block,
+                                config.n_steps, hedge_args=hedge_args)
+
+    return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
+
+
+def run_bootstrap_path_risk(
+    returns: np.ndarray,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    p_restart: float = 0.2,
+    sketch: SketchConfig | None = None,
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+    s0: np.ndarray | None = None,
+) -> PathRiskReport:
+    """Simulated path risk under stationary-bootstrap resampling of the
+    historical returns: terminal VaR/CVaR plus the max-drawdown distribution
+    (distribution-free counterpart of :func:`run_path_risk`; per-period
+    rebalanced wealth). ``sketch=None`` derives a covering log1p terminal
+    sketch from the history itself (the most extreme path compounds the
+    best/worst convex-combination row every step — valid for any simplex
+    weight vector); hedged runs fall back to the default linear sketch since
+    option settlement is not bounded by historical rows. ``hedge`` + ``s0``
+    switch to hedged per-period settlement. TPU runs the fused
+    one-hot-selection kernel."""
+    from mcport.models.bootstrap import (
+        _auto_sketch_from_history, bootstrap_path_stats,
+    )
+    from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats
+
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged bootstrap path risk requires s0 (asset prices)")
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    r = jnp.asarray(returns, jnp.float32)
+    if sketch is None:
+        sketch = (SketchConfig() if hedge is not None else
+                  _auto_sketch_from_history(np.asarray(returns), config.n_steps))
+    w = jnp.asarray(weights, jnp.float32)[None, :]
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    def block_fn(_b, block_seed):
+        if use_pallas:
+            return pallas_bootstrap_path_stats(
+                block_seed, r, w, config.path_block, config.n_steps,
+                p_restart=p_restart, hedge_args=hedge_args)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+        return bootstrap_path_stats(key, r, w, config.path_block,
+                                    config.n_steps, p_restart=p_restart,
+                                    hedge_args=hedge_args)
+
+    return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)

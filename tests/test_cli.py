@@ -195,3 +195,25 @@ def test_simulate_hedged_flag(btc, eth, tmp_path):
     assert m1["n_valid"] > 0
     # the covered-call overlay changes the assembled return series
     assert m1["expected_return_ann"] != m0["expected_return_ann"]
+
+
+def test_path_risk_command(btc, eth, tmp_path):
+    out = run_cli(["path-risk", btc, eth, "--period", "W",
+                   "--paths", "4096", "--steps", "13"])
+    assert out["settlement"] == "unhedged" and out["rebalance_gbm"]
+    for model in ("gbm", "garch", "bootstrap"):
+        assert out[model]["cvar"] <= out[model]["var"]
+        assert -1.0 <= out[model]["dd_p95"] <= out[model]["dd_median"] <= 0.0
+    # hedged: per-period option settlement across the families
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "BTC_USD 7 Years Weekly": {"strategy": "Married Put",
+                                   "params": {"premium_put": 0.0}},
+    }))
+    out_h = run_cli(["path-risk", btc, eth, "--period", "W",
+                     "--hedge", str(hedge), "--models", "garch,bootstrap",
+                     "--paths", "4096", "--steps", "13"])
+    assert out_h["settlement"] == "per-period hedged"
+    for model in ("garch", "bootstrap"):
+        assert out_h[model]["hedged_assets"] == ["BTC_USD 7 Years Weekly"]
+        assert out_h[model]["dd_mean"] >= out[model]["dd_mean"] - 1e-9

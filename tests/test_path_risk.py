@@ -170,3 +170,98 @@ def test_run_path_risk_hedged_per_period():
     hp = run_path_risk(p, w, cfg, hedge=prot)
     assert hp.dd_mean > base.dd_mean
     assert hp.var > base.var
+
+
+# ---- model-family path risk (round 3): GARCH + bootstrap ------------------
+
+
+def _history():
+    rng = np.random.default_rng(11)
+    return (rng.standard_t(6, (200, A)) * 0.02 + 0.002).astype(np.float32)
+
+
+def test_garch_path_risk_sanity_and_deterministic():
+    from mcport.engine.path_risk import run_garch_path_risk
+    from mcport.models.garch_mc import estimate_ccc_garch
+
+    gp = estimate_ccc_garch(_history())
+    r = run_garch_path_risk(gp, W, cfg())
+    assert -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+    assert r.cvar <= r.var
+    assert r.n_paths == 8192
+    if r.var < 0:
+        assert r.dd_p95 <= r.var + 1e-6
+    assert r == run_garch_path_risk(gp, W, cfg())
+    # longer horizon worsens the drawdown distribution
+    r_long = run_garch_path_risk(gp, W, cfg(n_steps=64))
+    assert r_long.dd_p95 < r.dd_p95
+
+
+def test_bootstrap_path_risk_sanity_and_deterministic():
+    from mcport.engine.path_risk import run_bootstrap_path_risk
+
+    h = _history()
+    r = run_bootstrap_path_risk(h, W, cfg())
+    assert -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+    assert r.cvar <= r.var
+    assert r == run_bootstrap_path_risk(h, W, cfg())
+    r_long = run_bootstrap_path_risk(h, W, cfg(n_steps=64))
+    assert r_long.dd_p95 < r.dd_p95
+
+
+def test_family_path_risk_hedged_put_improves_tail():
+    from mcport.engine.path_risk import run_bootstrap_path_risk, run_garch_path_risk
+    from mcport.models.garch_mc import estimate_ccc_garch
+    from mcport.options import HedgeSpec, LegType, Legs
+
+    h = _history()
+    s0 = np.array([100.0, 50.0, 20.0])
+    names = ["X0", "X1", "X2"]
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(A)}, names)
+    gp = estimate_ccc_garch(h)
+    base_g = run_garch_path_risk(gp, W, cfg())
+    prot_g = run_garch_path_risk(gp, W, cfg(), hedge=prot, s0=s0)
+    assert prot_g.dd_mean > base_g.dd_mean
+    base_b = run_bootstrap_path_risk(h, W, cfg())
+    prot_b = run_bootstrap_path_risk(h, W, cfg(), hedge=prot, s0=s0)
+    assert prot_b.dd_mean > base_b.dd_mean
+    # hedged without s0 refuses
+    with pytest.raises(ValueError, match="s0"):
+        run_garch_path_risk(gp, W, cfg(), hedge=prot)
+    with pytest.raises(ValueError, match="s0"):
+        run_bootstrap_path_risk(h, W, cfg(), hedge=prot)
+
+
+def test_api_path_tail_risk_families(fixtures_dir):
+    from mcport.api import load_universe, path_tail_risk
+    from mcport.config import Config, DataConfig, GBMConfig
+
+    data = load_universe(
+        paths=[fixtures_dir / "BTC_USD 7 Years Weekly.csv",
+               fixtures_dir / "ETH_USD 7 Years Weekly.csv"],
+        config=DataConfig(period="W"),
+    )
+    cfg_ = Config(gbm=GBMConfig(n_paths=4096, path_block=4096, n_steps=13,
+                                use_pallas=False))
+    for model in ("gbm", "garch", "bootstrap"):
+        out = path_tail_risk(data, None, cfg_, model=model)
+        assert out["model"] == model
+        assert out["cvar"] <= out["var"]
+        assert -1.0 <= out["dd_p95"] <= out["dd_median"] <= 0.0
+    with pytest.raises(ValueError, match="model must be"):
+        path_tail_risk(data, None, cfg_, model="nope")
+    # hedged route: zero-premium married put on BTC improves every family's dd
+    from mcport.options import LegType, Legs
+
+    legs = {data.names[0]: Legs.from_rows(
+        [(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+         (LegType.BUY_PUT, float(data.prices[-1, 0]) * 0.95, 0.0, 1.0)])}
+    for model in ("gbm", "garch", "bootstrap"):
+        base = path_tail_risk(data, None, cfg_, model=model)
+        hedged = path_tail_risk(data, None, cfg_, model=model,
+                                legs_by_asset=legs)
+        assert hedged["hedged_assets"] == [data.names[0]]
+        assert hedged["dd_mean"] >= base["dd_mean"] - 1e-9
