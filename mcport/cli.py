@@ -772,19 +772,39 @@ def cmd_sim_frontier(args) -> None:
 def cmd_dd_frontier(args) -> None:
     import jax
 
-    from mcport.engine.drawdown_frontier import drawdown_frontier_search
+    from mcport.engine.drawdown_frontier import (
+        drawdown_frontier_search,
+        family_drawdown_frontier_search,
+    )
     from mcport.models import estimate_gbm
 
     d = _universe(args)
-    params = estimate_gbm(d.prices)
     _, hedge = _hedge_from_args(args, d)
-    r = drawdown_frontier_search(
-        jax.random.key(args.seed), params, dd_budget=args.dd_budget,
-        n_candidates=args.candidates, n_paths=args.paths, n_steps=args.steps,
-        alpha=args.alpha, score_dtype=args.score_dtype,
-        rebalance=args.rebalance, hedge=hedge,
-    )
+    if args.model == "gbm":
+        r = drawdown_frontier_search(
+            jax.random.key(args.seed), estimate_gbm(d.prices),
+            dd_budget=args.dd_budget,
+            n_candidates=args.candidates, n_paths=args.paths,
+            n_steps=args.steps, alpha=args.alpha,
+            score_dtype=args.score_dtype,
+            rebalance=args.rebalance, hedge=hedge,
+        )
+    else:
+        if args.model == "garch":
+            from mcport.models.garch_mc import estimate_ccc_garch
+
+            model_params = estimate_ccc_garch(d.port_rets)
+        else:
+            model_params = d.port_rets
+        r = family_drawdown_frontier_search(
+            jax.random.key(args.seed), args.model, model_params,
+            dd_budget=args.dd_budget, n_candidates=args.candidates,
+            n_paths=args.paths, n_steps=args.steps, alpha=args.alpha,
+            hedge=hedge,
+            s0=None if hedge is None else np.asarray(d.prices[-1]),
+        )
     out = {
+        "model": args.model,
         "dd_budget": r.dd_budget,
         "n_candidates": args.candidates,
         "n_feasible": int(r.feasible.sum()),
@@ -1056,6 +1076,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
+    sp.add_argument("--model", choices=["gbm", "garch", "bootstrap"],
+                    default="gbm",
+                    help="path family: garch = volatility-clustered frontier, "
+                         "bootstrap = distribution-free resampled frontier "
+                         "(both per-period rebalanced; --score-dtype/"
+                         "--rebalance apply to gbm only)")
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_dd_frontier)

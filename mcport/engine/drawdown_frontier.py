@@ -22,7 +22,8 @@ from jax import Array
 from mcport.models.gbm import GBMParams, simulate_log_paths
 from mcport.ops.dirichlet import _sample_unconstrained, sample_constrained_weights
 
-__all__ = ["DrawdownFrontierResult", "drawdown_frontier_search"]
+__all__ = ["DrawdownFrontierResult", "drawdown_frontier_search",
+           "family_drawdown_frontier_search"]
 
 
 @dataclass(frozen=True)
@@ -248,6 +249,132 @@ def drawdown_frontier_search(
                 dd_p95[batch] = np.asarray(-worst[:, -1])
                 rescored.update(int(i) for i in batch)
 
+    feasible = valid & (dd_p95 >= -budget)
+    opt_idx = int(np.argmax(np.where(feasible, ret, -np.inf))) if feasible.any() else -1
+    return DrawdownFrontierResult(
+        weights=w, valid=valid, ret=ret, dd_p95=dd_p95, feasible=feasible,
+        opt_idx=opt_idx, dd_budget=budget,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_candidates", "trivial_bounds"))
+def _sample_candidates(key, min_w, max_w, n_candidates: int,
+                       trivial_bounds: bool):
+    if trivial_bounds:
+        _, sub = jax.random.split(key)
+        return _sample_unconstrained(sub, n_candidates, min_w.shape[-1])
+    return sample_constrained_weights(key, n_candidates, min_w, max_w)
+
+
+def family_drawdown_frontier_search(
+    key: Array,
+    model: str,
+    model_params,
+    dd_budget: float = 0.30,
+    n_candidates: int = 4_096,
+    n_paths: int = 8_192,
+    n_steps: int = 252,
+    alpha: float = 0.95,
+    min_weights: np.ndarray | None = None,
+    max_weights: np.ndarray | None = None,
+    w_block: int = 128,
+    p_restart: float = 0.2,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    hedge=None,
+    s0: np.ndarray | None = None,
+) -> DrawdownFrontierResult:
+    """Drawdown-constrained frontier under non-GBM path families.
+
+    The GARCH / bootstrap counterpart of :func:`drawdown_frontier_search`:
+    max expected simulated return s.t. the p95-worst max drawdown stays
+    above ``-dd_budget``, with candidates scored by the per-period
+    REBALANCED wealth recursion (the families' natural semantics — their
+    paths are simple-return recursions, app.py:710). ``model`` is "garch"
+    (``model_params`` a :class:`mcport.models.garch_mc.CCCGarchParams` —
+    volatility-clustered frontier) or "bootstrap" (``model_params`` the
+    (T, A) historical return matrix — distribution-free frontier;
+    ``p_restart`` sets the expected block length).
+
+    Candidate chunks share the per-chunk path stream (same seed → same
+    paths for every chunk), so cross-chunk comparisons are exact. Scoring
+    runs the fused path-stats kernels on TPU
+    (:func:`mcport.ops.pallas_garch.pallas_garch_path_stats` /
+    :func:`mcport.ops.pallas_bootstrap.pallas_bootstrap_path_stats`; lax
+    references elsewhere) at honest f32 — no bf16 screening tier here.
+
+    ``hedge`` (a HedgeSpec) + ``s0`` (current asset prices) switch every
+    candidate to hedged per-period option settlement against the simulated
+    price path.
+    """
+    if model not in ("garch", "bootstrap"):
+        raise ValueError(f"model must be 'garch' or 'bootstrap', got {model!r}")
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged family frontier requires s0 (asset prices)")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if model == "garch":
+        a = model_params.mu.shape[-1]
+    else:
+        history = jnp.asarray(model_params, jnp.float32)
+        a = history.shape[-1]
+    min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
+    max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
+    trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+
+    k_path, k_w = jax.random.split(key)
+    w, valid = _sample_candidates(k_w, min_w, max_w, n_candidates, trivial)
+    w = np.asarray(w.astype(jnp.float32))
+    seed = jax.random.randint(k_path, (), 0, 1 << 30)
+    path_key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+    k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
+
+    def score_chunk(w_blk):
+        if model == "garch":
+            if use_pallas:
+                from mcport.ops.pallas_garch import pallas_garch_path_stats
+
+                term, dd = pallas_garch_path_stats(
+                    seed, model_params, w_blk, n_paths, n_steps,
+                    interpret=interpret, hedge_args=hedge_args)
+            else:
+                from mcport.models.garch_mc import garch_path_stats
+
+                term, dd = garch_path_stats(
+                    path_key, model_params, w_blk, n_paths, n_steps,
+                    hedge_args=hedge_args)
+        else:
+            if use_pallas:
+                from mcport.ops.pallas_bootstrap import (
+                    pallas_bootstrap_path_stats,
+                )
+
+                term, dd = pallas_bootstrap_path_stats(
+                    seed, history, w_blk, n_paths, n_steps,
+                    p_restart=p_restart, interpret=interpret,
+                    hedge_args=hedge_args)
+            else:
+                from mcport.models.bootstrap import bootstrap_path_stats
+
+                term, dd = bootstrap_path_stats(
+                    path_key, history, w_blk, n_paths, n_steps,
+                    p_restart=p_restart, hedge_args=hedge_args)
+        ret = term.mean(axis=1)
+        worst, _ = jax.lax.top_k(-dd, k_tail)
+        return np.asarray(ret), np.asarray(-worst[:, -1])
+
+    block = min(w_block, n_candidates)
+    rets, dds = [], []
+    for i in range(0, n_candidates, block):
+        r_c, d_c = score_chunk(w[i:i + block])
+        rets.append(r_c)
+        dds.append(d_c)
+    ret = np.concatenate(rets)
+    dd_p95 = np.concatenate(dds)
+    valid = np.asarray(valid)
+    budget = abs(dd_budget)
     feasible = valid & (dd_p95 >= -budget)
     opt_idx = int(np.argmax(np.where(feasible, ret, -np.inf))) if feasible.any() else -1
     return DrawdownFrontierResult(

@@ -217,3 +217,16 @@ def test_path_risk_command(btc, eth, tmp_path):
     for model in ("garch", "bootstrap"):
         assert out_h[model]["hedged_assets"] == ["BTC_USD 7 Years Weekly"]
         assert out_h[model]["dd_mean"] >= out[model]["dd_mean"] - 1e-9
+
+
+def test_dd_frontier_family_models(btc, eth):
+    for model in ("garch", "bootstrap"):
+        out = run_cli(["dd-frontier", btc, eth, "--period", "W",
+                       "--model", model, "--candidates", "64",
+                       "--paths", "512", "--steps", "13",
+                       "--dd-budget", "0.6"])
+        assert out["model"] == model
+        assert out["n_feasible"] >= 0
+        if "weights" in out:
+            w = np.array(list(out["weights"].values()))
+            np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)

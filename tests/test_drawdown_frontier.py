@@ -218,3 +218,86 @@ def test_multi_dd_unroll_same_stream():
                                            np.asarray(outs[0][0]), atol=2e-6)
                 np.testing.assert_allclose(np.asarray(dd),
                                            np.asarray(outs[0][1]), atol=2e-6)
+
+
+# ---- model-family frontier (round 3): GARCH + bootstrap --------------------
+
+
+def _family_history():
+    rng = np.random.default_rng(21)
+    return (rng.standard_t(6, (180, 4)) * 0.02 + 0.002).astype(np.float32)
+
+
+def test_family_frontier_garch_sanity_and_chunk_invariance():
+    import jax
+
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+    from mcport.models.garch_mc import estimate_ccc_garch
+
+    gp = estimate_ccc_garch(_family_history())
+    kw = dict(dd_budget=0.30, n_candidates=96, n_paths=1024, n_steps=13,
+              use_pallas=False)
+    r = family_drawdown_frontier_search(jax.random.key(0), "garch", gp, **kw)
+    assert r.opt_idx >= 0
+    assert r.dd_p95[r.opt_idx] >= -0.30
+    # opt maximizes return among the feasible set
+    assert r.ret[r.opt_idx] == np.max(r.ret[r.feasible])
+    # chunking must not change anything (shared per-chunk path stream)
+    r2 = family_drawdown_frontier_search(jax.random.key(0), "garch", gp,
+                                         w_block=32, **kw)
+    np.testing.assert_array_equal(r.ret, r2.ret)
+    np.testing.assert_array_equal(r.dd_p95, r2.dd_p95)
+    assert r.opt_idx == r2.opt_idx
+    # widening the budget can only improve the optimum
+    r_wide = family_drawdown_frontier_search(jax.random.key(0), "garch", gp,
+                                             **{**kw, "dd_budget": 0.60})
+    assert r_wide.ret[r_wide.opt_idx] >= r.ret[r.opt_idx]
+
+
+def test_family_frontier_bootstrap_kernel_and_lax():
+    import jax
+
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+
+    h = _family_history()
+    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=512, n_steps=13)
+    r_lax = family_drawdown_frontier_search(jax.random.key(1), "bootstrap", h,
+                                            use_pallas=False, **kw)
+    r_ker = family_drawdown_frontier_search(jax.random.key(1), "bootstrap", h,
+                                            use_pallas=True, interpret=True,
+                                            **kw)
+    # same law, independent streams: both find feasible optima with
+    # comparable return levels
+    assert r_lax.opt_idx >= 0 and r_ker.opt_idx >= 0
+    assert abs(r_lax.ret[r_lax.opt_idx] - r_ker.ret[r_ker.opt_idx]) < 0.2
+    # same candidate sets (same key → same sampler stream)
+    np.testing.assert_array_equal(r_lax.weights, r_ker.weights)
+
+
+def test_family_frontier_hedged_and_errors():
+    import jax
+
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+    from mcport.models.garch_mc import estimate_ccc_garch
+    from mcport.options import HedgeSpec, LegType, Legs
+
+    h = _family_history()
+    gp = estimate_ccc_garch(h)
+    names = ["X0", "X1", "X2", "X3"]
+    s0 = np.array([100.0, 50.0, 20.0, 8.0])
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(4)}, names)
+    kw = dict(dd_budget=0.25, n_candidates=64, n_paths=512, n_steps=13,
+              use_pallas=False)
+    base = family_drawdown_frontier_search(jax.random.key(2), "garch", gp, **kw)
+    hedged = family_drawdown_frontier_search(jax.random.key(2), "garch", gp,
+                                             hedge=prot, s0=s0, **kw)
+    # zero-premium protective puts improve the dd distribution in aggregate
+    assert hedged.dd_p95.mean() > base.dd_p95.mean()
+    with pytest.raises(ValueError, match="model must be"):
+        family_drawdown_frontier_search(jax.random.key(0), "nope", gp, **kw)
+    with pytest.raises(ValueError, match="s0"):
+        family_drawdown_frontier_search(jax.random.key(0), "garch", gp,
+                                        hedge=prot, **kw)
