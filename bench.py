@@ -14,6 +14,8 @@ BENCH_r{N}.json instead of RESULTS.md prose (VERDICT r2 item 3):
     garch_*                 CCC-GARCH(1,1) kernel
     multi_dd_{f32,tf32,bf16}_* candidate-scoring drawdown kernel tiers
     bootstrap_*             stationary block bootstrap kernel
+    garch_multi_dd_* / bootstrap_multi_dd_*  family candidate path-stats
+                            kernels (rebalanced wealth + drawdown carries)
     config3_*               1M-candidate CONSTRAINED streaming frontier
                             (cold = incl. compile, warm) [BASELINE config 3]
     config4_*               16.7M-path sketch tail risk wall [BASELINE config 4]
@@ -202,6 +204,32 @@ def fleet(mean, chol):
     _emit("bootstrap_path_steps_per_sec", rate,
           "path-steps/s (365-row history, 15 assets, 252 steps, bit-exact)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
+
+    # -- family candidate path-stats kernels (round 3: GARCH/bootstrap
+    # counterparts of multi_dd — W candidates compound rebalanced wealth with
+    # peak/drawdown carries inside the path evolution)
+    from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats
+    from mcport.ops.pallas_garch import pallas_garch_path_stats
+
+    @jax.jit
+    def garch_dd(seed):
+        term, dd = pallas_garch_path_stats(
+            seed, gp, cand, dd_paths, N_STEPS)
+        return (term.sum() + dd.sum()) * 1e-9
+
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(garch_dd), k=3)
+    _emit("garch_multi_dd_cand_path_steps_per_sec", rate,
+          "cand-path-steps/s (CCC-GARCH, 256 cand, 131072 paths, 252 steps)")
+
+    @jax.jit
+    def boot_dd(seed):
+        term, dd = pallas_bootstrap_path_stats(
+            seed, hist, cand, dd_paths, N_STEPS)
+        return (term.sum() + dd.sum()) * 1e-9
+
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(boot_dd), k=3)
+    _emit("bootstrap_multi_dd_cand_path_steps_per_sec", rate,
+          "cand-path-steps/s (bootstrap, 256 cand, 131072 paths, 252 steps)")
 
 
 def configs(mean, chol):

@@ -432,3 +432,61 @@ def test_unroll_compiled_same_stream(kernels):
         o2 = kernels.gbm_path_stats(11, mean, chol, w, 8_192, steps, unroll=2)
         for x, y in zip(o1, o2):
             assert float(jax.device_get(jnp.max(jnp.abs(x - y)))) < 2e-6
+
+
+def test_family_path_stats_compiled():
+    """Round 3: GARCH + bootstrap candidate path-stats kernels on hardware —
+    law parity vs the lax references (device-side moments), determinism, and
+    hedged identity-leg reduction on the same hardware stream."""
+    from mcport.models.bootstrap import bootstrap_path_stats
+    from mcport.models.garch_mc import CCCGarchParams, garch_path_stats
+    from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats
+    from mcport.ops.pallas_garch import pallas_garch_path_stats
+
+    a, n, steps = 4, 65_536, 26
+    rng = np.random.default_rng(5)
+    cand = rng.dirichlet(np.ones(a), 8).astype(np.float32)
+    sig0 = np.full(a, 4e-4)
+    gp = CCCGarchParams(
+        mu=np.full(a, 1e-3), omega=sig0 * 0.1,
+        alpha=np.full(a, 0.08), beta=np.full(a, 0.9),
+        corr_chol=np.linalg.cholesky(0.5 * np.eye(a) + 0.5),
+        sigma2_0=sig0, eps2_0=sig0,
+    )
+    hist = (rng.standard_t(5, (200, a)) * 0.02 + 0.002).astype(np.float32)
+
+    for name, kern, lax in (
+        ("garch",
+         lambda s: pallas_garch_path_stats(s, gp, cand, n, steps),
+         lambda k: garch_path_stats(k, gp, cand, n, steps)),
+        ("bootstrap",
+         lambda s: pallas_bootstrap_path_stats(s, hist, cand, n, steps),
+         lambda k: bootstrap_path_stats(k, hist, cand, n, steps)),
+    ):
+        tk, dk = kern(jnp.int32(3))
+        tl, dl = lax(jax.random.key(7))
+        se = jnp.std(tl, axis=1, ddof=1) / np.sqrt(n)
+        m_ok = jnp.all(jnp.abs(jnp.mean(tk, 1) - jnp.mean(tl, 1)) < 6 * se)
+        s_ok = jnp.all(jnp.abs(jnp.std(tk, 1) / jnp.std(tl, 1) - 1) < 0.1)
+        d_ok = jnp.abs(jnp.median(dk, axis=1) - jnp.median(dl, axis=1)) < 0.02
+        assert bool(jax.device_get(m_ok)), name
+        assert bool(jax.device_get(s_ok)), name
+        assert bool(jax.device_get(jnp.all(d_ok))), name
+        # determinism on the hardware stream
+        tk2, dk2 = kern(jnp.int32(3))
+        assert bool(jax.device_get(jnp.array_equal(tk, tk2))), name
+        assert bool(jax.device_get(jnp.array_equal(dk, dk2))), name
+
+    # hedged identity legs reduce to the plain kernels on the SAME stream
+    ident = (np.ones(a, np.float32),
+             np.zeros((a, 1), np.int32), np.zeros((a, 1), np.float32),
+             np.zeros((a, 1), np.float32), np.ones((a, 1), np.float32))
+    tg, dg = pallas_garch_path_stats(9, gp, cand, 16_384, 13)
+    th, dh = pallas_garch_path_stats(9, gp, cand, 16_384, 13, hedge_args=ident)
+    assert float(jax.device_get(jnp.max(jnp.abs(th - tg)))) < 5e-5
+    assert float(jax.device_get(jnp.max(jnp.abs(dh - dg)))) < 5e-5
+    tb, db = pallas_bootstrap_path_stats(9, hist, cand, 16_384, 13)
+    tbh, dbh = pallas_bootstrap_path_stats(9, hist, cand, 16_384, 13,
+                                           hedge_args=ident)
+    assert float(jax.device_get(jnp.max(jnp.abs(tbh - tb)))) < 5e-5
+    assert float(jax.device_get(jnp.max(jnp.abs(dbh - db)))) < 5e-5
