@@ -31,7 +31,8 @@ from mcport.ops.dirichlet import sample_constrained_weights
 from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
-__all__ = ["sharded_path_risk", "sharded_simulated_frontier",
+__all__ = ["sharded_path_risk", "sharded_family_path_risk",
+           "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
            "sharded_merton_risk", "sharded_importance_tail",
@@ -144,6 +145,104 @@ def sharded_path_risk(
         jnp.asarray(seed, jnp.int32), jnp.asarray(mean_step),
         jnp.asarray(chol_step), jnp.asarray(weights),
     )
+    return PathRiskReport(
+        var=float(v), cvar=float(c),
+        port_mean=float(s_port) / n_paths, dd_mean=float(s_dd) / n_paths,
+        dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n_paths,
+    )
+
+
+def sharded_family_path_risk(
+    seed,
+    model: str,
+    model_params,
+    weights,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    alpha: float = 0.95,
+    sketch: SketchConfig | None = None,
+    dd_sketch: SketchConfig = DD_SKETCH,
+    p_restart: float = 0.2,
+    hedge=None,
+    s0=None,
+    axis: str = "paths",
+) -> PathRiskReport:
+    """Mesh-sharded model-family path risk: terminal VaR/CVaR + max-drawdown
+    distribution under CCC-GARCH ("garch") or stationary-bootstrap
+    ("bootstrap") paths — the family counterpart of
+    :func:`sharded_path_risk`, same communication shape (each device evolves
+    its own counter-seeded path slice through the lax path-stats engines and
+    only the two histogram sketches + two scalars psum across ICI).
+    ``hedge`` (a HedgeSpec) + ``s0`` switch every device to hedged
+    per-period option settlement. Returns a replicated
+    :class:`mcport.engine.path_risk.PathRiskReport`."""
+    from mcport.models.bootstrap import (
+        _auto_sketch_from_history, bootstrap_path_stats,
+    )
+    from mcport.models.garch_mc import garch_path_stats
+
+    if model not in ("garch", "bootstrap"):
+        raise ValueError(f"model must be 'garch' or 'bootstrap', got {model!r}")
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged family path risk requires s0 (asset prices)")
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    if sketch is None:
+        sketch = (SketchConfig() if model == "garch" or hedge is not None
+                  else _auto_sketch_from_history(np.asarray(model_params),
+                                                 n_steps))
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    n_hedge = 0 if hedge_args is None else len(hedge_args)
+
+    def local(seed, weights, *rest):
+        if n_hedge:
+            model_args, h_args = rest[:-n_hedge], rest[-n_hedge:]
+        else:
+            model_args, h_args = rest, None
+        idx = jax.lax.axis_index(axis)
+        dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
+        w = weights[None, :]
+        if model == "garch":
+            from mcport.models.garch_mc import _path_stats
+
+            (mu, omega, alpha_g, beta, corr_chol, sigma2_0, eps2_0) = model_args
+            term, dd = _path_stats(
+                key, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
+                eps2_0, w.T, n_local, n_steps, jnp.float32, h_args)
+        else:
+            (history,) = model_args
+            term, dd = bootstrap_path_stats(
+                key, history, w, n_local, n_steps, p_restart=p_restart,
+                hedge_args=h_args)
+        port, ddv = term[0], dd[0]
+        psum = lambda x: jax.lax.psum(x, axis)
+        h_port = psum(histogram(port, sketch))
+        h_dd = psum(histogram(ddv, dd_sketch))
+        s_port = psum(port.sum())
+        s_dd = psum(ddv.sum())
+        v, c = sketch_var_cvar(h_port, alpha, sketch)
+        dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
+        dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
+        return v, c, s_port, s_dd, dd_p95, dd_med
+
+    if model == "garch":
+        p = model_params
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
+    else:
+        model_in = (jnp.asarray(model_params, jnp.float32),)
+    args = (jnp.asarray(seed, jnp.int32), jnp.asarray(weights, jnp.float32),
+            *model_in, *(hedge_args or ()))
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(),) * len(args),
+        out_specs=(P(),) * 6, check_vma=False,
+    ))
+    v, c, s_port, s_dd, dd_p95, dd_med = fn(*args)
     return PathRiskReport(
         var=float(v), cvar=float(c),
         port_mean=float(s_port) / n_paths, dd_mean=float(s_dd) / n_paths,

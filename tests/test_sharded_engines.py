@@ -363,3 +363,79 @@ def test_sharded_cvar_attribution(mesh):
     # heaviest weight on the most volatile asset? W=(0.5,0.3,0.2) with equal
     # vols => contribution ordering follows weights
     assert comp[0] < comp[1] < comp[2] < 0.0
+
+
+# ---- model-family sharded path risk (late round 3) -------------------------
+
+
+def _fam_history():
+    rng = np.random.default_rng(31)
+    return (rng.standard_t(6, (160, A)) * 0.02 + 0.002).astype(np.float32)
+
+
+def test_sharded_family_path_risk_replay_exact(mesh):
+    """The sharded reduction equals a host-side replay of every device's
+    exact stream (per-device fold_in(seed + idx*SEED_STRIDE)): histogram
+    sums are integer-exact, scalar sums to float tolerance."""
+    from mcport.engine.path_risk import DD_SKETCH
+    from mcport.models.bootstrap import bootstrap_path_stats
+    from mcport.models.garch_mc import estimate_ccc_garch, garch_path_stats
+    from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
+    from mcport.parallel.sharded_engines import sharded_family_path_risk
+    from mcport.seeding import SEED_STRIDE
+
+    h = _fam_history()
+    gp = estimate_ccc_garch(h)
+    n_paths, steps, seed = 4_096, 8, 7
+    n_local = n_paths // 8
+
+    for model, params_, local_fn in (
+        ("garch", gp, lambda k, w: garch_path_stats(k, gp, w, n_local, steps)),
+        ("bootstrap", h,
+         lambda k, w: bootstrap_path_stats(k, h, w, n_local, steps)),
+    ):
+        r = sharded_family_path_risk(seed, model, params_, W, n_paths, steps,
+                                     mesh=mesh, sketch=SK)
+        h_port = np.zeros(SK.n_bins, np.float64)
+        h_dd = np.zeros(DD_SKETCH.n_bins, np.float64)
+        s_port = 0.0
+        for idx in range(8):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(0),
+                jnp.int32(seed + idx * SEED_STRIDE))
+            term, dd = local_fn(key, W[None, :])
+            h_port += np.asarray(histogram(term[0], SK))
+            h_dd += np.asarray(histogram(dd[0], DD_SKETCH))
+            s_port += float(np.asarray(term[0], np.float64).sum())
+        v, c = sketch_var_cvar(jnp.asarray(h_port, jnp.float32), 0.95, SK)
+        assert r.var == pytest.approx(float(v), abs=1e-6), model
+        assert r.cvar == pytest.approx(float(c), abs=1e-6), model
+        assert r.port_mean == pytest.approx(s_port / n_paths, abs=1e-4), model
+        dd_med = sketch_quantile(jnp.asarray(h_dd, jnp.float32), 0.5, DD_SKETCH)
+        assert r.dd_median == pytest.approx(float(dd_med), abs=1e-6), model
+        assert -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+
+
+def test_sharded_family_path_risk_hedged_and_errors(mesh):
+    from mcport.options import HedgeSpec, LegType, Legs
+    from mcport.parallel.sharded_engines import sharded_family_path_risk
+
+    h = _fam_history()
+    s0 = np.array([100.0, 50.0, 20.0])
+    names = ["X0", "X1", "X2"]
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(s0[i]) * 0.98, 0.0, 1.0)])
+         for i in range(A)}, names)
+    base = sharded_family_path_risk(3, "bootstrap", h, W, 4_096, 13,
+                                    mesh=mesh, sketch=SK)
+    hedged = sharded_family_path_risk(3, "bootstrap", h, W, 4_096, 13,
+                                      mesh=mesh, sketch=SK, hedge=prot, s0=s0)
+    assert hedged.dd_mean > base.dd_mean
+    with pytest.raises(ValueError, match="model must be"):
+        sharded_family_path_risk(0, "nope", h, W, 4_096, 13, mesh=mesh)
+    with pytest.raises(ValueError, match="s0"):
+        sharded_family_path_risk(0, "garch", None, W, 4_096, 13, mesh=mesh,
+                                 hedge=prot)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_family_path_risk(0, "bootstrap", h, W, 4_095, 13, mesh=mesh)
