@@ -335,9 +335,11 @@ def path_tail_risk(
     dd_median, dd_p95, model, n_paths} from the fused path-stats engines
     (mcport.engine.path_risk; Pallas kernels on TPU). ``model`` is "gbm"
     (correlated log-normal, ``rebalance`` selects buy-and-hold vs per-period
-    rebalancing — GARCH/bootstrap are inherently rebalanced), "garch"
-    (CCC-GARCH(1,1), volatility clustering) or "bootstrap" (stationary
-    block bootstrap of the history, distribution-free). The reference
+    rebalancing — GARCH/bootstrap are inherently rebalanced), "student_t"
+    (GBM drift/covariance with unit-variance Student-t shocks at the
+    moment-fitted dof — fat tails), "garch" (CCC-GARCH(1,1), volatility
+    clustering) or "bootstrap" (stationary block bootstrap of the history,
+    distribution-free). The reference
     computes drawdown only on historical returns (app.py:252-256); this is
     its forward-looking simulated extension.
 
@@ -358,8 +360,15 @@ def path_tail_risk(
             else HedgeSpec.build(legs_by_asset, data.names))
     s0 = np.asarray(data.prices[-1], np.float64)
 
-    if model == "gbm":
+    if model == "gbm" or model == "student_t":
+        import dataclasses
+
         params = estimate_gbm(data.prices)
+        if model == "student_t":
+            from mcport.models.gbm import estimate_t_dof
+
+            g = dataclasses.replace(g, innovations="student_t",
+                                    t_dof=estimate_t_dof(data.prices))
         rep = run_path_risk(params, w, g, alpha=alpha, rebalance=rebalance,
                             hedge=spec)
     elif model == "garch":
@@ -374,13 +383,16 @@ def path_tail_risk(
                                       hedge=spec, s0=s0)
     else:
         raise ValueError(
-            f"model must be 'gbm', 'garch' or 'bootstrap', got {model!r}")
+            f"model must be 'gbm', 'student_t', 'garch' or 'bootstrap', "
+            f"got {model!r}")
 
     out = {
         "var": rep.var, "cvar": rep.cvar, "port_mean": rep.port_mean,
         "dd_mean": rep.dd_mean, "dd_median": rep.dd_median,
         "dd_p95": rep.dd_p95, "model": model, "n_paths": rep.n_paths,
     }
+    if model == "student_t":
+        out["t_dof"] = g.t_dof
     if spec is not None:
         out["hedged_assets"] = [
             n for n, m_ in zip(data.names, spec.hedged_mask) if m_]

@@ -179,19 +179,15 @@ def cmd_gbm_risk(args) -> None:
     if hedge is not None:
         out["hedged_assets"] = [
             n for n, m_ in zip(d.names, hedge.hedged_mask) if m_]
-        if args.path_stats and args.innovations != "normal":
-            out["drawdown_stats"] = (
-                "unavailable: the hedged path-stats engine draws normal "
-                "innovations; terminal VaR/CVaR above do use "
-                + args.innovations
-            )
-        elif args.path_stats:
-            # hedged per-period-settled drawdown distribution (round 3)
+        if args.path_stats:
+            # hedged per-period-settled drawdown distribution (round 3);
+            # student_t innovations flow through cfg (late round 3)
             from mcport.engine.path_risk import run_path_risk
 
             pr = run_path_risk(params, w, cfg, alpha=args.alpha, hedge=hedge)
             out["max_drawdown"] = {
                 "settlement": "per-period hedged",
+                "innovations": args.innovations,
                 "mean": pr.dd_mean, "median": pr.dd_median,
                 "p95_worst": pr.dd_p95,
             }
@@ -201,16 +197,13 @@ def cmd_gbm_risk(args) -> None:
                 "portfolio; the var/cvar above are hedged"
             )
         args.path_stats = args.attribution = False
-    if args.path_stats and args.innovations != "normal":
-        out["drawdown_stats"] = (
-            "unavailable: the path-stats engine draws normal innovations; "
-            "terminal VaR/CVaR above do use student_t"
-        )
-    elif args.path_stats:
+    if args.path_stats:
+        # student_t innovations flow through cfg (late round 3)
         from mcport.engine.path_risk import run_path_risk
 
         pr = run_path_risk(params, w, cfg, alpha=args.alpha)
         out["max_drawdown"] = {
+            "innovations": args.innovations,
             "mean": pr.dd_mean, "median": pr.dd_median, "p95_worst": pr.dd_p95,
         }
     if args.attribution and args.innovations != "normal":
@@ -780,14 +773,19 @@ def cmd_dd_frontier(args) -> None:
 
     d = _universe(args)
     _, hedge = _hedge_from_args(args, d)
+    t_dof = None
     if args.model == "gbm":
+        if args.innovations == "student_t":
+            from mcport.models.gbm import estimate_t_dof
+
+            t_dof = estimate_t_dof(d.prices)
         r = drawdown_frontier_search(
             jax.random.key(args.seed), estimate_gbm(d.prices),
             dd_budget=args.dd_budget,
             n_candidates=args.candidates, n_paths=args.paths,
             n_steps=args.steps, alpha=args.alpha,
             score_dtype=args.score_dtype,
-            rebalance=args.rebalance, hedge=hedge,
+            rebalance=args.rebalance, hedge=hedge, t_df=t_dof,
         )
     else:
         if args.model == "garch":
@@ -810,6 +808,8 @@ def cmd_dd_frontier(args) -> None:
         "n_feasible": int(r.feasible.sum()),
         "hedged": hedge is not None,
     }
+    if t_dof is not None:
+        out["innovations"] = f"student_t (dof={t_dof:.2f})"
     if r.opt_idx < 0:
         out["error"] = "no candidate satisfies the drawdown budget"
     else:
@@ -1026,8 +1026,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: per-period option settlement")
-    sp.add_argument("--models", default="gbm,garch,bootstrap",
-                    help="comma list of gbm,garch,bootstrap")
+    sp.add_argument("--models", default="gbm,student_t,garch,bootstrap",
+                    help="comma list of gbm,student_t,garch,bootstrap")
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--paths", type=int, default=65_536)
     sp.add_argument("--steps", type=int, default=52)
@@ -1082,6 +1082,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "bootstrap = distribution-free resampled frontier "
                          "(both per-period rebalanced; --score-dtype/"
                          "--rebalance apply to gbm only)")
+    sp.add_argument("--innovations", choices=["normal", "student_t"],
+                    default="normal",
+                    help="gbm shock law: student_t scores candidates under "
+                         "fat-tailed unit-variance t shocks (moment-fitted "
+                         "dof; gbm model only)")
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_dd_frontier)

@@ -42,12 +42,14 @@ class DrawdownFrontierResult:
 
 
 def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
-                  rebalance: bool = False):
+                  rebalance: bool = False, t_df: float | None = None):
     """Reference: full paths → per-(path, candidate) value paths → dd + terminal.
 
     ``rebalance=True`` compounds the per-step candidate gross factor
-    (V_{t+1} = V_t · w'exp(x_t)) instead of holding the initial allocation."""
-    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
+    (V_{t+1} = V_t · w'exp(x_t)) instead of holding the initial allocation.
+    ``t_df`` draws unit-variance Student-t shocks."""
+    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype,
+                               t_df=t_df)
     if rebalance:
         x = jnp.diff(paths, axis=1, prepend=jnp.zeros_like(paths[:, :1]))
         f = jnp.einsum("pta,wa->wpt", jnp.exp(x), w)          # per-step factors
@@ -63,7 +65,7 @@ def _lax_multi_dd(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
 
 
 def _lax_multi_dd_hedged(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
-                         s0, h_t, h_k, h_p, h_q):
+                         s0, h_t, h_k, h_p, h_q, t_df: float | None = None):
     """Hedged candidate scoring: each simulated step settles the option legs
     at intrinsic value (the reference's per-period calc_options_series
     convention, app.py:182-193, applied to simulated prices), and candidates
@@ -73,7 +75,8 @@ def _lax_multi_dd_hedged(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
     settled recursion."""
     from mcport.options.hedged import hedged_step_returns
 
-    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
+    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype,
+                               t_df=t_df)
     s0 = jnp.asarray(s0, dtype)
     prices = s0 * jnp.exp(paths)                              # (P, T, A)
     p0 = jnp.broadcast_to(s0, (n_paths, 1, s0.shape[-1]))
@@ -93,7 +96,7 @@ def _lax_multi_dd_hedged(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "w_block",
                      "use_pallas", "dtype", "trivial_bounds", "score_dtype",
-                     "interpret", "rebalance", "hedged"),
+                     "interpret", "rebalance", "hedged", "t_df"),
 )
 def _score(
     key, mean_step, chol_step, min_w, max_w,
@@ -101,6 +104,7 @@ def _score(
     w_block: int, use_pallas: bool, dtype, trivial_bounds: bool = False,
     score_dtype: str = "float32", interpret: bool = False,
     rebalance: bool = False, hedged: bool = False, hedge_args: tuple = (),
+    t_df: float | None = None,
 ):
     k_path_seed, k_w = jax.random.split(key)
     if trivial_bounds:
@@ -119,7 +123,7 @@ def _score(
         if hedged and not use_pallas:
             term, dd = _lax_multi_dd_hedged(
                 k_path_seed, mean_step.astype(dtype), chol_step.astype(dtype),
-                w_blk, n_paths, n_steps, dtype, *hedge_args,
+                w_blk, n_paths, n_steps, dtype, *hedge_args, t_df=t_df,
             )
         elif use_pallas:
             from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
@@ -129,12 +133,12 @@ def _score(
                 seed, mean_step, chol_step, w_blk, n_paths, n_steps,
                 interpret=interpret, score_dtype=score_dtype,
                 rebalance=rebalance,
-                hedge_args=hedge_args if hedged else None,
+                hedge_args=hedge_args if hedged else None, t_df=t_df,
             )
         else:
             term, dd = _lax_multi_dd(
                 k_path_seed, mean_step.astype(dtype), chol_step.astype(dtype),
-                w_blk, n_paths, n_steps, dtype, rebalance,
+                w_blk, n_paths, n_steps, dtype, rebalance, t_df,
             )
         ret = term.mean(axis=1)
         worst_dd, _ = jax.lax.top_k(-dd, k_tail)              # (B, k) biggest drawdowns
@@ -163,6 +167,7 @@ def drawdown_frontier_search(
     interpret: bool = False,
     rebalance: bool = False,
     hedge=None,
+    t_df: float | None = None,
 ) -> DrawdownFrontierResult:
     """Max expected simulated return s.t. the p95-worst drawdown >= -dd_budget.
 
@@ -183,6 +188,10 @@ def drawdown_frontier_search(
     instead of buy-and-hold; same kernel cost. Under bf16 screening the
     rebalanced recursion compounds rounding (~sqrt(T)·1e-3), so the rescore
     margin widens accordingly.
+
+    ``t_df`` scores candidates under unit-variance Student-t shocks (fat
+    tails, same per-step covariance) in every mode — kernel, lax, hedged,
+    and the exact rescore pass.
     """
     a = params.n_assets
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
@@ -198,7 +207,7 @@ def drawdown_frontier_search(
         key, mean_j, chol_j,
         min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas,
         dtype, trivial, score_dtype if use_pallas else "float32", interpret,
-        rebalance, hedge is not None, hedge_args,
+        rebalance, hedge is not None, hedge_args, t_df,
     )
     w, valid = np.asarray(w), np.asarray(valid)
     ret, dd_p95 = np.array(ret), np.array(dd_p95)   # writable: rescore updates
@@ -243,6 +252,7 @@ def drawdown_frontier_search(
                     seed, mean_j, chol_j, jnp.asarray(w[batch]), n_paths,
                     n_steps, interpret=interpret, rebalance=rebalance,
                     hedge_args=hedge_args if hedge is not None else None,
+                    t_df=t_df,
                 )
                 ret[batch] = np.asarray(term_x.mean(axis=1))
                 worst, _ = jax.lax.top_k(-dd_x, k_tail)

@@ -41,14 +41,15 @@ class PathRiskReport:
 
 
 def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
-                    rebalance: bool = False):
+                    rebalance: bool = False, t_df: float | None = None):
     """Reference path-stats: full log paths → portfolio value → running peak/dd.
 
     ``rebalance=False`` is buy-and-hold from normalized start (V_t = w'exp(acc));
     ``rebalance=True`` resets to the target weights every period
     (V_{t+1} = V_t * w'exp(x_t) — the reference's historical R·w semantics,
-    app.py:710)."""
-    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype)
+    app.py:710). ``t_df`` draws unit-variance Student-t shocks."""
+    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype,
+                               t_df=t_df)
     w = jnp.asarray(weights, dtype)
     if rebalance:
         increments = jnp.diff(paths, axis=1, prepend=jnp.zeros(
@@ -68,14 +69,14 @@ def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
     jax.jit,
     static_argnames=(
         "n_blocks", "block_paths", "n_steps", "use_pallas", "sketch", "dd_sketch",
-        "rebalance", "hedged",
+        "rebalance", "hedged", "t_df",
     ),
 )
 def _accumulate(
     seed, mean_step, chol_step, weights,
     n_blocks: int, block_paths: int, n_steps: int, use_pallas: bool,
     sketch: SketchConfig, dd_sketch: SketchConfig, rebalance: bool = False,
-    hedged: bool = False, hedge_args: tuple = (),
+    hedged: bool = False, hedge_args: tuple = (), t_df: float | None = None,
 ):
     a = mean_step.shape[-1]
     dtype = mean_step.dtype
@@ -91,7 +92,7 @@ def _accumulate(
 
                 term, dd2 = gbm_multi_portfolio_dd(
                     block_seed, mean_step, chol_step, weights[None, :],
-                    block_paths, n_steps, hedge_args=hedge_args,
+                    block_paths, n_steps, hedge_args=hedge_args, t_df=t_df,
                 )
             else:
                 from mcport.engine.drawdown_frontier import _lax_multi_dd_hedged
@@ -99,7 +100,7 @@ def _accumulate(
                 key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
                 term, dd2 = _lax_multi_dd_hedged(
                     key, mean_step, chol_step, weights[None, :], block_paths,
-                    n_steps, mean_step.dtype, *hedge_args,
+                    n_steps, mean_step.dtype, *hedge_args, t_df=t_df,
                 )
             port, dd = term[0], dd2[0]
         elif use_pallas:
@@ -107,13 +108,13 @@ def _accumulate(
 
             _, port, dd = gbm_path_stats(
                 block_seed, mean_step, chol_step, weights, block_paths, n_steps,
-                rebalance=rebalance,
+                rebalance=rebalance, t_df=t_df,
             )
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
             port, dd = _lax_path_stats(
                 key, mean_step, chol_step, weights, block_paths, n_steps, dtype,
-                rebalance,
+                rebalance, t_df,
             )
         return (
             h_port + histogram(port, sketch),
@@ -150,7 +151,11 @@ def run_path_risk(
     (options settle at intrinsic value each simulated step; implies the
     rebalanced wealth recursion). Short legs can in principle drive wealth
     negative, in which case drawdowns below -1 clamp into the dd sketch's
-    lowest bin."""
+    lowest bin.
+
+    ``config.innovations="student_t"`` draws unit-variance Student-t shocks
+    at ``config.t_dof`` in every mode (kernel and lax, hedged included) —
+    fat-tail drawdown distributions with the same per-step covariance."""
     block_paths = config.path_block
     if config.n_paths % block_paths:
         raise ValueError(
@@ -159,6 +164,7 @@ def run_path_risk(
     n_blocks = config.n_paths // block_paths
     dtype = jnp.dtype(config.dtype)
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+    t_df = float(config.t_dof) if config.innovations == "student_t" else None
 
     h_port, h_dd, s_port, s_dd = _accumulate(
         jnp.asarray(config.seed, jnp.int32),
@@ -169,6 +175,7 @@ def run_path_risk(
         rebalance, hedge is not None,
         () if hedge is None else (jnp.asarray(params.s0, dtype),
                                   *hedge.arrays),
+        t_df,
     )
     v, c = sketch_var_cvar(h_port, alpha, sketch)
     # dd quantiles: p95-worst = the 5th percentile of the (negative) dd sample

@@ -88,7 +88,8 @@ def estimate_gbm(prices: np.ndarray, jitter: float = 1e-12) -> GBMParams:
     return GBMParams(s0=prices[-1].copy(), mean_step=mean_step, chol_step=chol)
 
 
-@partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic", "dtype"))
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic", "dtype",
+                                   "t_df"))
 def simulate_log_paths(
     key: Array,
     mean_step: Array,
@@ -97,6 +98,7 @@ def simulate_log_paths(
     n_steps: int,
     antithetic: bool = False,
     dtype=jnp.float32,
+    t_df: float | None = None,
 ) -> Array:
     """Full path simulation → cumulative log returns (n_paths, n_steps, A).
 
@@ -104,16 +106,26 @@ def simulate_log_paths(
     so no (steps, paths, A) noise tensor ever materializes in HBM. The time axis is
     the sequential dimension (SURVEY.md §5: the honest "sequence parallelism" of
     this workload stays on-chip; the scaling axis across chips is paths).
+
+    ``t_df`` swaps the shocks for UNIT-VARIANCE Student-t draws (the
+    :func:`terminal_log_returns_t` convention: polar-transform t scaled by
+    1/sqrt(df/(df-2)) so the per-step covariance stays ``L L'`` exactly —
+    only tail thickness changes).
     """
     m = jnp.asarray(mean_step, dtype)
     lt = jnp.asarray(chol_step, dtype).T            # pre-transpose: z @ L^T
     a = m.shape[-1]
     half = n_paths // 2 if antithetic else n_paths
+    if t_df is not None:
+        scale = 1.0 / jnp.sqrt(jnp.asarray(t_df / (t_df - 2.0), dtype))
 
     def step(carry, t):
         logs = carry
         zk = jax.random.fold_in(key, t)
-        z = jax.random.normal(zk, (half, a), dtype)
+        if t_df is not None:
+            z = _student_t_polar(zk, t_df, (half, a), dtype) * scale
+        else:
+            z = jax.random.normal(zk, (half, a), dtype)
         if antithetic:
             z = jnp.concatenate([z, -z], axis=0)
         logs = logs + m + z @ lt

@@ -590,7 +590,7 @@ def _exp_small(x: Array) -> Array:
 def _path_stats_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
     interpret: bool, impl: str = "eup_sum", rebalance: bool = False,
-    prefetch: bool = False, unroll: int = 1
+    prefetch: bool = False, unroll: int = 1, t_df: float | None = None
 ):
     """impl selects the per-step portfolio-value pipeline (same math, same
     draws; see the module docstring A/B table):
@@ -607,7 +607,10 @@ def _path_stats_kernel(
     faster on the v5e for this kernel (benchmarks/bench_prefetch.py).
     """
     a_pad, block = term_ref.shape
-    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+    if t_df is not None:
+        normal_pair = _make_t_pair(interpret, seed_ref, (a_pad, block), t_df)
+    else:
+        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
 
     m = m_ref[:]          # (a_pad, 1) per-step mean log return
     lt = lt_ref[:]        # (a_pad, a_pad) Cholesky (lower)
@@ -673,7 +676,7 @@ def _path_stats_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_paths", "n_steps", "block", "interpret", "impl", "rebalance",
-                     "prefetch", "unroll")
+                     "prefetch", "unroll", "t_df")
 )
 def gbm_path_stats(
     seed: Array,
@@ -688,6 +691,7 @@ def gbm_path_stats(
     rebalance: bool = False,
     prefetch: bool = True,
     unroll: int = 2,
+    t_df: float | None = None,
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
@@ -697,9 +701,16 @@ def gbm_path_stats(
 
     ``prefetch`` defaults to True: the draw-ahead pipeline is bit-identical
     and measured 7-17% faster on the v5e (benchmarks/bench_prefetch.py).
+
+    ``t_df`` swaps the shocks for unit-variance Student-t draws (the
+    :func:`pallas_terminal_log_returns` convention: the 1/sqrt(df/(df-2))
+    scale folds into the Cholesky factor; fat tails, same per-step
+    covariance).
     """
     m = jnp.asarray(mean_step, jnp.float32)
     chol = jnp.asarray(chol_step, jnp.float32)
+    if t_df is not None:
+        chol = chol / jnp.sqrt(jnp.float32(t_df / (t_df - 2.0)))
     w = jnp.asarray(weights, jnp.float32)
     a = m.shape[-1]
     a_pad = max(8, _round_up(a, 8))
@@ -712,7 +723,7 @@ def gbm_path_stats(
     term, stats = pl.pallas_call(
         functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
                           impl=impl, rebalance=rebalance, prefetch=prefetch,
-                          unroll=unroll),
+                          unroll=unroll, t_df=t_df),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

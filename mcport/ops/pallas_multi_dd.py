@@ -82,7 +82,8 @@ def make_hedged_returns(ht_ref, hk_ref, hp_ref, hq_ref):
 def _multi_dd_kernel(
     seed_ref, m_ref, lt_ref, w_ref, *rest, n_steps: int,
     interpret: bool, prefetch: bool = False, score_dtype: str = "float32",
-    rebalance: bool = False, hedged: bool = False, unroll: int = 1
+    rebalance: bool = False, hedged: bool = False, unroll: int = 1,
+    t_df: float | None = None
 ):
     if hedged:
         s0_ref, ht_ref, hk_ref, hp_ref, hq_ref, term_ref, dd_ref = rest
@@ -90,7 +91,12 @@ def _multi_dd_kernel(
         term_ref, dd_ref = rest
     w_pad, block = term_ref.shape
     a_pad = m_ref.shape[0]
-    normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+    if t_df is not None:
+        from mcport.ops.pallas_gbm import _make_t_pair
+
+        normal_pair = _make_t_pair(interpret, seed_ref, (a_pad, block), t_df)
+    else:
+        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
 
     m = m_ref[:]          # (a_pad, 1)
     lt = lt_ref[:]        # (a_pad, a_pad)
@@ -222,7 +228,7 @@ def _multi_dd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "prefetch",
-                              "score_dtype", "rebalance", "unroll")
+                              "score_dtype", "rebalance", "unroll", "t_df")
 )
 def gbm_multi_portfolio_dd(
     seed: Array,
@@ -238,6 +244,7 @@ def gbm_multi_portfolio_dd(
     rebalance: bool = False,
     hedge_args: tuple | None = None,
     unroll: int = 2,
+    t_df: float | None = None,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
@@ -271,9 +278,15 @@ def gbm_multi_portfolio_dd(
 
     Padded-peak note: padded candidate rows have V_0 = 1 from init but V_t = 0
     afterwards, giving dd = -1 on padding; those rows are sliced away here.
+
+    ``t_df`` swaps the shocks for unit-variance Student-t draws
+    (pallas_gbm convention: the 1/sqrt(df/(df-2)) scale folds into the
+    Cholesky factor) — fat-tail candidate scoring in every mode.
     """
     m = jnp.asarray(mean_step, jnp.float32)
     chol = jnp.asarray(chol_step, jnp.float32)
+    if t_df is not None:
+        chol = chol / jnp.sqrt(jnp.float32(t_df / (t_df - 2.0)))
     w = jnp.asarray(weights, jnp.float32)
     w_cnt, a = w.shape
     # VMEM guard: past ~512 candidate rows the per-step (W, block) peak/dd
@@ -286,7 +299,7 @@ def gbm_multi_portfolio_dd(
             gbm_multi_portfolio_dd(seed, mean_step, chol_step,
                                    w[i:i + max_w], n_paths, n_steps,
                                    block, interpret, prefetch, score_dtype,
-                                   rebalance, hedge_args, unroll)
+                                   rebalance, hedge_args, unroll, t_df)
             for i in range(0, w_cnt, max_w)
         ]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
@@ -322,7 +335,8 @@ def gbm_multi_portfolio_dd(
     term, dd = pl.pallas_call(
         functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret,
                           prefetch=prefetch, score_dtype=score_dtype,
-                          rebalance=rebalance, hedged=hedged, unroll=unroll),
+                          rebalance=rebalance, hedged=hedged, unroll=unroll,
+                          t_df=t_df),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -230,3 +230,12 @@ def test_dd_frontier_family_models(btc, eth):
         if "weights" in out:
             w = np.array(list(out["weights"].values()))
             np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+
+
+def test_gbm_risk_path_stats_student_t(eth):
+    out = run_cli(["gbm-risk", eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8", "--no-pallas", "--innovations", "student_t",
+                   "--path-stats"])
+    dd = out["max_drawdown"]
+    assert dd["innovations"] == "student_t"
+    assert -1.0 <= dd["p95_worst"] <= dd["median"] <= 0.0

@@ -265,3 +265,132 @@ def test_api_path_tail_risk_families(fixtures_dir):
                                 legs_by_asset=legs)
         assert hedged["hedged_assets"] == [data.names[0]]
         assert hedged["dd_mean"] >= base["dd_mean"] - 1e-9
+
+
+# ---- Student-t innovations across the path tier (late round 3) ------------
+
+
+def test_lax_t_paths_oracle_and_unit_variance():
+    """simulate_log_paths(t_df=...) has the SAME per-step covariance as the
+    normal law (unit-variance scaling) and heavier tails; _lax_path_stats
+    over t paths equals a numpy recompute from the same paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.engine.path_risk import _lax_path_stats
+    from mcport.models.gbm import simulate_log_paths
+
+    a, n, steps, df = 2, 32_768, 4, 5.0
+    m = np.zeros(a)
+    chol = np.diag([0.02, 0.03])
+    key = jax.random.key(0)
+    pt = np.asarray(simulate_log_paths(key, m, chol, n, steps,
+                                       dtype=jnp.float64, t_df=df))
+    inc = np.diff(pt, axis=1, prepend=np.zeros((n, 1, a)))
+    # unit-variance scaling: per-step std matches the Cholesky diagonal
+    np.testing.assert_allclose(inc.reshape(-1, a).std(axis=0),
+                               [0.02, 0.03], rtol=0.05)
+    # heavier tails than normal: excess kurtosis of t_5 scaled = 6/(df-4) = 6
+    k = ((inc[..., 0] / 0.02) ** 4).mean()
+    assert k > 4.5  # normal = 3; MC spread is wide for t_5's 4th moment
+
+    w = np.array([0.5, 0.5])
+    port, dd = _lax_path_stats(key, jnp.asarray(m), jnp.asarray(chol),
+                               jnp.asarray(w), n, steps, jnp.float64,
+                               False, df)
+    v = np.concatenate([np.ones((n, 1)), np.exp(pt) @ w], axis=1)
+    np.testing.assert_allclose(np.asarray(port), v[:, -1] - 1, rtol=1e-10)
+    peak = np.maximum.accumulate(v, axis=1)
+    np.testing.assert_allclose(np.asarray(dd), (v / peak - 1).min(axis=1),
+                               atol=1e-12)
+
+
+def test_t_path_stats_kernel_law():
+    """gbm_path_stats(t_df=...) interpret kernel vs the lax t reference:
+    matching terminal/drawdown law; variance matches the normal kernel
+    (unit-variance scaling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.engine.path_risk import _lax_path_stats
+    from mcport.ops.pallas_gbm import gbm_path_stats
+
+    a, n, steps, df = 3, 16_384, 13, 6.0
+    m = np.array([0.001, 0.002, 0.0005], np.float32)
+    chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
+    w = np.array([0.5, 0.3, 0.2], np.float32)
+    _, port_t, dd_t = gbm_path_stats(7, m, chol, w, n, steps, interpret=True,
+                                     t_df=df)
+    port_l, dd_l = _lax_path_stats(jax.random.key(3), jnp.asarray(m),
+                                   jnp.asarray(chol), jnp.asarray(w), n,
+                                   steps, jnp.float64, False, df)
+    port_t, dd_t = np.asarray(port_t, np.float64), np.asarray(dd_t, np.float64)
+    port_l, dd_l = np.asarray(port_l), np.asarray(dd_l)
+    se = port_l.std(ddof=1) / np.sqrt(n)
+    assert abs(port_t.mean() - port_l.mean()) < 6 * se
+    assert abs(port_t.std() / port_l.std() - 1) < 0.1
+    assert abs(np.median(dd_t) - np.median(dd_l)) < 0.02
+    # unit-variance scaling: t terminal std ~ normal terminal std
+    _, port_n, _ = gbm_path_stats(7, m, chol, w, n, steps, interpret=True)
+    assert abs(port_t.std() / np.asarray(port_n, np.float64).std() - 1) < 0.15
+
+
+def test_t_multi_dd_kernel_and_frontier():
+    """multi-dd t scoring: law parity vs the lax t scorer; the frontier
+    accepts t_df end-to-end (kernel path incl. bf16 rescore)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.engine.drawdown_frontier import (
+        _lax_multi_dd, drawdown_frontier_search,
+    )
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    a, n, steps, df = 3, 8_192, 13, 5.5
+    m = np.full(a, 1e-3, np.float32)
+    chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
+    cand = np.asarray(jax.random.dirichlet(jax.random.key(0), jnp.ones(a), (8,)),
+                      np.float32)
+    t_k, d_k = gbm_multi_portfolio_dd(3, m, chol, cand, n, steps,
+                                      interpret=True, block=512, t_df=df)
+    t_l, d_l = _lax_multi_dd(jax.random.key(5), jnp.asarray(m, jnp.float64),
+                             jnp.asarray(chol, jnp.float64),
+                             jnp.asarray(cand, jnp.float64), n, steps,
+                             jnp.float64, False, df)
+    t_k, d_k = np.asarray(t_k, np.float64), np.asarray(d_k, np.float64)
+    t_l, d_l = np.asarray(t_l), np.asarray(d_l)
+    se = t_l.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(t_k.mean(1) - t_l.mean(1)) < 6 * se)
+    assert np.all(np.abs(t_k.std(1) / t_l.std(1) - 1) < 0.12)
+    np.testing.assert_allclose(np.median(d_k, axis=1), np.median(d_l, axis=1),
+                               atol=0.02)
+
+    r = drawdown_frontier_search(
+        jax.random.key(6), GBMParams(s0=np.ones(a), mean_step=m,
+                                     chol_step=chol),
+        dd_budget=0.4, n_candidates=64, n_paths=512, n_steps=13,
+        use_pallas=True, interpret=True, t_df=df,
+        score_dtype="bfloat16", rescore_top=8)
+    assert r.opt_idx >= 0 and r.dd_p95[r.opt_idx] >= -0.4
+
+
+def test_run_path_risk_student_t_config():
+    """innovations="student_t" flows through the engine (lax tier): fatter
+    drawdown tail than normal at the same covariance, deterministic."""
+    import dataclasses
+
+    base = cfg(n_paths=32_768, path_block=8_192, n_steps=26)
+    t_cfg = dataclasses.replace(base, innovations="student_t", t_dof=5.0)
+    rn = run_path_risk(PARAMS, W, base)
+    rt = run_path_risk(PARAMS, W, t_cfg)
+    assert rt != rn
+    # same per-step covariance, fatter tails: the extreme drawdown quantile
+    # is at least as bad under t (weak MC-robust direction)
+    assert rt.dd_p95 <= rn.dd_p95 + 5e-3
+    assert rt == run_path_risk(PARAMS, W, t_cfg)
+    # hedged + t composes (lax hedged scorer)
+    from mcport.options import HedgeSpec
+
+    ident = HedgeSpec.build({}, ["X0", "X1", "X2"])
+    rth = run_path_risk(PARAMS, W, t_cfg, hedge=ident)
+    assert np.isfinite([rth.var, rth.dd_p95]).all()
