@@ -231,6 +231,21 @@ def fleet(mean, chol):
     _emit("bootstrap_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (bootstrap, 256 cand, 131072 paths, 252 steps)")
 
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+    muj = np.full(N_ASSETS, -0.08, np.float32)
+    sigj = np.full(N_ASSETS, 0.04, np.float32)
+
+    @jax.jit
+    def jump_dd(seed):
+        term, dd = pallas_merton_path_stats(
+            seed, mean, chol, 0.02, muj, sigj, cand, dd_paths, N_STEPS)
+        return (term.sum() + dd.sum()) * 1e-9
+
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(jump_dd), k=3)
+    _emit("jump_multi_dd_cand_path_steps_per_sec", rate,
+          "cand-path-steps/s (Merton jumps, 256 cand, 131072 paths, 252 steps)")
+
 
 def configs(mean, chol):
     """BASELINE configs 3 and 4: end-to-end wall times (cold incl. compile)."""

@@ -338,8 +338,9 @@ def path_tail_risk(
     rebalancing — GARCH/bootstrap are inherently rebalanced), "student_t"
     (GBM drift/covariance with unit-variance Student-t shocks at the
     moment-fitted dof — fat tails), "garch" (CCC-GARCH(1,1), volatility
-    clustering) or "bootstrap" (stationary block bootstrap of the history,
-    distribution-free). The reference
+    clustering), "jump" (common-jump Merton: systemic crashes hit every
+    asset at once, threshold-calibrated) or "bootstrap" (stationary block
+    bootstrap of the history, distribution-free). The reference
     computes drawdown only on historical returns (app.py:252-256); this is
     its forward-looking simulated extension.
 
@@ -377,14 +378,20 @@ def path_tail_risk(
         gparams = estimate_ccc_garch(data.port_rets)
         rep = run_garch_path_risk(gparams, w, g, alpha=alpha, hedge=spec,
                                   s0=s0)
+    elif model == "jump":
+        from mcport.engine.path_risk import run_merton_path_risk
+        from mcport.models.jump import estimate_merton_common
+
+        rep = run_merton_path_risk(estimate_merton_common(data.prices), w, g,
+                                   alpha=alpha, hedge=spec)
     elif model == "bootstrap":
         rep = run_bootstrap_path_risk(data.port_rets, w, g,
                                       p_restart=p_restart, alpha=alpha,
                                       hedge=spec, s0=s0)
     else:
         raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch' or 'bootstrap', "
-            f"got {model!r}")
+            f"model must be 'gbm', 'student_t', 'garch', 'jump' or "
+            f"'bootstrap', got {model!r}")
 
     out = {
         "var": rep.var, "cvar": rep.cvar, "port_mean": rep.port_mean,

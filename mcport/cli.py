@@ -1026,8 +1026,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: per-period option settlement")
-    sp.add_argument("--models", default="gbm,student_t,garch,bootstrap",
-                    help="comma list of gbm,student_t,garch,bootstrap")
+    sp.add_argument("--models", default="gbm,student_t,garch,jump,bootstrap",
+                    help="comma list of gbm,student_t,garch,jump,bootstrap")
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--paths", type=int, default=65_536)
     sp.add_argument("--steps", type=int, default=52)
@@ -1076,12 +1076,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
-    sp.add_argument("--model", choices=["gbm", "garch", "bootstrap"],
+    sp.add_argument("--model", choices=["gbm", "garch", "jump", "bootstrap"],
                     default="gbm",
                     help="path family: garch = volatility-clustered frontier, "
-                         "bootstrap = distribution-free resampled frontier "
-                         "(both per-period rebalanced; --score-dtype/"
-                         "--rebalance apply to gbm only)")
+                         "jump = systemic-crash (Merton) frontier, bootstrap "
+                         "= distribution-free resampled frontier (all "
+                         "per-period rebalanced; --score-dtype/--rebalance "
+                         "apply to gbm only)")
     sp.add_argument("--innovations", choices=["normal", "student_t"],
                     default="normal",
                     help="gbm shock law: student_t scores candidates under "

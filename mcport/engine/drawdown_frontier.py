@@ -300,16 +300,20 @@ def family_drawdown_frontier_search(
     max expected simulated return s.t. the p95-worst max drawdown stays
     above ``-dd_budget``, with candidates scored by the per-period
     REBALANCED wealth recursion (the families' natural semantics — their
-    paths are simple-return recursions, app.py:710). ``model`` is "garch"
-    (``model_params`` a :class:`mcport.models.garch_mc.CCCGarchParams` —
-    volatility-clustered frontier) or "bootstrap" (``model_params`` the
-    (T, A) historical return matrix — distribution-free frontier;
-    ``p_restart`` sets the expected block length).
+    paths are simple-return recursions, app.py:710; jump paths compound
+    ``w'exp(x_t)``). ``model`` is "garch" (``model_params`` a
+    :class:`mcport.models.garch_mc.CCCGarchParams` — volatility-clustered
+    frontier), "jump" (``model_params`` a
+    :class:`mcport.models.jump.MertonParams` — systemic-crash frontier) or
+    "bootstrap" (``model_params`` the (T, A) historical return matrix —
+    distribution-free frontier; ``p_restart`` sets the expected block
+    length).
 
     Candidate chunks share the per-chunk path stream (same seed → same
     paths for every chunk), so cross-chunk comparisons are exact. Scoring
     runs the fused path-stats kernels on TPU
     (:func:`mcport.ops.pallas_garch.pallas_garch_path_stats` /
+    :func:`mcport.ops.pallas_jump.pallas_merton_path_stats` /
     :func:`mcport.ops.pallas_bootstrap.pallas_bootstrap_path_stats`; lax
     references elsewhere) at honest f32 — no bf16 screening tier here.
 
@@ -317,14 +321,17 @@ def family_drawdown_frontier_search(
     candidate to hedged per-period option settlement against the simulated
     price path.
     """
-    if model not in ("garch", "bootstrap"):
-        raise ValueError(f"model must be 'garch' or 'bootstrap', got {model!r}")
+    if model not in ("garch", "jump", "bootstrap"):
+        raise ValueError(
+            f"model must be 'garch', 'jump' or 'bootstrap', got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family frontier requires s0 (asset prices)")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if model == "garch":
         a = model_params.mu.shape[-1]
+    elif model == "jump":
+        a = model_params.n_assets
     else:
         history = jnp.asarray(model_params, jnp.float32)
         a = history.shape[-1]
@@ -355,6 +362,23 @@ def family_drawdown_frontier_search(
                 term, dd = garch_path_stats(
                     path_key, model_params, w_blk, n_paths, n_steps,
                     hedge_args=hedge_args)
+        elif model == "jump":
+            mp = model_params
+            if use_pallas:
+                from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+                term, dd = pallas_merton_path_stats(
+                    seed, mp.diffusion.mean_step, mp.diffusion.chol_step,
+                    mp.jump_rate, mp.jump_mean, mp.jump_vol, w_blk,
+                    n_paths, n_steps, interpret=interpret,
+                    hedge_args=hedge_args)
+            else:
+                from mcport.models.jump import merton_path_stats
+
+                term, dd = merton_path_stats(
+                    path_key, mp.diffusion.mean_step, mp.diffusion.chol_step,
+                    mp.jump_rate, mp.jump_mean, mp.jump_vol, w_blk,
+                    n_paths, n_steps, hedge_args=hedge_args)
         else:
             if use_pallas:
                 from mcport.ops.pallas_bootstrap import (

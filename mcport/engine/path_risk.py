@@ -23,7 +23,7 @@ from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
 __all__ = ["PathRiskReport", "run_path_risk", "run_garch_path_risk",
-           "run_bootstrap_path_risk", "DD_SKETCH"]
+           "run_bootstrap_path_risk", "run_merton_path_risk", "DD_SKETCH"]
 
 # drawdowns live in [-1, 0]; a dedicated tight sketch keeps quantile error tiny
 DD_SKETCH = SketchConfig(n_bins=4096, lo=-1.0, hi=0.0)
@@ -269,6 +269,49 @@ def run_garch_path_risk(
         key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
         return garch_path_stats(key, params, w, config.path_block,
                                 config.n_steps, hedge_args=hedge_args)
+
+    return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
+
+
+def run_merton_path_risk(
+    params,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig = SketchConfig(),
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+) -> PathRiskReport:
+    """Simulated path risk under common-jump Merton paths: terminal VaR/CVaR
+    plus the max-drawdown distribution of one portfolio — the crash-risk
+    counterpart of :func:`run_path_risk` (per-period rebalanced wealth;
+    per-step Bernoulli systemic jump clock, see
+    :func:`mcport.models.jump.merton_path_stats`).
+
+    ``params`` is a :class:`mcport.models.jump.MertonParams`; hedged
+    settlement uses its diffusion ``s0`` prices. TPU runs the fused kernel
+    (:func:`mcport.ops.pallas_jump.pallas_merton_path_stats`)."""
+    from mcport.models.jump import merton_path_stats
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+    hedge_args = None if hedge is None else (
+        jnp.asarray(params.diffusion.s0, jnp.float32), *hedge.arrays)
+    w = jnp.asarray(weights, jnp.float32)[None, :]
+    m = jnp.asarray(params.diffusion.mean_step, jnp.float32)
+    chol = jnp.asarray(params.diffusion.chol_step, jnp.float32)
+    muj = jnp.asarray(params.jump_mean, jnp.float32)
+    sigj = jnp.asarray(params.jump_vol, jnp.float32)
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    def block_fn(_b, block_seed):
+        if use_pallas:
+            return pallas_merton_path_stats(
+                block_seed, m, chol, params.jump_rate, muj, sigj, w,
+                config.path_block, config.n_steps, hedge_args=hedge_args)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+        return merton_path_stats(
+            key, m, chol, params.jump_rate, muj, sigj, w,
+            config.path_block, config.n_steps, hedge_args=hedge_args)
 
     return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
 

@@ -49,6 +49,7 @@ __all__ = [
     "MertonParams",
     "estimate_merton_common",
     "merton_terminal_returns",
+    "merton_path_stats",
     "merton_risk",
     "MertonRisk",
     "default_merton_sketch",
@@ -154,6 +155,86 @@ def merton_terminal_returns(
     if return_jumps:
         return term, n_jumps
     return term
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def merton_path_stats(
+    key: Array,
+    mean_step: Array,
+    chol_step: Array,
+    jump_rate: float,
+    jump_mean: Array,
+    jump_vol: Array,
+    weights: Array,
+    n_paths: int,
+    n_steps: int,
+    dtype=jnp.float32,
+    hedge_args: tuple | None = None,
+) -> tuple[Array, Array]:
+    """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) of W
+    candidate portfolios over common-jump Merton PATHS — the lax reference
+    for :func:`mcport.ops.pallas_jump.pallas_merton_path_stats` (same model,
+    independent stream).
+
+    Per-step discretization of the compound-Poisson jump clock: each step is
+    a systemic jump event with probability ``jump_rate`` (Bernoulli — the
+    event count over n steps is Binomial(n, lambda) vs the exact terminal
+    sampler's Poisson(n·lambda); identical to O(lambda^2) per step, and the
+    per-step form is what a path engine needs). On a jump step every asset
+    moves by ``muJ_a + sigJ_a·u`` with one common normal ``u`` per (path,
+    step) — the crash co-movement of :func:`merton_terminal_returns`, step
+    by step. Candidates compound the per-period rebalanced wealth
+    ``V_{t+1} = V_t · (w'exp(x_t))`` with running peak/drawdown carries;
+    ``hedge_args = (s0, type_id, strike, premium, qty)`` switches to hedged
+    per-period settlement against the simulated price path
+    ``p_{t+1} = p_t·exp(x_t)``."""
+    m = jnp.asarray(mean_step, dtype)
+    lt = jnp.asarray(chol_step, dtype).T
+    mu_j = jnp.asarray(jump_mean, dtype)
+    sig_j = jnp.asarray(jump_vol, dtype)
+    a = m.shape[-1]
+    w = jnp.asarray(weights, dtype)
+    if w.ndim == 1:
+        w = w[None, :]
+    w_t = w.T
+    lam = jnp.asarray(jump_rate, dtype)
+    hedged = hedge_args is not None
+    if hedged:
+        s0, ht, hk, hp, hq = hedge_args
+        p0 = jnp.broadcast_to(jnp.asarray(s0, dtype), (n_paths, a))
+    else:
+        p0 = jnp.ones((n_paths, a), dtype)
+
+    def step(carry, t):
+        p, v, peak, dd = carry
+        kt = jax.random.fold_in(key, t)
+        k_z, k_b, k_u = jax.random.split(kt, 3)
+        z = jax.random.normal(k_z, (n_paths, a), dtype)
+        event = (jax.random.uniform(k_b, (n_paths,)) < lam).astype(dtype)
+        u = jax.random.normal(k_u, (n_paths,), dtype)
+        x = m + z @ lt + event[:, None] * (mu_j + sig_j * u[:, None])
+        g = jnp.exp(x)                                       # (n, A) gross
+        if hedged:
+            from mcport.options.hedged import hedged_step_returns
+
+            p_new = p * g
+            r_score = hedged_step_returns(p, p_new, ht, hk, hp, hq)
+            p = p_new
+            f = 1.0 + r_score @ w_t
+        else:
+            f = g @ w_t                                      # (n, W) w'exp(x)
+        v = v * f
+        peak = jnp.maximum(peak, v)
+        dd = jnp.minimum(dd, v / peak - 1.0)
+        return (p, v, peak, dd), None
+
+    n_cand = w.shape[0]
+    init = (p0,
+            jnp.ones((n_paths, n_cand), dtype),
+            jnp.ones((n_paths, n_cand), dtype),
+            jnp.zeros((n_paths, n_cand), dtype))
+    (_, v, _, dd), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return (v - 1.0).T, dd.T
 
 
 from typing import NamedTuple  # noqa: E402  (single consumer below)

@@ -169,8 +169,8 @@ def sharded_family_path_risk(
     axis: str = "paths",
 ) -> PathRiskReport:
     """Mesh-sharded model-family path risk: terminal VaR/CVaR + max-drawdown
-    distribution under CCC-GARCH ("garch") or stationary-bootstrap
-    ("bootstrap") paths — the family counterpart of
+    distribution under CCC-GARCH ("garch"), common-jump Merton ("jump"), or
+    stationary-bootstrap ("bootstrap") paths — the family counterpart of
     :func:`sharded_path_risk`, same communication shape (each device evolves
     its own counter-seeded path slice through the lax path-stats engines and
     only the two histogram sketches + two scalars psum across ICI).
@@ -182,8 +182,9 @@ def sharded_family_path_risk(
     )
     from mcport.models.garch_mc import garch_path_stats
 
-    if model not in ("garch", "bootstrap"):
-        raise ValueError(f"model must be 'garch' or 'bootstrap', got {model!r}")
+    if model not in ("garch", "jump", "bootstrap"):
+        raise ValueError(
+            f"model must be 'garch', 'jump' or 'bootstrap', got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family path risk requires s0 (asset prices)")
     n_dev = mesh.shape[axis]
@@ -191,7 +192,7 @@ def sharded_family_path_risk(
         raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
     n_local = n_paths // n_dev
     if sketch is None:
-        sketch = (SketchConfig() if model == "garch" or hedge is not None
+        sketch = (SketchConfig() if model != "bootstrap" or hedge is not None
                   else _auto_sketch_from_history(np.asarray(model_params),
                                                  n_steps))
     hedge_args = None if hedge is None else (
@@ -214,6 +215,13 @@ def sharded_family_path_risk(
             term, dd = _path_stats(
                 key, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
                 eps2_0, w.T, n_local, n_steps, jnp.float32, h_args)
+        elif model == "jump":
+            from mcport.models.jump import merton_path_stats
+
+            (mean_step, chol_step, rate, mu_j, sig_j) = model_args
+            term, dd = merton_path_stats(
+                key, mean_step, chol_step, rate, mu_j, sig_j, w,
+                n_local, n_steps, hedge_args=h_args)
         else:
             (history,) = model_args
             term, dd = bootstrap_path_stats(
@@ -234,6 +242,11 @@ def sharded_family_path_risk(
         p = model_params
         model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
             p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
+    elif model == "jump":
+        p = model_params
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.diffusion.mean_step, p.diffusion.chol_step,
+            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
     else:
         model_in = (jnp.asarray(model_params, jnp.float32),)
     args = (jnp.asarray(seed, jnp.int32), jnp.asarray(weights, jnp.float32),

@@ -201,7 +201,8 @@ def test_path_risk_command(btc, eth, tmp_path):
     out = run_cli(["path-risk", btc, eth, "--period", "W",
                    "--paths", "4096", "--steps", "13"])
     assert out["settlement"] == "unhedged" and out["rebalance_gbm"]
-    for model in ("gbm", "garch", "bootstrap"):
+    assert out["student_t"]["t_dof"] > 2.0
+    for model in ("gbm", "student_t", "garch", "jump", "bootstrap"):
         assert out[model]["cvar"] <= out[model]["var"]
         assert -1.0 <= out[model]["dd_p95"] <= out[model]["dd_median"] <= 0.0
     # hedged: per-period option settlement across the families

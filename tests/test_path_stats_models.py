@@ -278,3 +278,154 @@ def test_bootstrap_kernel_deterministic_and_chunking(history):
     w_dup = np.vstack([w_many[:260], w_many[:1]])
     t2, _ = pallas_bootstrap_path_stats(9, history, w_dup, 128, 5, **KW)
     np.testing.assert_array_equal(np.asarray(t2[-1]), np.asarray(t2[0]))
+
+
+# ---- common-jump Merton path stats (late round 3) --------------------------
+
+JUMP_M = np.array([1e-3, 2e-3], np.float32)
+JUMP_CHOL = np.linalg.cholesky(4e-4 * (0.5 * np.eye(A) + 0.5)).astype(np.float32)
+JUMP_MU = np.array([-0.15, -0.10], np.float32)
+JUMP_SIG = np.array([0.05, 0.04], np.float32)
+JUMP_LAM = 0.05
+
+
+def test_merton_kernel_zero_rate_bit_equals_gbm_rebalance():
+    """lam=0 kills the jump term and the z stream addressing matches the
+    multi-dd kernel's, so the jump kernel must reduce BIT-EXACTLY to GBM
+    rebalance mode in interpret mode (the jump grid rides a disjoint fold
+    constant and is simply unused)."""
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+    t0, d0 = pallas_merton_path_stats(3, JUMP_M, JUMP_CHOL, 0.0, JUMP_MU,
+                                      JUMP_SIG, W, 1024, 13, **KW)
+    tr, dr = gbm_multi_portfolio_dd(3, JUMP_M, JUMP_CHOL, W, 1024, 13,
+                                    rebalance=True, unroll=1, **KW)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(tr))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(dr))
+
+
+def test_merton_kernel_matches_lax_law():
+    from mcport.models.jump import merton_path_stats
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+    n, steps = 16_384, 26
+    tk, dk = pallas_merton_path_stats(3, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU,
+                                      JUMP_SIG, W, n, steps, **KW)
+    tl, dl = merton_path_stats(jax.random.key(3), JUMP_M, JUMP_CHOL, JUMP_LAM,
+                               JUMP_MU, JUMP_SIG, W, n, steps)
+    tk, dk, tl, dl = (np.asarray(x, np.float64) for x in (tk, dk, tl, dl))
+    se = tl.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(tk.mean(1) - tl.mean(1)) < 6 * se)
+    assert np.all(np.abs(tk.std(1) / tl.std(1) - 1) < 0.1)
+    for q in (0.05, 0.5):
+        np.testing.assert_allclose(np.quantile(dk, q, axis=1),
+                                   np.quantile(dl, q, axis=1), atol=0.025)
+    # jumps make the drawdown tail strictly worse than the no-jump law
+    t0, d0 = pallas_merton_path_stats(3, JUMP_M, JUMP_CHOL, 0.0, JUMP_MU,
+                                      JUMP_SIG, W, n, steps, **KW)
+    assert np.quantile(dk, 0.05) < np.quantile(np.asarray(d0, np.float64), 0.05)
+
+
+def test_merton_lax_jump_frequency_and_size():
+    """One-step decomposition: the fraction of paths whose candidate return
+    deviates from the pure-diffusion range matches the Bernoulli rate, and
+    jump steps move by ~muJ."""
+    from mcport.models.jump import merton_path_stats
+
+    n = 65_536
+    big_mu = np.array([-0.5, -0.5], np.float32)       # unmissable jumps
+    term, _ = merton_path_stats(jax.random.key(1), np.zeros(2, np.float32),
+                                np.diag([1e-4, 1e-4]).astype(np.float32),
+                                0.1, big_mu, np.zeros(2, np.float32),
+                                np.array([1.0, 0.0], np.float32), n, 1)
+    jumped = np.asarray(term[0]) < -0.2
+    rate = jumped.mean()
+    assert abs(rate - 0.1) < 4 * np.sqrt(0.1 * 0.9 / n)
+    np.testing.assert_allclose(np.asarray(term[0])[jumped].mean(),
+                               np.exp(-0.5) - 1, atol=0.01)
+
+
+def test_merton_kernel_hedged_identity_and_put():
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+    args = (3, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU, JUMP_SIG, W, 512, 13)
+    tp, dp = pallas_merton_path_stats(*args, **KW)
+    th, dh = pallas_merton_path_stats(*args, **KW, hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(tp), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dp), atol=3e-6)
+    s0 = np.array([100.0, 50.0], np.float32)
+    prot = _protective_put(s0)
+    tr, dr = pallas_merton_path_stats(*args, **KW,
+                                      hedge_args=(s0, *IDENTITY.arrays))
+    tq, dq = pallas_merton_path_stats(*args, **KW,
+                                      hedge_args=(s0, *prot.arrays))
+    assert (np.asarray(tq) >= np.asarray(tr) - 1e-6).all()
+    assert np.asarray(dq).mean() >= np.asarray(dr).mean()
+    # lax hedged identity too
+    from mcport.models.jump import merton_path_stats
+
+    tl, dl = merton_path_stats(jax.random.key(2), JUMP_M, JUMP_CHOL, JUMP_LAM,
+                               JUMP_MU, JUMP_SIG, W, 512, 13)
+    tlh, dlh = merton_path_stats(jax.random.key(2), JUMP_M, JUMP_CHOL,
+                                 JUMP_LAM, JUMP_MU, JUMP_SIG, W, 512, 13,
+                                 hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(tlh), np.asarray(tl), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(dlh), np.asarray(dl), atol=3e-6)
+
+
+def test_merton_kernel_deterministic_chunking_and_odd_steps():
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+    for steps in (5, 6, 7, 8):
+        a1 = pallas_merton_path_stats(9, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU,
+                                      JUMP_SIG, W, 256, steps, **KW)
+        a2 = pallas_merton_path_stats(9, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU,
+                                      JUMP_SIG, W, 256, steps, **KW)
+        np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+        assert np.isfinite(np.asarray(a1[0])).all()
+    w_many = np.asarray(
+        jax.random.dirichlet(jax.random.key(2), jnp.ones(A), (300,)),
+        np.float32)
+    t, d = pallas_merton_path_stats(9, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU,
+                                    JUMP_SIG, w_many, 128, 5, **KW)
+    assert t.shape == (300, 128) and d.shape == (300, 128)
+    w_dup = np.vstack([w_many[:260], w_many[:1]])
+    t2, _ = pallas_merton_path_stats(9, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU,
+                                     JUMP_SIG, w_dup, 128, 5, **KW)
+    np.testing.assert_array_equal(np.asarray(t2[-1]), np.asarray(t2[0]))
+
+
+def test_merton_engine_api_and_family_frontier(fixtures_dir):
+    import jax as _jax
+
+    from mcport.api import load_universe, path_tail_risk
+    from mcport.config import Config, DataConfig, GBMConfig
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+    from mcport.engine.path_risk import run_merton_path_risk
+    from mcport.models.jump import estimate_merton_common
+
+    data = load_universe(
+        paths=[fixtures_dir / "BTC_USD 7 Years Weekly.csv",
+               fixtures_dir / "ETH_USD 7 Years Weekly.csv"],
+        config=DataConfig(period="W"),
+    )
+    mp = estimate_merton_common(data.prices)
+    cfg_ = GBMConfig(n_paths=4096, path_block=4096, n_steps=13,
+                     use_pallas=False)
+    w = np.full(2, 0.5)
+    r = run_merton_path_risk(mp, w, cfg_)
+    assert r.cvar <= r.var and -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+    assert r == run_merton_path_risk(mp, w, cfg_)
+
+    out = path_tail_risk(data, None, Config(gbm=cfg_), model="jump")
+    assert out["model"] == "jump" and out["cvar"] <= out["var"]
+
+    fr = family_drawdown_frontier_search(
+        _jax.random.key(0), "jump", mp, dd_budget=0.8, n_candidates=64,
+        n_paths=512, n_steps=13, use_pallas=False)
+    assert fr.opt_idx >= 0
+    fr2 = family_drawdown_frontier_search(
+        _jax.random.key(0), "jump", mp, dd_budget=0.8, n_candidates=64,
+        n_paths=512, n_steps=13, use_pallas=False, w_block=32)
+    np.testing.assert_array_equal(fr.ret, fr2.ret)

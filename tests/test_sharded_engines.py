@@ -380,17 +380,32 @@ def test_sharded_family_path_risk_replay_exact(mesh):
     from mcport.engine.path_risk import DD_SKETCH
     from mcport.models.bootstrap import bootstrap_path_stats
     from mcport.models.garch_mc import estimate_ccc_garch, garch_path_stats
+    from mcport.models.jump import MertonParams, merton_path_stats
+    from mcport.models.gbm import GBMParams
     from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
     from mcport.parallel.sharded_engines import sharded_family_path_risk
     from mcport.seeding import SEED_STRIDE
 
     h = _fam_history()
     gp = estimate_ccc_garch(h)
+    mp = MertonParams(
+        diffusion=GBMParams(s0=np.ones(A) * 100,
+                            mean_step=np.full(A, 1e-3),
+                            chol_step=np.linalg.cholesky(
+                                4e-4 * (0.5 * np.eye(A) + 0.5))),
+        jump_rate=0.05, jump_mean=np.full(A, -0.1),
+        jump_vol=np.full(A, 0.05))
     n_paths, steps, seed = 4_096, 8, 7
     n_local = n_paths // 8
 
     for model, params_, local_fn in (
         ("garch", gp, lambda k, w: garch_path_stats(k, gp, w, n_local, steps)),
+        ("jump", mp,
+         lambda k, w: merton_path_stats(
+             k, np.float32(mp.diffusion.mean_step),
+             np.float32(mp.diffusion.chol_step), mp.jump_rate,
+             np.float32(mp.jump_mean), np.float32(mp.jump_vol), w,
+             n_local, steps)),
         ("bootstrap", h,
          lambda k, w: bootstrap_path_stats(k, h, w, n_local, steps)),
     ):

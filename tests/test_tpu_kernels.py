@@ -490,3 +490,52 @@ def test_family_path_stats_compiled():
                                            hedge_args=ident)
     assert float(jax.device_get(jnp.max(jnp.abs(tbh - tb)))) < 5e-5
     assert float(jax.device_get(jnp.max(jnp.abs(dbh - db)))) < 5e-5
+
+
+def test_merton_path_stats_compiled():
+    """Late round 3: common-jump Merton candidate path-stats on hardware —
+    law parity vs the lax reference, jump-tail worsening, determinism, and
+    hedged identity reduction (all reductions on device)."""
+    from mcport.models.jump import merton_path_stats
+    from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+    a, n, steps = 4, 65_536, 26
+    rng = np.random.default_rng(7)
+    cand = rng.dirichlet(np.ones(a), 8).astype(np.float32)
+    m = np.full(a, 1e-3, np.float32)
+    chol = _chol(a).astype(np.float32)
+    muj = np.full(a, -0.12, np.float32)
+    sigj = np.full(a, 0.05, np.float32)
+    lam = 0.05
+
+    tk, dk = pallas_merton_path_stats(3, m, chol, lam, muj, sigj, cand, n,
+                                      steps)
+    tl, dl = merton_path_stats(jax.random.key(7), m, chol, lam, muj, sigj,
+                               cand, n, steps)
+    se = jnp.std(tl, axis=1, ddof=1) / np.sqrt(n)
+    assert bool(jax.device_get(
+        jnp.all(jnp.abs(jnp.mean(tk, 1) - jnp.mean(tl, 1)) < 6 * se)))
+    assert bool(jax.device_get(
+        jnp.all(jnp.abs(jnp.std(tk, 1) / jnp.std(tl, 1) - 1) < 0.1)))
+    assert bool(jax.device_get(jnp.all(
+        jnp.abs(jnp.median(dk, axis=1) - jnp.median(dl, axis=1)) < 0.025)))
+    # jumps worsen the drawdown tail vs lam=0 on the same stream
+    t0, d0 = pallas_merton_path_stats(3, m, chol, 0.0, muj, sigj, cand, n,
+                                      steps)
+    q_j = jnp.quantile(dk, 0.05)
+    q_0 = jnp.quantile(d0, 0.05)
+    assert float(jax.device_get(q_j)) < float(jax.device_get(q_0))
+    # deterministic
+    tk2, _ = pallas_merton_path_stats(3, m, chol, lam, muj, sigj, cand, n,
+                                      steps)
+    assert bool(jax.device_get(jnp.array_equal(tk, tk2)))
+    # hedged identity on the same hardware stream
+    ident = (np.ones(a, np.float32),
+             np.zeros((a, 1), np.int32), np.zeros((a, 1), np.float32),
+             np.zeros((a, 1), np.float32), np.ones((a, 1), np.float32))
+    th, dh = pallas_merton_path_stats(9, m, chol, lam, muj, sigj, cand,
+                                      16_384, 13, hedge_args=ident)
+    tp, dp = pallas_merton_path_stats(9, m, chol, lam, muj, sigj, cand,
+                                      16_384, 13)
+    assert float(jax.device_get(jnp.max(jnp.abs(th - tp)))) < 5e-5
+    assert float(jax.device_get(jnp.max(jnp.abs(dh - dp)))) < 5e-5
