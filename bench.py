@@ -246,6 +246,18 @@ def fleet(mean, chol):
     _emit("jump_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (Merton jumps, 256 cand, 131072 paths, 252 steps)")
 
+    from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+    @jax.jit
+    def dcc_dd(seed):
+        term, dd = pallas_dcc_path_stats(
+            seed, dp, cand, dd_paths, dcc_steps)
+        return (term.sum() + dd.sum()) * 1e-9
+
+    rate = n_cand * dd_paths * dcc_steps / diff_timed(_chain(dcc_dd), k=2)
+    _emit("dcc_multi_dd_cand_path_steps_per_sec", rate,
+          "cand-path-steps/s (DCC-GARCH, 256 cand, 131072 paths, 52 steps)")
+
 
 def configs(mean, chol):
     """BASELINE configs 3 and 4: end-to-end wall times (cold incl. compile)."""

@@ -338,9 +338,10 @@ def path_tail_risk(
     rebalancing — GARCH/bootstrap are inherently rebalanced), "student_t"
     (GBM drift/covariance with unit-variance Student-t shocks at the
     moment-fitted dof — fat tails), "garch" (CCC-GARCH(1,1), volatility
-    clustering), "jump" (common-jump Merton: systemic crashes hit every
-    asset at once, threshold-calibrated) or "bootstrap" (stationary block
-    bootstrap of the history, distribution-free). The reference
+    clustering), "dcc" (DCC-GARCH: correlations that RISE in stress), "jump"
+    (common-jump Merton: systemic crashes hit every asset at once,
+    threshold-calibrated) or "bootstrap" (stationary block bootstrap of the
+    history, distribution-free). The reference
     computes drawdown only on historical returns (app.py:252-256); this is
     its forward-looking simulated extension.
 
@@ -378,6 +379,12 @@ def path_tail_risk(
         gparams = estimate_ccc_garch(data.port_rets)
         rep = run_garch_path_risk(gparams, w, g, alpha=alpha, hedge=spec,
                                   s0=s0)
+    elif model == "dcc":
+        from mcport.engine.path_risk import run_dcc_path_risk
+        from mcport.models.dcc import estimate_dcc_garch
+
+        rep = run_dcc_path_risk(estimate_dcc_garch(data.port_rets), w, g,
+                                alpha=alpha, hedge=spec, s0=s0)
     elif model == "jump":
         from mcport.engine.path_risk import run_merton_path_risk
         from mcport.models.jump import estimate_merton_common
@@ -390,7 +397,7 @@ def path_tail_risk(
                                       hedge=spec, s0=s0)
     else:
         raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch', 'jump' or "
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
             f"'bootstrap', got {model!r}")
 
     out = {

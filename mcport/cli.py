@@ -792,6 +792,14 @@ def cmd_dd_frontier(args) -> None:
             from mcport.models.garch_mc import estimate_ccc_garch
 
             model_params = estimate_ccc_garch(d.port_rets)
+        elif args.model == "dcc":
+            from mcport.models.dcc import estimate_dcc_garch
+
+            model_params = estimate_dcc_garch(d.port_rets)
+        elif args.model == "jump":
+            from mcport.models.jump import estimate_merton_common
+
+            model_params = estimate_merton_common(d.prices)
         else:
             model_params = d.port_rets
         r = family_drawdown_frontier_search(
@@ -1026,8 +1034,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: per-period option settlement")
-    sp.add_argument("--models", default="gbm,student_t,garch,jump,bootstrap",
-                    help="comma list of gbm,student_t,garch,jump,bootstrap")
+    sp.add_argument("--models", default="gbm,student_t,garch,dcc,jump,bootstrap",
+                    help="comma list of gbm,student_t,garch,dcc,jump,"
+                         "bootstrap")
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--paths", type=int, default=65_536)
     sp.add_argument("--steps", type=int, default=52)
@@ -1076,11 +1085,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
-    sp.add_argument("--model", choices=["gbm", "garch", "jump", "bootstrap"],
+    sp.add_argument("--model",
+                    choices=["gbm", "garch", "dcc", "jump", "bootstrap"],
                     default="gbm",
                     help="path family: garch = volatility-clustered frontier, "
-                         "jump = systemic-crash (Merton) frontier, bootstrap "
-                         "= distribution-free resampled frontier (all "
+                         "dcc = dynamic-correlation frontier, jump = "
+                         "systemic-crash (Merton) frontier, bootstrap = "
+                         "distribution-free resampled frontier (all "
                          "per-period rebalanced; --score-dtype/--rebalance "
                          "apply to gbm only)")
     sp.add_argument("--innovations", choices=["normal", "student_t"],

@@ -303,6 +303,8 @@ def family_drawdown_frontier_search(
     paths are simple-return recursions, app.py:710; jump paths compound
     ``w'exp(x_t)``). ``model`` is "garch" (``model_params`` a
     :class:`mcport.models.garch_mc.CCCGarchParams` — volatility-clustered
+    frontier), "dcc" (``model_params`` a
+    :class:`mcport.models.dcc.DCCGarchParams` — dynamic-correlation
     frontier), "jump" (``model_params`` a
     :class:`mcport.models.jump.MertonParams` — systemic-crash frontier) or
     "bootstrap" (``model_params`` the (T, A) historical return matrix —
@@ -321,15 +323,18 @@ def family_drawdown_frontier_search(
     candidate to hedged per-period option settlement against the simulated
     price path.
     """
-    if model not in ("garch", "jump", "bootstrap"):
+    if model not in ("garch", "dcc", "jump", "bootstrap"):
         raise ValueError(
-            f"model must be 'garch', 'jump' or 'bootstrap', got {model!r}")
+            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family frontier requires s0 (asset prices)")
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if model == "garch":
         a = model_params.mu.shape[-1]
+    elif model == "dcc":
+        a = model_params.base.mu.shape[-1]
     elif model == "jump":
         a = model_params.n_assets
     else:
@@ -360,6 +365,19 @@ def family_drawdown_frontier_search(
                 from mcport.models.garch_mc import garch_path_stats
 
                 term, dd = garch_path_stats(
+                    path_key, model_params, w_blk, n_paths, n_steps,
+                    hedge_args=hedge_args)
+        elif model == "dcc":
+            if use_pallas:
+                from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+                term, dd = pallas_dcc_path_stats(
+                    seed, model_params, w_blk, n_paths, n_steps,
+                    interpret=interpret, hedge_args=hedge_args)
+            else:
+                from mcport.models.dcc import dcc_path_stats
+
+                term, dd = dcc_path_stats(
                     path_key, model_params, w_blk, n_paths, n_steps,
                     hedge_args=hedge_args)
         elif model == "jump":

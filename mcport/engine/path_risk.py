@@ -23,7 +23,8 @@ from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
 __all__ = ["PathRiskReport", "run_path_risk", "run_garch_path_risk",
-           "run_bootstrap_path_risk", "run_merton_path_risk", "DD_SKETCH"]
+           "run_bootstrap_path_risk", "run_merton_path_risk",
+           "run_dcc_path_risk", "DD_SKETCH"]
 
 # drawdowns live in [-1, 0]; a dedicated tight sketch keeps quantile error tiny
 DD_SKETCH = SketchConfig(n_bins=4096, lo=-1.0, hi=0.0)
@@ -312,6 +313,44 @@ def run_merton_path_risk(
         return merton_path_stats(
             key, m, chol, params.jump_rate, muj, sigj, w,
             config.path_block, config.n_steps, hedge_args=hedge_args)
+
+    return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
+
+
+def run_dcc_path_risk(
+    params,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig = SketchConfig(),
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+    s0: np.ndarray | None = None,
+) -> PathRiskReport:
+    """Simulated path risk under DCC-GARCH paths: terminal VaR/CVaR plus the
+    max-drawdown distribution of one portfolio — dynamic correlations that
+    RISE in stress, exactly where drawdowns bite. ``params`` is a
+    :class:`mcport.models.dcc.DCCGarchParams`. Hedged settlement requires
+    ``s0``. TPU runs the fused kernel
+    (:func:`mcport.ops.pallas_dcc.pallas_dcc_path_stats`)."""
+    from mcport.models.dcc import dcc_path_stats
+    from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged DCC path risk requires s0 (asset prices)")
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    w = jnp.asarray(weights, jnp.float32)[None, :]
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    def block_fn(_b, block_seed):
+        if use_pallas:
+            return pallas_dcc_path_stats(
+                block_seed, params, w, config.path_block, config.n_steps,
+                hedge_args=hedge_args)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+        return dcc_path_stats(key, params, w, config.path_block,
+                              config.n_steps, hedge_args=hedge_args)
 
     return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
 

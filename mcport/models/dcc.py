@@ -49,7 +49,7 @@ from mcport.models.garch_mc import (
 )
 
 __all__ = ["DCCGarchParams", "estimate_dcc_garch", "dcc_terminal_returns",
-           "dcc_risk"]
+           "dcc_path_stats", "dcc_risk"]
 
 
 @dataclass(frozen=True)
@@ -230,6 +230,106 @@ def _dcc_simulate(
     )
     (sigma2, _, _, _, cum), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return cum - 1.0
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def _dcc_path_stats_impl(
+    key, mu, omega, alpha, beta, s, q0, e0, sigma2_0, eps2_0, a_c, b_c, w_t,
+    n_paths: int, n_steps: int, dtype, hedge_args=None,
+):
+    a_dim = mu.shape[-1]
+    tri = [(i, j) for i in range(a_dim) for j in range(i + 1)]
+    hedged = hedge_args is not None
+    if hedged:
+        s0, ht, hk, hp, hq = hedge_args
+        p0 = jnp.broadcast_to(jnp.asarray(s0, dtype), (n_paths, a_dim))
+    else:
+        p0 = jnp.ones((n_paths, a_dim), dtype)
+    n_cand = w_t.shape[-1]
+
+    def step(carry, t):
+        sigma2, eps_prev2, e_cols, q_tri, p, v, peak, dd = carry
+        c0 = 1.0 - a_c - b_c
+        q_tri = tuple(
+            c0 * s[i, j] + a_c * e_cols[i] * e_cols[j] + b_c * q_tri[k]
+            for k, (i, j) in enumerate(tri)
+        )
+        low = _chol_cols_from_tri(
+            {ij: q_tri[k] for k, ij in enumerate(tri)}, a_dim)
+        z = jax.random.normal(jax.random.fold_in(key, t), (n_paths, a_dim), dtype)
+        e_cols = tuple(
+            sum((low[(i, k)] * z[:, k] for k in range(1, i + 1)),
+                low[(i, 0)] * z[:, 0])
+            for i in range(a_dim)
+        )                                                  # e_t ~ N(0, R_t)
+        e = jnp.stack(e_cols, axis=1)
+        sigma2 = omega + alpha * eps_prev2 + beta * sigma2
+        eps = jnp.sqrt(jnp.maximum(sigma2, 0.0)) * e
+        r_t = mu + eps
+        if hedged:
+            from mcport.options.hedged import hedged_step_returns
+
+            p_new = p * (1.0 + r_t)
+            r_score = hedged_step_returns(p, p_new, ht, hk, hp, hq)
+            p = p_new
+        else:
+            r_score = r_t
+        v = v * (1.0 + r_score @ w_t)                      # (n, W)
+        peak = jnp.maximum(peak, v)
+        dd = jnp.minimum(dd, v / peak - 1.0)
+        return (sigma2, eps * eps, e_cols, q_tri, p, v, peak, dd), None
+
+    init = (
+        jnp.broadcast_to(sigma2_0, (n_paths, a_dim)).astype(dtype),
+        jnp.broadcast_to(eps2_0, (n_paths, a_dim)).astype(dtype),
+        tuple(jnp.broadcast_to(e0[i], (n_paths,)).astype(dtype)
+              for i in range(a_dim)),
+        tuple(jnp.broadcast_to(q0[i, j], (n_paths,)).astype(dtype)
+              for (i, j) in tri),
+        p0,
+        jnp.ones((n_paths, n_cand), dtype),
+        jnp.ones((n_paths, n_cand), dtype),
+        jnp.zeros((n_paths, n_cand), dtype),
+    )
+    (*_, v, _, dd), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return (v - 1.0).T, dd.T
+
+
+def dcc_path_stats(
+    key: Array,
+    params: DCCGarchParams,
+    weights,
+    n_paths: int,
+    n_steps: int,
+    dtype=jnp.float32,
+    hedge_args: tuple | None = None,
+) -> tuple[Array, Array]:
+    """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) of W
+    candidate portfolios over DCC-GARCH paths — the lax reference for
+    :func:`mcport.ops.pallas_dcc.pallas_dcc_path_stats` (same model,
+    independent stream; same triangle-vector Q carry as
+    :func:`_dcc_simulate`).
+
+    Candidates compound the per-period rebalanced wealth
+    ``V_{t+1} = V_t (1 + w'r_t)`` (reference R·w semantics, app.py:710) with
+    running peak/max-drawdown carries under DYNAMIC correlations — drawdown
+    risk where it bites: correlations rising in stress. ``hedge_args``
+    switches to hedged per-period settlement against the simulated price
+    path (:func:`mcport.options.hedged.hedged_step_returns`)."""
+    w = jnp.asarray(weights, dtype)
+    if w.ndim == 1:
+        w = w[None, :]
+    b = params.base
+    s = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
+    return _dcc_path_stats_impl(
+        key, jnp.asarray(b.mu, dtype), jnp.asarray(b.omega, dtype),
+        jnp.asarray(b.alpha, dtype), jnp.asarray(b.beta, dtype),
+        jnp.asarray(s, dtype), jnp.asarray(params.q0, dtype),
+        jnp.asarray(params.e0, dtype), jnp.asarray(b.sigma2_0, dtype),
+        jnp.asarray(b.eps2_0, dtype),
+        jnp.asarray(params.a_dcc, dtype), jnp.asarray(params.b_dcc, dtype),
+        w.T, n_paths, n_steps, dtype, hedge_args,
+    )
 
 
 def dcc_terminal_returns(

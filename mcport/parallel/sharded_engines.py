@@ -169,8 +169,9 @@ def sharded_family_path_risk(
     axis: str = "paths",
 ) -> PathRiskReport:
     """Mesh-sharded model-family path risk: terminal VaR/CVaR + max-drawdown
-    distribution under CCC-GARCH ("garch"), common-jump Merton ("jump"), or
-    stationary-bootstrap ("bootstrap") paths — the family counterpart of
+    distribution under CCC-GARCH ("garch"), DCC-GARCH ("dcc"), common-jump
+    Merton ("jump"), or stationary-bootstrap ("bootstrap") paths — the
+    family counterpart of
     :func:`sharded_path_risk`, same communication shape (each device evolves
     its own counter-seeded path slice through the lax path-stats engines and
     only the two histogram sketches + two scalars psum across ICI).
@@ -182,9 +183,10 @@ def sharded_family_path_risk(
     )
     from mcport.models.garch_mc import garch_path_stats
 
-    if model not in ("garch", "jump", "bootstrap"):
+    if model not in ("garch", "dcc", "jump", "bootstrap"):
         raise ValueError(
-            f"model must be 'garch', 'jump' or 'bootstrap', got {model!r}")
+            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family path risk requires s0 (asset prices)")
     n_dev = mesh.shape[axis]
@@ -215,6 +217,15 @@ def sharded_family_path_risk(
             term, dd = _path_stats(
                 key, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
                 eps2_0, w.T, n_local, n_steps, jnp.float32, h_args)
+        elif model == "dcc":
+            from mcport.models.dcc import _dcc_path_stats_impl
+
+            (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0, eps2_0,
+             a_dcc, b_dcc) = model_args
+            term, dd = _dcc_path_stats_impl(
+                key, mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0,
+                eps2_0, a_dcc, b_dcc, w.T, n_local, n_steps, jnp.float32,
+                h_args)
         elif model == "jump":
             from mcport.models.jump import merton_path_stats
 
@@ -242,6 +253,13 @@ def sharded_family_path_risk(
         p = model_params
         model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
             p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
+    elif model == "dcc":
+        p = model_params
+        b = p.base
+        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
+            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
     elif model == "jump":
         p = model_params
         model_in = tuple(jnp.asarray(x, jnp.float32) for x in (

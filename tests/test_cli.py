@@ -202,7 +202,7 @@ def test_path_risk_command(btc, eth, tmp_path):
                    "--paths", "4096", "--steps", "13"])
     assert out["settlement"] == "unhedged" and out["rebalance_gbm"]
     assert out["student_t"]["t_dof"] > 2.0
-    for model in ("gbm", "student_t", "garch", "jump", "bootstrap"):
+    for model in ("gbm", "student_t", "garch", "dcc", "jump", "bootstrap"):
         assert out[model]["cvar"] <= out[model]["var"]
         assert -1.0 <= out[model]["dd_p95"] <= out[model]["dd_median"] <= 0.0
     # hedged: per-period option settlement across the families
@@ -221,7 +221,7 @@ def test_path_risk_command(btc, eth, tmp_path):
 
 
 def test_dd_frontier_family_models(btc, eth):
-    for model in ("garch", "bootstrap"):
+    for model in ("garch", "dcc", "jump", "bootstrap"):
         out = run_cli(["dd-frontier", btc, eth, "--period", "W",
                        "--model", model, "--candidates", "64",
                        "--paths", "512", "--steps", "13",

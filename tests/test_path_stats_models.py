@@ -429,3 +429,122 @@ def test_merton_engine_api_and_family_frontier(fixtures_dir):
         _jax.random.key(0), "jump", mp, dd_budget=0.8, n_candidates=64,
         n_paths=512, n_steps=13, use_pallas=False, w_block=32)
     np.testing.assert_array_equal(fr.ret, fr2.ret)
+
+
+# ---- DCC-GARCH path stats (late round 3) -----------------------------------
+
+
+def _dcc_params():
+    from mcport.models.dcc import DCCGarchParams
+
+    sig0 = np.full(A, 4e-4)
+    corr = 0.5 * np.eye(A) + 0.5
+    base = CCCGarchParams(
+        mu=np.array([5e-4, 1e-3]), omega=sig0 * 0.1,
+        alpha=np.full(A, 0.08), beta=np.full(A, 0.9),
+        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
+    return DCCGarchParams(base=base, a_dcc=0.06, b_dcc=0.9, q0=corr,
+                          e0=np.zeros(A))
+
+
+def test_dcc_kernel_matches_lax_law():
+    from mcport.models.dcc import dcc_path_stats
+    from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+    dp = _dcc_params()
+    n, steps = 8_192, 26
+    tk, dk = pallas_dcc_path_stats(3, dp, W, n, steps, interpret=True,
+                                   block=256)
+    tl, dl = dcc_path_stats(jax.random.key(3), dp, W, n, steps)
+    tk, dk, tl, dl = (np.asarray(x, np.float64) for x in (tk, dk, tl, dl))
+    se = tl.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(tk.mean(1) - tl.mean(1)) < 6 * se)
+    assert np.all(np.abs(tk.std(1) / tl.std(1) - 1) < 0.1)
+    for q in (0.05, 0.5):
+        np.testing.assert_allclose(np.quantile(dk, q, axis=1),
+                                   np.quantile(dl, q, axis=1), atol=0.02)
+
+
+def test_dcc_path_stats_static_corr_matches_ccc_law():
+    """a_dcc = b_dcc = 0 freezes Q_t = S, so the DCC path stats must match
+    the CCC-GARCH path stats in law (same S, independent streams)."""
+    import dataclasses
+
+    from mcport.models.dcc import dcc_path_stats
+    from mcport.models.garch_mc import garch_path_stats
+
+    dp = dataclasses.replace(_dcc_params(), a_dcc=0.0, b_dcc=0.0)
+    n, steps = 8_192, 13
+    td, dd_ = dcc_path_stats(jax.random.key(0), dp, W, n, steps)
+    tc, dc = garch_path_stats(jax.random.key(1), dp.base, W, n, steps)
+    td, dd_, tc, dc = (np.asarray(x, np.float64) for x in (td, dd_, tc, dc))
+    se = tc.std(1, ddof=1) / np.sqrt(n)
+    assert np.all(np.abs(td.mean(1) - tc.mean(1)) < 6 * se)
+    assert np.all(np.abs(td.std(1) / tc.std(1) - 1) < 0.1)
+    np.testing.assert_allclose(np.median(dd_, axis=1), np.median(dc, axis=1),
+                               atol=0.02)
+
+
+def test_dcc_kernel_hedged_identity_and_chunking():
+    from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+    dp = _dcc_params()
+    kw2 = dict(interpret=True, block=256)
+    tp, dp2 = pallas_dcc_path_stats(5, dp, W, 512, 13, **kw2)
+    th, dh = pallas_dcc_path_stats(5, dp, W, 512, 13, **kw2,
+                                   hedge_args=IDENT_ARGS)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(tp), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dp2), atol=3e-6)
+    s0 = np.array([100.0, 50.0], np.float32)
+    prot = _protective_put(s0)
+    tr, dr = pallas_dcc_path_stats(5, dp, W, 512, 13, **kw2,
+                                   hedge_args=(s0, *IDENTITY.arrays))
+    tq, dq = pallas_dcc_path_stats(5, dp, W, 512, 13, **kw2,
+                                   hedge_args=(s0, *prot.arrays))
+    assert (np.asarray(tq) >= np.asarray(tr) - 1e-6).all()
+    assert np.asarray(dq).mean() >= np.asarray(dr).mean()
+    # chunk-boundary continuity
+    w_many = np.asarray(
+        jax.random.dirichlet(jax.random.key(3), jnp.ones(A), (300,)),
+        np.float32)
+    t, d = pallas_dcc_path_stats(7, dp, w_many, 128, 5, **kw2)
+    assert t.shape == (300, 128) and d.shape == (300, 128)
+    w_dup = np.vstack([w_many[:260], w_many[:1]])
+    t2, _ = pallas_dcc_path_stats(7, dp, w_dup, 128, 5, **kw2)
+    np.testing.assert_array_equal(np.asarray(t2[-1]), np.asarray(t2[0]))
+
+
+def test_dcc_engine_api_and_family_frontier(fixtures_dir):
+    import jax as _jax
+
+    from mcport.api import load_universe, path_tail_risk
+    from mcport.config import Config, DataConfig, GBMConfig
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+    from mcport.engine.path_risk import run_dcc_path_risk
+
+    dp = _dcc_params()
+    cfg_ = GBMConfig(n_paths=4096, path_block=4096, n_steps=13,
+                     use_pallas=False)
+    w = np.full(A, 0.5)
+    r = run_dcc_path_risk(dp, w, cfg_)
+    assert r.cvar <= r.var and -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+    assert r == run_dcc_path_risk(dp, w, cfg_)
+    with pytest.raises(ValueError, match="s0"):
+        run_dcc_path_risk(dp, w, cfg_, hedge=_protective_put([100.0, 50.0]))
+
+    data = load_universe(
+        paths=[fixtures_dir / "BTC_USD 7 Years Weekly.csv",
+               fixtures_dir / "ETH_USD 7 Years Weekly.csv"],
+        config=DataConfig(period="W"),
+    )
+    out = path_tail_risk(data, None, Config(gbm=cfg_), model="dcc")
+    assert out["model"] == "dcc" and out["cvar"] <= out["var"]
+
+    fr = family_drawdown_frontier_search(
+        _jax.random.key(0), "dcc", dp, dd_budget=0.5, n_candidates=48,
+        n_paths=512, n_steps=13, use_pallas=False)
+    assert fr.opt_idx >= 0
+    fr2 = family_drawdown_frontier_search(
+        _jax.random.key(0), "dcc", dp, dd_budget=0.5, n_candidates=48,
+        n_paths=512, n_steps=13, use_pallas=False, w_block=16)
+    np.testing.assert_array_equal(fr.ret, fr2.ret)

@@ -380,6 +380,7 @@ def test_sharded_family_path_risk_replay_exact(mesh):
     from mcport.engine.path_risk import DD_SKETCH
     from mcport.models.bootstrap import bootstrap_path_stats
     from mcport.models.garch_mc import estimate_ccc_garch, garch_path_stats
+    from mcport.models.dcc import DCCGarchParams, dcc_path_stats
     from mcport.models.jump import MertonParams, merton_path_stats
     from mcport.models.gbm import GBMParams
     from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
@@ -395,11 +396,17 @@ def test_sharded_family_path_risk_replay_exact(mesh):
                                 4e-4 * (0.5 * np.eye(A) + 0.5))),
         jump_rate=0.05, jump_mean=np.full(A, -0.1),
         jump_vol=np.full(A, 0.05))
+    dcp = DCCGarchParams(base=gp, a_dcc=0.05, b_dcc=0.85,
+                         q0=np.asarray(gp.corr_chol @ gp.corr_chol.T,
+                                       np.float64),
+                         e0=np.zeros(A))
     n_paths, steps, seed = 4_096, 8, 7
     n_local = n_paths // 8
 
     for model, params_, local_fn in (
         ("garch", gp, lambda k, w: garch_path_stats(k, gp, w, n_local, steps)),
+        ("dcc", dcp,
+         lambda k, w: dcc_path_stats(k, dcp, w, n_local, steps)),
         ("jump", mp,
          lambda k, w: merton_path_stats(
              k, np.float32(mp.diffusion.mean_step),

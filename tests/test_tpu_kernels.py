@@ -539,3 +539,41 @@ def test_merton_path_stats_compiled():
                                       16_384, 13)
     assert float(jax.device_get(jnp.max(jnp.abs(th - tp)))) < 5e-5
     assert float(jax.device_get(jnp.max(jnp.abs(dh - dp)))) < 5e-5
+
+
+def test_dcc_path_stats_compiled():
+    """Late round 3: DCC candidate path-stats on hardware — law parity vs
+    the lax reference, determinism, hedged identity (device-side)."""
+    from mcport.models.dcc import DCCGarchParams, dcc_path_stats
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+    a, n, steps = 4, 16_384, 13
+    sig0 = np.full(a, 4e-4)
+    corr = 0.5 * np.eye(a) + 0.5
+    base = CCCGarchParams(
+        mu=np.full(a, 1e-3), omega=sig0 * 0.1, alpha=np.full(a, 0.08),
+        beta=np.full(a, 0.9), corr_chol=np.linalg.cholesky(corr),
+        sigma2_0=sig0, eps2_0=sig0)
+    dp = DCCGarchParams(base=base, a_dcc=0.06, b_dcc=0.9, q0=corr,
+                        e0=np.zeros(a))
+    cand = np.random.default_rng(9).dirichlet(np.ones(a), 8).astype(np.float32)
+
+    tk, dk = pallas_dcc_path_stats(3, dp, cand, n, steps)
+    tl, dl = dcc_path_stats(jax.random.key(7), dp, cand, n, steps)
+    se = jnp.std(tl, axis=1, ddof=1) / np.sqrt(n)
+    assert bool(jax.device_get(
+        jnp.all(jnp.abs(jnp.mean(tk, 1) - jnp.mean(tl, 1)) < 6 * se)))
+    assert bool(jax.device_get(
+        jnp.all(jnp.abs(jnp.std(tk, 1) / jnp.std(tl, 1) - 1) < 0.12)))
+    assert bool(jax.device_get(jnp.all(
+        jnp.abs(jnp.median(dk, axis=1) - jnp.median(dl, axis=1)) < 0.02)))
+    tk2, _ = pallas_dcc_path_stats(3, dp, cand, n, steps)
+    assert bool(jax.device_get(jnp.array_equal(tk, tk2)))
+    ident = (np.ones(a, np.float32),
+             np.zeros((a, 1), np.int32), np.zeros((a, 1), np.float32),
+             np.zeros((a, 1), np.float32), np.ones((a, 1), np.float32))
+    th, dh = pallas_dcc_path_stats(9, dp, cand, 8_192, 13, hedge_args=ident)
+    tp, dpk = pallas_dcc_path_stats(9, dp, cand, 8_192, 13)
+    assert float(jax.device_get(jnp.max(jnp.abs(th - tp)))) < 5e-5
+    assert float(jax.device_get(jnp.max(jnp.abs(dh - dpk)))) < 5e-5
