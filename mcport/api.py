@@ -251,7 +251,8 @@ def hedged_tail_risk(
     """Hedged portfolio tail risk under any terminal model family.
 
     Draws (n_paths, A) terminal simple returns from ``model`` ("gbm",
-    "student_t", "garch", "bootstrap"), settles each asset's option legs at
+    "student_t", "garch", "dcc", "jump", "bootstrap"), settles each asset's
+    option legs at
     intrinsic value against the implied terminal price (terminal composition
     of app.py:164-180; see :mod:`mcport.options.hedged`), and reports exact
     top-k tail metrics of the hedged portfolio — {var, cvar, port_mean,
@@ -291,6 +292,19 @@ def hedged_tail_risk(
 
         gparams = estimate_ccc_garch(data.port_rets)
         simple = garch_terminal_returns(key, gparams, g.n_paths, g.n_steps)
+    elif model == "dcc":
+        from mcport.models.dcc import dcc_terminal_returns, estimate_dcc_garch
+
+        simple = dcc_terminal_returns(key, estimate_dcc_garch(data.port_rets),
+                                      g.n_paths, g.n_steps)
+    elif model == "jump":
+        from mcport.models.jump import estimate_merton_common, merton_terminal_returns
+
+        mp = estimate_merton_common(data.prices)
+        term_log = merton_terminal_returns(
+            key, mp.diffusion.mean_step, mp.diffusion.chol_step,
+            mp.jump_rate, mp.jump_mean, mp.jump_vol, g.n_paths, g.n_steps)
+        simple = jnp.expm1(term_log)
     elif model == "bootstrap":
         from mcport.models.bootstrap import bootstrap_terminal_returns
 
@@ -298,7 +312,8 @@ def hedged_tail_risk(
             key, jnp.asarray(data.port_rets, jnp.float32), g.n_paths, g.n_steps)
     else:
         raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch' or 'bootstrap', got {model!r}")
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
+            f"'bootstrap', got {model!r}")
 
     hedged = hedged_from_simple(
         simple, jnp.asarray(s0, simple.dtype), *spec.arrays)

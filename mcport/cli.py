@@ -1019,8 +1019,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config (required): {asset: {strategy, "
                          "params} | {legs}}")
-    sp.add_argument("--models", default="gbm,student_t,garch,bootstrap",
-                    help="comma list of gbm,student_t,garch,bootstrap")
+    sp.add_argument("--models", default="gbm,student_t,garch,dcc,jump,bootstrap",
+                    help="comma list of gbm,student_t,garch,dcc,jump,"
+                         "bootstrap")
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--paths", type=int, default=100_000)
     sp.add_argument("--steps", type=int, default=52)

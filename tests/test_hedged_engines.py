@@ -418,3 +418,21 @@ def test_hedged_kernel_unroll_same_stream():
                                        np.asarray(outs[0][0]), atol=2e-6)
             np.testing.assert_allclose(np.asarray(dd),
                                        np.asarray(outs[0][1]), atol=2e-6)
+
+
+def test_api_hedged_tail_risk_dcc_jump(weekly_data):
+    """hedged_tail_risk's terminal composition covers the dcc and jump
+    families too (late round 3) — all six model families hedge."""
+    from mcport.api import hedged_tail_risk
+
+    data = weekly_data
+    legs = {data.names[0]: Legs.from_rows(
+        [(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+         (LegType.BUY_PUT, float(data.prices[-1, 0]) * 0.95, 0.0, 1.0)])}
+    cfg = Config(gbm=GBMConfig(n_paths=4096, path_block=4096, n_steps=13,
+                               use_pallas=False))
+    for model in ("dcc", "jump"):
+        out = hedged_tail_risk(data, None, cfg, legs, model=model)
+        assert out["cvar"] <= out["var"]
+        assert out["hedged_assets"] == [data.names[0]]
+        assert out["model"] == model
