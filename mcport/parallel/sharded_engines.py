@@ -32,6 +32,7 @@ from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
 from mcport.seeding import SEED_STRIDE
 
 __all__ = ["sharded_path_risk", "sharded_family_path_risk",
+           "sharded_family_drawdown_frontier",
            "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
@@ -623,6 +624,145 @@ def sharded_drawdown_frontier(
     ))
     return fn(key, jnp.asarray(mean_step), jnp.asarray(chol_step),
               jnp.asarray(min_weights), jnp.asarray(max_weights))
+
+
+def sharded_family_drawdown_frontier(
+    key: Array,
+    model: str,
+    model_params,
+    min_weights: Array,
+    max_weights: Array,
+    n_candidates: int,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    dd_budget: float = 0.30,
+    alpha: float = 0.95,
+    axis: str = "cand",
+    w_block: int = 64,
+    p_restart: float = 0.2,
+    hedge=None,
+    s0=None,
+) -> tuple[Array, Array, Array, Array]:
+    """Candidate-sharded FAMILY drawdown frontier: the mesh form of
+    :func:`mcport.engine.drawdown_frontier.family_drawdown_frontier_search`
+    (max expected simulated return s.t. the p95-worst max drawdown budget,
+    under "garch" / "dcc" / "jump" / "bootstrap" paths).
+
+    Same communication shape as :func:`sharded_drawdown_frontier`: every
+    device scores its own candidate shard against an IDENTICAL path set
+    (same path key on all devices — replication by construction), and the
+    only exchange is the per-device-winner all_gather plus a psum'd feasible
+    count. ``hedge`` + ``s0`` switch every candidate to hedged per-period
+    option settlement. Returns
+    ``(best_weights, best_ret, best_dd_p95, n_feasible)`` (weights NaN when
+    nothing is feasible)."""
+    if model not in ("garch", "dcc", "jump", "bootstrap"):
+        raise ValueError(
+            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"got {model!r}")
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged family frontier requires s0 (asset prices)")
+    n_dev = mesh.shape[axis]
+    if n_candidates % n_dev:
+        raise ValueError(f"n_candidates {n_candidates} not divisible by {n_dev}")
+    n_local = n_candidates // n_dev
+    if n_local % w_block and n_local > w_block:
+        raise ValueError(f"local candidates {n_local} not divisible by w_block {w_block}")
+    block = min(w_block, n_local)
+    k_tail = max(1, math.ceil((1.0 - alpha) * n_paths))
+    budget = abs(dd_budget)
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    n_hedge = 0 if hedge_args is None else len(hedge_args)
+
+    def local(key, min_w, max_w, *rest):
+        if n_hedge:
+            model_args, h_args = rest[:-n_hedge], rest[-n_hedge:]
+        else:
+            model_args, h_args = rest, None
+        idx = jax.lax.axis_index(axis)
+        k_path, k_w = jax.random.split(key)
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, idx), n_local, min_w, max_w
+        )
+        w = w.astype(jnp.float32)
+
+        def chunk(w_blk):
+            if model == "garch":
+                from mcport.models.garch_mc import _path_stats
+
+                (mu, omega, alpha_g, beta, corr_chol,
+                 sigma2_0, eps2_0) = model_args
+                term, dd = _path_stats(
+                    k_path, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
+                    eps2_0, w_blk.T, n_paths, n_steps, jnp.float32, h_args)
+            elif model == "dcc":
+                from mcport.models.dcc import _dcc_path_stats_impl
+
+                (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0,
+                 eps2_0, a_dcc, b_dcc) = model_args
+                term, dd = _dcc_path_stats_impl(
+                    k_path, mu, omega, alpha_g, beta, s_mat, q0, e0,
+                    sigma2_0, eps2_0, a_dcc, b_dcc, w_blk.T, n_paths,
+                    n_steps, jnp.float32, h_args)
+            elif model == "jump":
+                from mcport.models.jump import merton_path_stats
+
+                (mean_step, chol_step, rate, mu_j, sig_j) = model_args
+                term, dd = merton_path_stats(
+                    k_path, mean_step, chol_step, rate, mu_j, sig_j, w_blk,
+                    n_paths, n_steps, hedge_args=h_args)
+            else:
+                from mcport.models.bootstrap import bootstrap_path_stats
+
+                (history,) = model_args
+                term, dd = bootstrap_path_stats(
+                    k_path, history, w_blk, n_paths, n_steps,
+                    p_restart=p_restart, hedge_args=h_args)
+            ret = term.mean(axis=1)
+            worst, _ = jax.lax.top_k(-dd, k_tail)
+            return ret, -worst[:, -1]
+
+        ret, dd_p95 = jax.lax.map(chunk, w.reshape(-1, block, w.shape[-1]))
+        ret, dd_p95 = ret.reshape(-1), dd_p95.reshape(-1)
+        feasible = valid & (dd_p95 >= -budget)
+        score = jnp.where(feasible, ret, -jnp.inf)
+        best = jnp.argmax(score)
+        n_feas = jax.lax.psum(feasible.sum(), axis)
+        all_s = jax.lax.all_gather(score[best], axis)
+        all_w = jax.lax.all_gather(w[best], axis)
+        all_d = jax.lax.all_gather(dd_p95[best], axis)
+        g = jnp.argmax(all_s)
+        w_out = jnp.where(jnp.isfinite(all_s[g]), all_w[g], jnp.nan)
+        return w_out, all_s[g], all_d[g], n_feas
+
+    if model == "garch":
+        p = model_params
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
+    elif model == "dcc":
+        p = model_params
+        b = p.base
+        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
+            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
+    elif model == "jump":
+        p = model_params
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.diffusion.mean_step, p.diffusion.chol_step,
+            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
+    else:
+        model_in = (jnp.asarray(model_params, jnp.float32),)
+    args = (key, jnp.asarray(min_weights, jnp.float32),
+            jnp.asarray(max_weights, jnp.float32),
+            *model_in, *(hedge_args or ()))
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(),) * len(args),
+        out_specs=(P(), P(), P(), P()), check_vma=False,
+    ))
+    return fn(*args)
 
 
 def sharded_garch_risk(

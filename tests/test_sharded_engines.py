@@ -461,3 +461,56 @@ def test_sharded_family_path_risk_hedged_and_errors(mesh):
                                  hedge=prot)
     with pytest.raises(ValueError, match="divisible"):
         sharded_family_path_risk(0, "bootstrap", h, W, 4_095, 13, mesh=mesh)
+
+
+def test_sharded_family_drawdown_frontier_matches_single_chip(mesh):
+    """Candidate-sharded family frontier: the winner equals a host-side
+    replay (every device's candidate stream + the shared path stream), and
+    the hedged/error paths work. The single-chip function samples a
+    DIFFERENT candidate stream, so parity is via replay, not equality."""
+    import jax
+
+    from mcport.models.garch_mc import estimate_ccc_garch, garch_path_stats
+    from mcport.ops.dirichlet import sample_constrained_weights
+    from mcport.parallel.sharded_engines import sharded_family_drawdown_frontier
+
+    h = _fam_history()
+    gp = estimate_ccc_garch(h)
+    key = jax.random.key(5)
+    n_cand, n_paths, steps, budget = 128, 512, 13, 0.4
+    w_out, ret, dd95, n_feas = sharded_family_drawdown_frontier(
+        key, "garch", gp, np.zeros(A, np.float32), np.ones(A, np.float32),
+        n_cand, n_paths, steps, mesh, dd_budget=budget, w_block=16,
+        axis="paths")
+    assert np.isfinite(float(ret))
+    np.testing.assert_allclose(np.asarray(w_out).sum(), 1.0, atol=1e-5)
+
+    # host replay: same per-device candidate fold + shared path key
+    import math as _math
+
+    k_path, k_w = jax.random.split(key)
+    k_tail = max(1, _math.ceil(0.05 * n_paths))
+    best_s, best_w, best_d = -np.inf, None, None
+    feas_total = 0
+    for idx in range(8):
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, idx), n_cand // 8,
+            np.zeros(A, np.float32), np.ones(A, np.float32))
+        term, dd = garch_path_stats(k_path, gp, np.asarray(w, np.float32),
+                                    n_paths, steps)
+        ret_l = np.asarray(term).mean(axis=1)
+        dd95_l = -np.sort(-np.asarray(dd), axis=1)[:, k_tail - 1]
+        feas = np.asarray(valid) & (dd95_l >= -budget)
+        feas_total += int(feas.sum())
+        score = np.where(feas, ret_l, -np.inf)
+        j = int(np.argmax(score))
+        if score[j] > best_s:
+            best_s, best_w, best_d = score[j], np.asarray(w)[j], dd95_l[j]
+    assert int(n_feas) == feas_total
+    assert float(ret) == pytest.approx(best_s, abs=1e-6)
+    np.testing.assert_allclose(np.asarray(w_out), best_w, atol=1e-6)
+
+    with pytest.raises(ValueError, match="model must be"):
+        sharded_family_drawdown_frontier(
+            key, "nope", gp, np.zeros(A), np.ones(A), 128, 512, 13, mesh,
+            axis="paths")
