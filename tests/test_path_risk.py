@@ -365,18 +365,36 @@ def test_t_multi_dd_kernel_and_frontier():
     np.testing.assert_allclose(np.median(d_k, axis=1), np.median(d_l, axis=1),
                                atol=0.02)
 
-    # small shapes on purpose: the interpret-mode t + bf16 + rescore graph
-    # is the largest XLA:CPU compile in the suite, and at 13 steps it
-    # segfaulted the CPU backend compiler in long-lived full-suite processes
-    # (LLVM stack pressure; fine standalone). 6 steps covers the same code
-    # paths at a fraction of the graph size.
-    r = drawdown_frontier_search(
-        jax.random.key(6), GBMParams(s0=np.ones(a), mean_step=m,
-                                     chol_step=chol),
-        dd_budget=0.4, n_candidates=48, n_paths=512, n_steps=6,
-        use_pallas=True, interpret=True, t_df=df,
-        score_dtype="bfloat16", rescore_top=4)
-    assert r.opt_idx >= 0 and r.dd_p95[r.opt_idx] >= -0.4
+    # SUBPROCESS on purpose: compiling the interpret-mode t + bf16 +
+    # rescore frontier graph segfaults XLA's CPU backend in long-lived
+    # full-suite processes (reproducible at 6 or 13 steps; fine in a fresh
+    # process) — isolate the e2e check so the suite survives the compiler
+    # bug while still exercising the full kernel path.
+    import subprocess
+    import sys
+
+    script = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from mcport.engine.drawdown_frontier import drawdown_frontier_search
+from mcport.models.gbm import GBMParams
+
+a = 3
+m = np.full(a, 1e-3, np.float32)
+chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
+r = drawdown_frontier_search(
+    jax.random.key(6), GBMParams(s0=np.ones(a), mean_step=m, chol_step=chol),
+    dd_budget=0.4, n_candidates=48, n_paths=512, n_steps=6,
+    use_pallas=True, interpret=True, t_df=5.5,
+    score_dtype="bfloat16", rescore_top=4)
+assert r.opt_idx >= 0 and r.dd_p95[r.opt_idx] >= -0.4
+print("T_FRONTIER_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=600,
+                         cwd=str(__import__("pathlib").Path(__file__).parents[1]))
+    assert "T_FRONTIER_OK" in out.stdout, out.stderr[-2000:]
 
 
 def test_run_path_risk_student_t_config():
