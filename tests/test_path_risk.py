@@ -315,7 +315,7 @@ def test_t_path_stats_kernel_law():
     from mcport.engine.path_risk import _lax_path_stats
     from mcport.ops.pallas_gbm import gbm_path_stats
 
-    a, n, steps, df = 3, 16_384, 13, 6.0
+    a, n, steps, df = 3, 8_192, 13, 6.0
     m = np.array([0.001, 0.002, 0.0005], np.float32)
     chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
     w = np.array([0.5, 0.3, 0.2], np.float32)
@@ -329,7 +329,7 @@ def test_t_path_stats_kernel_law():
     se = port_l.std(ddof=1) / np.sqrt(n)
     assert abs(port_t.mean() - port_l.mean()) < 6 * se
     assert abs(port_t.std() / port_l.std() - 1) < 0.1
-    assert abs(np.median(dd_t) - np.median(dd_l)) < 0.02
+    assert abs(np.median(dd_t) - np.median(dd_l)) < 0.03
     # unit-variance scaling: t terminal std ~ normal terminal std
     _, port_n, _ = gbm_path_stats(7, m, chol, w, n, steps, interpret=True)
     assert abs(port_t.std() / np.asarray(port_n, np.float64).std() - 1) < 0.15
@@ -402,7 +402,7 @@ def test_run_path_risk_student_t_config():
     drawdown tail than normal at the same covariance, deterministic."""
     import dataclasses
 
-    base = cfg(n_paths=32_768, path_block=8_192, n_steps=26)
+    base = cfg(n_paths=16_384, path_block=8_192, n_steps=26)
     t_cfg = dataclasses.replace(base, innovations="student_t", t_dof=5.0)
     rn = run_path_risk(PARAMS, W, base)
     rt = run_path_risk(PARAMS, W, t_cfg)

@@ -116,7 +116,7 @@ def test_garch_kernel_zero_vol_closed_form():
 
 
 def test_garch_kernel_matches_lax_law():
-    n, steps = 16_384, 26
+    n, steps = 8_192, 13
     tk, dk = pallas_garch_path_stats(3, PARAMS, W, n, steps, **KW)
     tl, dl = garch_path_stats(jax.random.key(3), PARAMS, W, n, steps)
     tk, dk, tl, dl = (np.asarray(x, np.float64) for x in (tk, dk, tl, dl))
@@ -127,7 +127,7 @@ def test_garch_kernel_matches_lax_law():
     for q in (0.05, 0.5):
         qk = np.quantile(dk, q, axis=1)
         ql = np.quantile(dl, q, axis=1)
-        np.testing.assert_allclose(qk, ql, atol=0.02)
+        np.testing.assert_allclose(qk, ql, atol=0.03)
 
 
 def test_garch_kernel_hedged_identity_same_stream():
@@ -181,7 +181,7 @@ def test_garch_kernel_candidate_chunking():
 
 
 def test_bootstrap_lax_iid_mean_and_hedged_identity(history):
-    n, steps = 16_384, 8
+    n, steps = 8_192, 8
     term, dd = bootstrap_path_stats(jax.random.key(1), history, W, n, steps,
                                     p_restart=1.0)
     term = np.asarray(term, np.float64)
@@ -232,7 +232,7 @@ def test_bootstrap_kernel_one_step_rows(history):
 
 
 def test_bootstrap_kernel_matches_lax_law(history):
-    n, steps, p = 16_384, 12, 0.25
+    n, steps, p = 8_192, 12, 0.25
     tk, dk = pallas_bootstrap_path_stats(11, history, W, n, steps,
                                          p_restart=p, **KW)
     tl, dl = bootstrap_path_stats(jax.random.key(4), history, W, n, steps,
@@ -243,7 +243,7 @@ def test_bootstrap_kernel_matches_lax_law(history):
     assert np.all(np.abs(tk.std(1) / tl.std(1) - 1) < 0.1)
     for q in (0.05, 0.5):
         np.testing.assert_allclose(np.quantile(dk, q, axis=1),
-                                   np.quantile(dl, q, axis=1), atol=0.02)
+                                   np.quantile(dl, q, axis=1), atol=0.03)
 
 
 def test_bootstrap_kernel_hedged_identity_same_stream(history):
@@ -309,7 +309,7 @@ def test_merton_kernel_matches_lax_law():
     from mcport.models.jump import merton_path_stats
     from mcport.ops.pallas_jump import pallas_merton_path_stats
 
-    n, steps = 16_384, 26
+    n, steps = 8_192, 13
     tk, dk = pallas_merton_path_stats(3, JUMP_M, JUMP_CHOL, JUMP_LAM, JUMP_MU,
                                       JUMP_SIG, W, n, steps, **KW)
     tl, dl = merton_path_stats(jax.random.key(3), JUMP_M, JUMP_CHOL, JUMP_LAM,
@@ -320,7 +320,7 @@ def test_merton_kernel_matches_lax_law():
     assert np.all(np.abs(tk.std(1) / tl.std(1) - 1) < 0.1)
     for q in (0.05, 0.5):
         np.testing.assert_allclose(np.quantile(dk, q, axis=1),
-                                   np.quantile(dl, q, axis=1), atol=0.025)
+                                   np.quantile(dl, q, axis=1), atol=0.035)
     # jumps make the drawdown tail strictly worse than the no-jump law
     t0, d0 = pallas_merton_path_stats(3, JUMP_M, JUMP_CHOL, 0.0, JUMP_MU,
                                       JUMP_SIG, W, n, steps, **KW)
@@ -452,7 +452,7 @@ def test_dcc_kernel_matches_lax_law():
     from mcport.ops.pallas_dcc import pallas_dcc_path_stats
 
     dp = _dcc_params()
-    n, steps = 8_192, 26
+    n, steps = 8_192, 13
     tk, dk = pallas_dcc_path_stats(3, dp, W, n, steps, interpret=True,
                                    block=256)
     tl, dl = dcc_path_stats(jax.random.key(3), dp, W, n, steps)
