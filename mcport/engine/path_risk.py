@@ -41,16 +41,10 @@ class PathRiskReport:
     n_paths: int
 
 
-def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
-                    rebalance: bool = False, t_df: float | None = None):
-    """Reference path-stats: full log paths → portfolio value → running peak/dd.
-
-    ``rebalance=False`` is buy-and-hold from normalized start (V_t = w'exp(acc));
-    ``rebalance=True`` resets to the target weights every period
-    (V_{t+1} = V_t * w'exp(x_t) — the reference's historical R·w semantics,
-    app.py:710). ``t_df`` draws unit-variance Student-t shocks."""
-    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype,
-                               t_df=t_df)
+def _stats_from_log_paths(paths, weights, rebalance: bool):
+    """(port terminal, max dd) of one portfolio from (n, T, A) log paths."""
+    n_paths = paths.shape[0]
+    dtype = paths.dtype
     w = jnp.asarray(weights, dtype)
     if rebalance:
         increments = jnp.diff(paths, axis=1, prepend=jnp.zeros(
@@ -64,6 +58,38 @@ def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
     dd = jnp.min(v / peak - 1.0, axis=1)
     port = v[:, -1] - 1.0
     return port, dd
+
+
+def _hedged_stats_from_log_paths(paths, s0, h_t, h_k, h_p, h_q, weights):
+    """Hedged per-period settlement over (n, T, A) log paths (W=1)."""
+    from mcport.options.hedged import hedged_step_returns
+
+    n_paths = paths.shape[0]
+    dtype = paths.dtype
+    s0 = jnp.asarray(s0, dtype)
+    prices = s0 * jnp.exp(paths)
+    p0 = jnp.broadcast_to(s0, (n_paths, 1, s0.shape[-1]))
+    full = jnp.concatenate([p0, prices], axis=1)
+    r_h = hedged_step_returns(full[:, :-1], full[:, 1:], h_t, h_k, h_p, h_q)
+    f = 1.0 + r_h @ jnp.asarray(weights, dtype)            # (n, T)
+    v = jnp.cumprod(f, axis=1)
+    v = jnp.concatenate([jnp.ones((n_paths, 1), dtype), v], axis=1)
+    peak = jax.lax.cummax(v, axis=1)
+    dd = jnp.min(v / peak - 1.0, axis=1)
+    return v[:, -1] - 1.0, dd
+
+
+def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
+                    rebalance: bool = False, t_df: float | None = None):
+    """Reference path-stats: full log paths → portfolio value → running peak/dd.
+
+    ``rebalance=False`` is buy-and-hold from normalized start (V_t = w'exp(acc));
+    ``rebalance=True`` resets to the target weights every period
+    (V_{t+1} = V_t * w'exp(x_t) — the reference's historical R·w semantics,
+    app.py:710). ``t_df`` draws unit-variance Student-t shocks."""
+    paths = simulate_log_paths(key, mean_step, chol_step, n_paths, n_steps, dtype=dtype,
+                               t_df=t_df)
+    return _stats_from_log_paths(paths, weights, rebalance)
 
 
 @partial(
@@ -156,7 +182,14 @@ def run_path_risk(
 
     ``config.innovations="student_t"`` draws unit-variance Student-t shocks
     at ``config.t_dof`` in every mode (kernel and lax, hedged included) —
-    fat-tail drawdown distributions with the same per-step covariance."""
+    fat-tail drawdown distributions with the same per-step covariance.
+
+    ``config.qmc="sobol"|"halton"`` switches to Brownian-bridge
+    low-discrepancy PATHS (:func:`mcport.models.bridge.qmc_gbm_log_paths` —
+    variance concentrated in the leading dimensions, so drawdown quantiles
+    converge faster than pseudo-random at the same path count); each block
+    uses its own scrambling seed (randomized-QMC replicates). Incompatible
+    with student_t (the bridge transform is Gaussian)."""
     block_paths = config.path_block
     if config.n_paths % block_paths:
         raise ValueError(
@@ -166,6 +199,43 @@ def run_path_risk(
     dtype = jnp.dtype(config.dtype)
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
     t_df = float(config.t_dof) if config.innovations == "student_t" else None
+
+    if config.qmc != "none":
+        if t_df is not None:
+            raise ValueError(
+                "QMC path risk draws Gaussian bridge innovations; "
+                "student_t is not supported with qmc != 'none'")
+        from mcport.models.bridge import qmc_gbm_log_paths
+
+        m = jnp.asarray(params.mean_step, dtype)
+        chol = jnp.asarray(params.chol_step, dtype)
+        w = jnp.asarray(weights, dtype)
+        h_port = jnp.zeros((sketch.n_bins,), dtype)
+        h_dd = jnp.zeros((dd_sketch.n_bins,), dtype)
+        s_port = jnp.zeros((), dtype)
+        s_dd = jnp.zeros((), dtype)
+        for b in range(n_blocks):
+            paths = qmc_gbm_log_paths(m, chol, block_paths, config.n_steps,
+                                      method=config.qmc,
+                                      seed=config.seed + b + 1, dtype=dtype)
+            if hedge is not None:
+                port, dd = _hedged_stats_from_log_paths(
+                    paths, jnp.asarray(params.s0, dtype), *hedge.arrays, w)
+            else:
+                port, dd = _stats_from_log_paths(paths, w, rebalance)
+            h_port = h_port + histogram(port, sketch)
+            h_dd = h_dd + histogram(dd, dd_sketch)
+            s_port = s_port + port.sum()
+            s_dd = s_dd + dd.sum()
+        v, c = sketch_var_cvar(h_port, alpha, sketch)
+        dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
+        dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
+        n = config.n_paths
+        return PathRiskReport(
+            var=float(v), cvar=float(c),
+            port_mean=float(s_port) / n, dd_mean=float(s_dd) / n,
+            dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n,
+        )
 
     h_port, h_dd, s_port, s_dd = _accumulate(
         jnp.asarray(config.seed, jnp.int32),

@@ -417,3 +417,56 @@ def test_run_path_risk_student_t_config():
     ident = HedgeSpec.build({}, ["X0", "X1", "X2"])
     rth = run_path_risk(PARAMS, W, t_cfg, hedge=ident)
     assert np.isfinite([rth.var, rth.dd_p95]).all()
+
+
+# ---- QMC bridge path risk (late round 3) ----------------------------------
+
+
+def test_qmc_path_risk_matches_mc_law_and_is_deterministic():
+    """Brownian-bridge Sobol path risk agrees with the MC engine's law and
+    is deterministic; student_t + qmc refuses."""
+    import dataclasses
+
+    base = cfg(n_paths=8192, path_block=4096, n_steps=16)
+    q_cfg = dataclasses.replace(base, qmc="sobol")
+    mc = run_path_risk(PARAMS, W, cfg(n_paths=32_768, path_block=8_192,
+                                      n_steps=16))
+    qr = run_path_risk(PARAMS, W, q_cfg)
+    assert qr.cvar <= qr.var
+    assert -1.0 <= qr.dd_p95 <= qr.dd_median <= 0.0
+    # same law: QMC converges to the same quantities (tolerance covers the
+    # 32k-MC reference's own error)
+    assert abs(qr.port_mean - mc.port_mean) < 0.01
+    assert abs(qr.dd_median - mc.dd_median) < 0.02
+    assert abs(qr.var - mc.var) < 0.03
+    assert qr == run_path_risk(PARAMS, W, q_cfg)
+    # rebalanced + halton route
+    h_cfg = dataclasses.replace(base, qmc="halton")
+    rh = run_path_risk(PARAMS, W, h_cfg, rebalance=True)
+    assert np.isfinite([rh.var, rh.dd_p95]).all()
+    with pytest.raises(ValueError, match="student_t"):
+        run_path_risk(PARAMS, W, dataclasses.replace(
+            q_cfg, innovations="student_t", t_dof=5.0))
+
+
+def test_qmc_path_risk_hedged_identity_and_put():
+    import dataclasses
+
+    from mcport.options import HedgeSpec, LegType, Legs
+
+    names = ["X0", "X1", "X2"]
+    q_cfg = dataclasses.replace(cfg(n_paths=4096, path_block=4096,
+                                    n_steps=13), qmc="sobol")
+    ident = HedgeSpec.build({}, names)
+    base = run_path_risk(PARAMS, W, q_cfg, rebalance=True)
+    hid = run_path_risk(PARAMS, W, q_cfg, hedge=ident)
+    # identity legs == rebalanced scoring on the SAME Sobol paths
+    assert abs(hid.port_mean - base.port_mean) < 5e-3
+    assert abs(hid.dd_median - base.dd_median) < 5e-3
+    prot = HedgeSpec.build(
+        {i: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, float(PARAMS.s0[i]) * 0.98,
+                             0.0, 1.0)])
+         for i in range(A)}, names)
+    hp = run_path_risk(PARAMS, W, q_cfg, hedge=prot)
+    assert hp.dd_mean > base.dd_mean
