@@ -340,6 +340,9 @@ def path_tail_risk(
     legs_by_asset=None,
     p_restart: float = 0.2,
     rebalance: bool = True,
+    checkpoint=None,
+    checkpoint_path=None,
+    max_blocks: int | None = None,
 ) -> dict[str, float]:
     """Per-period PATH risk for one portfolio under any path model family:
     terminal VaR/CVaR plus the simulated max-drawdown distribution.
@@ -363,6 +366,11 @@ def path_tail_risk(
     ``legs_by_asset`` switches every family to HEDGED per-period option
     settlement against the simulated price path (app.py:164-193 semantics,
     per step; see :mod:`mcport.options.hedged`).
+
+    ``checkpoint`` / ``checkpoint_path`` / ``max_blocks`` route through the
+    resumable block-cursor driver
+    (:func:`mcport.engine.path_risk.run_resumable_path_risk` — bit-identical
+    to the one-shot engines); the output gains a ``done`` flag.
     """
     from mcport.engine.path_risk import (
         run_bootstrap_path_risk, run_garch_path_risk, run_path_risk,
@@ -377,49 +385,75 @@ def path_tail_risk(
             else HedgeSpec.build(legs_by_asset, data.names))
     s0 = np.asarray(data.prices[-1], np.float64)
 
-    if model == "gbm" or model == "student_t":
-        import dataclasses
+    # estimate the family parameters from the universe
+    import dataclasses
 
-        params = estimate_gbm(data.prices)
+    if model == "gbm" or model == "student_t":
+        model_params = estimate_gbm(data.prices)
         if model == "student_t":
             from mcport.models.gbm import estimate_t_dof
 
             g = dataclasses.replace(g, innovations="student_t",
                                     t_dof=estimate_t_dof(data.prices))
-        rep = run_path_risk(params, w, g, alpha=alpha, rebalance=rebalance,
-                            hedge=spec)
     elif model == "garch":
         from mcport.models.garch_mc import estimate_ccc_garch
 
-        gparams = estimate_ccc_garch(data.port_rets)
-        rep = run_garch_path_risk(gparams, w, g, alpha=alpha, hedge=spec,
-                                  s0=s0)
+        model_params = estimate_ccc_garch(data.port_rets)
     elif model == "dcc":
-        from mcport.engine.path_risk import run_dcc_path_risk
         from mcport.models.dcc import estimate_dcc_garch
 
-        rep = run_dcc_path_risk(estimate_dcc_garch(data.port_rets), w, g,
-                                alpha=alpha, hedge=spec, s0=s0)
+        model_params = estimate_dcc_garch(data.port_rets)
     elif model == "jump":
-        from mcport.engine.path_risk import run_merton_path_risk
         from mcport.models.jump import estimate_merton_common
 
-        rep = run_merton_path_risk(estimate_merton_common(data.prices), w, g,
-                                   alpha=alpha, hedge=spec)
+        model_params = estimate_merton_common(data.prices)
     elif model == "bootstrap":
-        rep = run_bootstrap_path_risk(data.port_rets, w, g,
-                                      p_restart=p_restart, alpha=alpha,
-                                      hedge=spec, s0=s0)
+        model_params = data.port_rets
     else:
         raise ValueError(
             f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
             f"'bootstrap', got {model!r}")
+
+    resumable = (checkpoint is not None or checkpoint_path is not None
+                 or max_blocks is not None)
+    done = True
+    if resumable:
+        # block-cursor checkpointing across every family (the resumable
+        # driver is bit-identical to the one-shot engines — tested)
+        from mcport.engine.path_risk import run_resumable_path_risk
+
+        rep, ck = run_resumable_path_risk(
+            model, model_params, w, g, alpha=alpha, hedge=spec, s0=s0,
+            p_restart=p_restart, rebalance=rebalance, checkpoint=checkpoint,
+            checkpoint_path=checkpoint_path, max_blocks=max_blocks)
+        done = ck.done
+    elif model == "gbm" or model == "student_t":
+        rep = run_path_risk(model_params, w, g, alpha=alpha,
+                            rebalance=rebalance, hedge=spec)
+    elif model == "garch":
+        rep = run_garch_path_risk(model_params, w, g, alpha=alpha, hedge=spec,
+                                  s0=s0)
+    elif model == "dcc":
+        from mcport.engine.path_risk import run_dcc_path_risk
+
+        rep = run_dcc_path_risk(model_params, w, g, alpha=alpha, hedge=spec,
+                                s0=s0)
+    elif model == "jump":
+        from mcport.engine.path_risk import run_merton_path_risk
+
+        rep = run_merton_path_risk(model_params, w, g, alpha=alpha, hedge=spec)
+    else:
+        rep = run_bootstrap_path_risk(data.port_rets, w, g,
+                                      p_restart=p_restart, alpha=alpha,
+                                      hedge=spec, s0=s0)
 
     out = {
         "var": rep.var, "cvar": rep.cvar, "port_mean": rep.port_mean,
         "dd_mean": rep.dd_mean, "dd_median": rep.dd_median,
         "dd_p95": rep.dd_p95, "model": model, "n_paths": rep.n_paths,
     }
+    if resumable:
+        out["done"] = done
     if model == "student_t":
         out["t_dof"] = g.t_dof
     if spec is not None:

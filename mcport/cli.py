@@ -692,14 +692,25 @@ def cmd_path_risk(args) -> None:
                                seed=args.seed, path_block=block),
                  simulation=SimulationConfig(alpha=args.alpha))
     rebalance = not args.buy_and_hold
+    models = args.models.split(",")
+    ck = None
+    if args.checkpoint and len(models) != 1:
+        raise SystemExit("--checkpoint requires a single --models entry")
+    if args.resume:
+        if not args.checkpoint:
+            raise SystemExit("--resume requires --checkpoint FILE")
+        from mcport.engine.path_risk import load_path_risk_checkpoint
+
+        ck = load_path_risk_checkpoint(args.checkpoint)
     out = {"weights": dict(zip(d.names, map(float, w))),
            "settlement": ("per-period hedged" if legs_by_asset is not None
                           else "unhedged"),
            "rebalance_gbm": rebalance}
-    for model in args.models.split(","):
+    for model in models:
         out[model] = path_tail_risk(
             d, w, cfg, model=model, legs_by_asset=legs_by_asset,
-            p_restart=args.p_restart, rebalance=rebalance)
+            p_restart=args.p_restart, rebalance=rebalance,
+            checkpoint=ck, checkpoint_path=args.checkpoint or None)
     _emit(out)
 
 
@@ -1049,6 +1060,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="buy-and-hold GBM wealth instead of the default "
                          "per-period rebalancing (GARCH/bootstrap always "
                          "rebalance — cross-family comparability)")
+    sp.add_argument("--checkpoint", default=None, metavar="FILE",
+                    help="persist block-cursor state after every path block "
+                         "(single --models entry only; resumed runs are "
+                         "bit-identical to unsplit ones)")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint FILE")
     sp.set_defaults(fn=cmd_path_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")

@@ -24,7 +24,8 @@ from mcport.seeding import SEED_STRIDE
 
 __all__ = ["PathRiskReport", "run_path_risk", "run_garch_path_risk",
            "run_bootstrap_path_risk", "run_merton_path_risk",
-           "run_dcc_path_risk", "DD_SKETCH"]
+           "run_dcc_path_risk", "run_resumable_path_risk",
+           "PathRiskCheckpoint", "load_path_risk_checkpoint", "DD_SKETCH"]
 
 # drawdowns live in [-1, 0]; a dedicated tight sketch keeps quantile error tiny
 DD_SKETCH = SketchConfig(n_bins=4096, lo=-1.0, hi=0.0)
@@ -473,3 +474,343 @@ def run_bootstrap_path_risk(
                                     hedge_args=hedge_args)
 
     return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint/resume across every family (late round 3)
+# ---------------------------------------------------------------------------
+
+def _model_digest(model, model_params, weights, config: GBMConfig, hedge,
+                  s0, p_restart: float, rebalance: bool) -> str:
+    """Binds a path-risk checkpoint to the exact computation (the
+    mc_engine._run_digest convention): model family, every parameter array,
+    weights, the seed/grid, and the hedge. Resuming anything else must be
+    rejected, not silently continued."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(model.encode())
+
+    def arrs(*xs):
+        for x in xs:
+            h.update(np.ascontiguousarray(np.asarray(x, np.float64)).tobytes())
+
+    if model in ("gbm", "student_t"):
+        arrs(model_params.mean_step, model_params.chol_step, model_params.s0)
+    elif model == "garch":
+        p = model_params
+        arrs(p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0)
+    elif model == "dcc":
+        p = model_params
+        b = p.base
+        arrs(b.mu, b.omega, b.alpha, b.beta, b.corr_chol, b.sigma2_0,
+             b.eps2_0, p.q0, p.e0, [p.a_dcc, p.b_dcc])
+    elif model == "jump":
+        p = model_params
+        arrs(p.diffusion.mean_step, p.diffusion.chol_step, [p.jump_rate],
+             p.jump_mean, p.jump_vol)
+    else:  # bootstrap
+        arrs(model_params, [p_restart])
+    arrs(weights)
+    if s0 is not None:
+        arrs(s0)
+    h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
+             f"{config.path_block}|{config.innovations}|{config.t_dof}|"
+             f"{rebalance}".encode())
+    if hedge is not None:
+        h.update(b"hedge|" + hedge.digest_bytes())
+    return h.hexdigest()
+
+
+@dataclass
+class PathRiskCheckpoint:
+    """Resumable path-risk state: two histogram sketches + two scalar sums
+    and the block cursor (streams are counter-addressed, so block b always
+    draws ``seed + (b+1)*SEED_STRIDE`` regardless of when it runs)."""
+
+    seed: int
+    n_steps: int
+    block_paths: int
+    n_blocks: int
+    next_block: int
+    h_port: np.ndarray
+    h_dd: np.ndarray
+    s_port: np.ndarray
+    s_dd: np.ndarray
+    sketch_lo: float
+    sketch_hi: float
+    sketch_space: str
+    dd_lo: float
+    dd_hi: float
+    digest: str = ""
+
+    def save(self, path) -> None:
+        import dataclasses as _dc
+
+        np.savez(path, **{f.name: getattr(self, f.name)
+                          for f in _dc.fields(self)})
+
+    @property
+    def done(self) -> bool:
+        return self.next_block >= self.n_blocks
+
+    @property
+    def sketch(self) -> SketchConfig:
+        return SketchConfig(n_bins=int(np.asarray(self.h_port).shape[-1]),
+                            lo=float(self.sketch_lo),
+                            hi=float(self.sketch_hi),
+                            space=str(self.sketch_space))
+
+    @property
+    def dd_sketch(self) -> SketchConfig:
+        return SketchConfig(n_bins=int(np.asarray(self.h_dd).shape[-1]),
+                            lo=float(self.dd_lo), hi=float(self.dd_hi))
+
+
+def load_path_risk_checkpoint(path) -> PathRiskCheckpoint:
+    import dataclasses as _dc
+
+    with np.load(path) as z:
+        kw = {f.name: z[f.name] for f in _dc.fields(PathRiskCheckpoint)}
+    for k in ("seed", "n_steps", "block_paths", "n_blocks", "next_block"):
+        kw[k] = int(kw[k])
+    for k in ("sketch_lo", "sketch_hi", "dd_lo", "dd_hi"):
+        kw[k] = float(kw[k])
+    kw["sketch_space"] = str(kw["sketch_space"])
+    kw["digest"] = str(kw["digest"])
+    return PathRiskCheckpoint(**kw)
+
+
+def _block_fn_for(model, model_params, weights, config: GBMConfig, hedge,
+                  s0, p_restart: float, rebalance: bool):
+    """(block_fn, default_sketch) for any model family — shared by the
+    one-shot run_*_path_risk engines and the resumable driver. ``block_fn``
+    maps (block_index, block_seed) -> ((1, B) terminal, (1, B) dd)."""
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+    w1 = jnp.asarray(weights, jnp.float32)[None, :]
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    default_sketch = SketchConfig()
+    t_df = float(config.t_dof) if config.innovations == "student_t" else None
+
+    if model in ("gbm", "student_t"):
+        m = jnp.asarray(model_params.mean_step, jnp.float32)
+        chol = jnp.asarray(model_params.chol_step, jnp.float32)
+        if model == "student_t" and t_df is None:
+            t_df = float(config.t_dof)
+
+        def block_fn(_b, block_seed):
+            if hedge is not None:
+                if use_pallas:
+                    from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
+
+                    return gbm_multi_portfolio_dd(
+                        block_seed, m, chol, w1, config.path_block,
+                        config.n_steps, hedge_args=hedge_args, t_df=t_df)
+                from mcport.engine.drawdown_frontier import _lax_multi_dd_hedged
+
+                key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+                return _lax_multi_dd_hedged(
+                    key, m, chol, w1, config.path_block, config.n_steps,
+                    jnp.float32, *hedge_args, t_df=t_df)
+            if use_pallas:
+                from mcport.ops.pallas_gbm import gbm_path_stats
+
+                _, port, dd = gbm_path_stats(
+                    block_seed, m, chol, w1[0], config.path_block,
+                    config.n_steps, rebalance=rebalance, t_df=t_df)
+                return port[None, :], dd[None, :]
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            port, dd = _lax_path_stats(
+                key, m, chol, w1[0], config.path_block, config.n_steps,
+                jnp.float32, rebalance, t_df)
+            return port[None, :], dd[None, :]
+
+    elif model == "garch":
+        from mcport.models.garch_mc import garch_path_stats
+        from mcport.ops.pallas_garch import pallas_garch_path_stats
+
+        def block_fn(_b, block_seed):
+            if use_pallas:
+                return pallas_garch_path_stats(
+                    block_seed, model_params, w1, config.path_block,
+                    config.n_steps, hedge_args=hedge_args)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            return garch_path_stats(key, model_params, w1, config.path_block,
+                                    config.n_steps, hedge_args=hedge_args)
+
+    elif model == "dcc":
+        from mcport.models.dcc import dcc_path_stats
+        from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+        def block_fn(_b, block_seed):
+            if use_pallas:
+                return pallas_dcc_path_stats(
+                    block_seed, model_params, w1, config.path_block,
+                    config.n_steps, hedge_args=hedge_args)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            return dcc_path_stats(key, model_params, w1, config.path_block,
+                                  config.n_steps, hedge_args=hedge_args)
+
+    elif model == "jump":
+        from mcport.models.jump import merton_path_stats
+        from mcport.ops.pallas_jump import pallas_merton_path_stats
+
+        p = model_params
+        m = jnp.asarray(p.diffusion.mean_step, jnp.float32)
+        chol = jnp.asarray(p.diffusion.chol_step, jnp.float32)
+        muj = jnp.asarray(p.jump_mean, jnp.float32)
+        sigj = jnp.asarray(p.jump_vol, jnp.float32)
+
+        def block_fn(_b, block_seed):
+            if use_pallas:
+                return pallas_merton_path_stats(
+                    block_seed, m, chol, p.jump_rate, muj, sigj, w1,
+                    config.path_block, config.n_steps, hedge_args=hedge_args)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            return merton_path_stats(
+                key, m, chol, p.jump_rate, muj, sigj, w1,
+                config.path_block, config.n_steps, hedge_args=hedge_args)
+
+    elif model == "bootstrap":
+        from mcport.models.bootstrap import (
+            _auto_sketch_from_history, bootstrap_path_stats,
+        )
+        from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats
+
+        r = jnp.asarray(model_params, jnp.float32)
+        if hedge is None:
+            default_sketch = _auto_sketch_from_history(
+                np.asarray(model_params), config.n_steps)
+
+        def block_fn(_b, block_seed):
+            if use_pallas:
+                return pallas_bootstrap_path_stats(
+                    block_seed, r, w1, config.path_block, config.n_steps,
+                    p_restart=p_restart, hedge_args=hedge_args)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            return bootstrap_path_stats(
+                key, r, w1, config.path_block, config.n_steps,
+                p_restart=p_restart, hedge_args=hedge_args)
+
+    else:
+        raise ValueError(
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
+            f"'bootstrap', got {model!r}")
+
+    return block_fn, default_sketch
+
+
+def run_resumable_path_risk(
+    model: str,
+    model_params,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig | None = None,
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+    s0=None,
+    p_restart: float = 0.2,
+    rebalance: bool = True,
+    checkpoint: PathRiskCheckpoint | None = None,
+    checkpoint_path=None,
+    max_blocks: int | None = None,
+) -> tuple[PathRiskReport, PathRiskCheckpoint]:
+    """Checkpointable path risk under ANY model family — the preemptible-TPU
+    form of the run_*_path_risk engines (block-cursor resume; streams are
+    counter-addressed so a resumed run is BIT-IDENTICAL to an unsplit one).
+
+    ``model`` is gbm / student_t / garch / dcc / jump / bootstrap with the
+    same ``model_params`` conventions as the one-shot engines (GBMParams /
+    CCCGarchParams / DCCGarchParams / MertonParams / (T, A) history).
+    Returns ``(report, checkpoint)``; the report reflects accumulation so
+    far (partial when ``max_blocks`` cut the run short — check
+    ``checkpoint.done``). ``checkpoint_path`` persists the state after every
+    block; the digest binds the checkpoint to the exact computation and a
+    mismatched resume raises."""
+    if model not in ("gbm", "student_t", "garch", "dcc", "jump", "bootstrap"):
+        raise ValueError(
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
+            f"'bootstrap', got {model!r}")
+    if hedge is not None and s0 is None:
+        if model in ("gbm", "student_t"):
+            s0 = np.asarray(model_params.s0, np.float64)
+        elif model == "jump":
+            s0 = np.asarray(model_params.diffusion.s0, np.float64)
+        else:
+            raise ValueError(
+                f"hedged {model} path risk requires s0 (asset prices)")
+    block_paths = config.path_block
+    if config.n_paths % block_paths:
+        raise ValueError(
+            f"n_paths {config.n_paths} not divisible by path_block {block_paths}")
+    n_blocks = config.n_paths // block_paths
+    digest = _model_digest(model, model_params, weights, config, hedge, s0,
+                           p_restart, rebalance)
+
+    block_fn, default_sketch = _block_fn_for(
+        model, model_params, weights, config, hedge, s0, p_restart, rebalance)
+    if checkpoint is not None:
+        if checkpoint.digest and checkpoint.digest != digest:
+            raise ValueError(
+                "checkpoint digest mismatch: this checkpoint was written by a "
+                "different computation (params/weights/config/hedge changed)")
+        sketch = checkpoint.sketch
+        dd_sketch = checkpoint.dd_sketch
+        h_port = jnp.asarray(checkpoint.h_port, jnp.float32)
+        h_dd = jnp.asarray(checkpoint.h_dd, jnp.float32)
+        s_port = jnp.asarray(checkpoint.s_port, jnp.float32)
+        s_dd = jnp.asarray(checkpoint.s_dd, jnp.float32)
+        start = checkpoint.next_block
+    else:
+        if sketch is None:
+            sketch = default_sketch
+        h_port = jnp.zeros((sketch.n_bins,), jnp.float32)
+        h_dd = jnp.zeros((dd_sketch.n_bins,), jnp.float32)
+        s_port = jnp.zeros((), jnp.float32)
+        s_dd = jnp.zeros((), jnp.float32)
+        start = 0
+
+    end = n_blocks if max_blocks is None else min(n_blocks, start + max_blocks)
+
+    def snapshot(next_block):
+        # device -> host ONLY here: through a tunneled TPU every fetch costs
+        # seconds, so state is materialized per block only when persisting
+        return PathRiskCheckpoint(
+            seed=config.seed, n_steps=config.n_steps,
+            block_paths=block_paths, n_blocks=n_blocks,
+            next_block=next_block,
+            h_port=np.asarray(h_port), h_dd=np.asarray(h_dd),
+            s_port=np.asarray(s_port), s_dd=np.asarray(s_dd),
+            sketch_lo=sketch.lo, sketch_hi=sketch.hi,
+            sketch_space=sketch.space, dd_lo=dd_sketch.lo,
+            dd_hi=dd_sketch.hi, digest=digest,
+        )
+
+    ck = None
+    for b in range(start, end):
+        block_seed = np.int32(config.seed + (b + 1) * SEED_STRIDE)
+        term, dd = block_fn(b, block_seed)
+        port, ddv = term[0], dd[0]
+        h_port = h_port + histogram(port, sketch)
+        h_dd = h_dd + histogram(ddv, dd_sketch)
+        s_port = s_port + port.sum()
+        s_dd = s_dd + ddv.sum()
+        if checkpoint_path is not None:
+            ck = snapshot(b + 1)
+            ck.save(checkpoint_path)
+    if checkpoint_path is None and end > start:
+        ck = snapshot(end)
+    if ck is None:  # resumed an already-done checkpoint (no-op)
+        ck = checkpoint
+    v, c = sketch_var_cvar(h_port, alpha, sketch)
+    dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
+    dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
+    n_done = ck.next_block * block_paths
+    return PathRiskReport(
+        var=float(v), cvar=float(c),
+        port_mean=float(s_port) / max(n_done, 1),
+        dd_mean=float(s_dd) / max(n_done, 1),
+        dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n_done,
+    ), ck

@@ -240,3 +240,21 @@ def test_gbm_risk_path_stats_student_t(eth):
     dd = out["max_drawdown"]
     assert dd["innovations"] == "student_t"
     assert -1.0 <= dd["p95_worst"] <= dd["median"] <= 0.0
+
+
+def test_path_risk_checkpoint_resume(btc, eth, tmp_path):
+    ck = str(tmp_path / "pr.npz")
+    args = ["path-risk", btc, eth, "--period", "W", "--models", "garch",
+            "--paths", "4096", "--steps", "8", "--checkpoint", ck]
+    out = run_cli(args)
+    assert out["garch"]["done"]
+    # resume on a finished checkpoint is a no-op with identical stats
+    out2 = run_cli(args + ["--resume"])
+    assert out2["garch"]["var"] == pytest.approx(out["garch"]["var"],
+                                                 abs=1e-12)
+    assert out2["garch"]["dd_p95"] == out["garch"]["dd_p95"]
+    with pytest.raises(SystemExit, match="single --models"):
+        run_cli(["path-risk", btc, "--period", "W", "--checkpoint", ck])
+    with pytest.raises(SystemExit, match="requires --checkpoint"):
+        run_cli(["path-risk", btc, "--period", "W", "--models", "garch",
+                 "--resume"])

@@ -470,3 +470,81 @@ def test_qmc_path_risk_hedged_identity_and_put():
          for i in range(A)}, names)
     hp = run_path_risk(PARAMS, W, q_cfg, hedge=prot)
     assert hp.dd_mean > base.dd_mean
+
+
+# ---- resumable path risk across every family (late round 3) ---------------
+
+
+def test_resumable_path_risk_bit_exact_split_all_families(tmp_path):
+    """A preemption-split run equals the unsplit run BIT-EXACTLY for every
+    model family (counter-addressed block streams), checkpoints survive a
+    save/load round trip, and digest binding rejects a mismatched resume."""
+    import dataclasses
+
+    from mcport.engine.path_risk import (
+        load_path_risk_checkpoint, run_resumable_path_risk,
+    )
+    from mcport.models.dcc import DCCGarchParams
+    from mcport.models.garch_mc import CCCGarchParams, estimate_ccc_garch
+    from mcport.models.jump import MertonParams
+
+    rng = np.random.default_rng(13)
+    hist = (rng.standard_t(6, (160, A)) * 0.02 + 0.002).astype(np.float32)
+    gp = estimate_ccc_garch(hist)
+    corr = np.asarray(gp.corr_chol @ gp.corr_chol.T, np.float64)
+    dcp = DCCGarchParams(base=gp, a_dcc=0.05, b_dcc=0.85, q0=corr,
+                         e0=np.zeros(A))
+    mp = MertonParams(diffusion=PARAMS, jump_rate=0.05,
+                      jump_mean=np.full(A, -0.1), jump_vol=np.full(A, 0.05))
+    c = cfg(n_paths=4096, path_block=1024, n_steps=8)
+
+    families = [("gbm", PARAMS), ("garch", gp), ("dcc", dcp), ("jump", mp),
+                ("bootstrap", hist),
+                ("student_t", PARAMS)]
+    for model, params_ in families:
+        mc = (dataclasses.replace(c, innovations="student_t", t_dof=5.0)
+              if model == "student_t" else c)
+        full, ck_full = run_resumable_path_risk(model, params_, W, mc)
+        assert ck_full.done and full.n_paths == 4096
+        part, ck1 = run_resumable_path_risk(model, params_, W, mc,
+                                            max_blocks=2)
+        assert not ck1.done and part.n_paths == 2048
+        path = tmp_path / f"{model}.npz"
+        ck1.save(path)
+        resumed, ck2 = run_resumable_path_risk(
+            model, params_, W, mc,
+            checkpoint=load_path_risk_checkpoint(path))
+        assert ck2.done, model
+        assert resumed == full, model
+        # resuming a DONE checkpoint is a no-op with identical stats
+        again, _ = run_resumable_path_risk(model, params_, W, mc,
+                                           checkpoint=ck2)
+        assert again == full, model
+
+    # digest binds: different weights is a different computation
+    _, ck = run_resumable_path_risk("garch", gp, W, c, max_blocks=1)
+    with pytest.raises(ValueError, match="digest"):
+        run_resumable_path_risk("garch", gp, np.array([0.2, 0.3, 0.5]), c,
+                                checkpoint=ck)
+    with pytest.raises(ValueError, match="model must be"):
+        run_resumable_path_risk("nope", gp, W, c)
+
+
+def test_resumable_path_risk_matches_oneshot_engines():
+    """The resumable driver's accumulation equals the one-shot family
+    engines (same block streams, same sketches)."""
+    from mcport.engine.path_risk import (
+        run_bootstrap_path_risk, run_garch_path_risk, run_resumable_path_risk,
+    )
+    from mcport.models.garch_mc import estimate_ccc_garch
+
+    rng = np.random.default_rng(17)
+    hist = (rng.standard_t(6, (160, A)) * 0.02 + 0.002).astype(np.float32)
+    gp = estimate_ccc_garch(hist)
+    c = cfg(n_paths=4096, path_block=2048, n_steps=8)
+    r1, ck = run_resumable_path_risk("garch", gp, W, c)
+    r2 = run_garch_path_risk(gp, W, c)
+    assert r1 == r2
+    b1, _ = run_resumable_path_risk("bootstrap", hist, W, c)
+    b2 = run_bootstrap_path_risk(hist, W, c)
+    assert b1 == b2
