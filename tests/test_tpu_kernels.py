@@ -577,3 +577,34 @@ def test_dcc_path_stats_compiled():
     tp, dpk = pallas_dcc_path_stats(9, dp, cand, 8_192, 13)
     assert float(jax.device_get(jnp.max(jnp.abs(th - tp)))) < 5e-5
     assert float(jax.device_get(jnp.max(jnp.abs(dh - dpk)))) < 5e-5
+
+
+def test_family_frontier_compiled_end_to_end():
+    """Late round 3: family_drawdown_frontier_search drives the compiled
+    family path-stats kernels end-to-end on hardware — chunk invariance
+    (shared per-chunk hardware streams) and feasible optima."""
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+    from mcport.models.garch_mc import CCCGarchParams
+
+    a = 4
+    rng = np.random.default_rng(3)
+    hist = (rng.standard_t(5, (200, a)) * 0.02 + 0.002).astype(np.float32)
+    sig0 = np.full(a, 4e-4)
+    gp = CCCGarchParams(
+        mu=np.full(a, 1e-3), omega=sig0 * 0.1, alpha=np.full(a, 0.08),
+        beta=np.full(a, 0.9),
+        corr_chol=np.linalg.cholesky(0.5 * np.eye(a) + 0.5),
+        sigma2_0=sig0, eps2_0=sig0)
+    for model, params_ in (("garch", gp), ("bootstrap", hist)):
+        r = family_drawdown_frontier_search(
+            jax.random.key(1), model, params_, dd_budget=0.6,
+            n_candidates=128, n_paths=8_192, n_steps=26, w_block=64,
+            use_pallas=True)
+        assert r.opt_idx >= 0, model
+        assert r.dd_p95[r.opt_idx] >= -0.6
+        r2 = family_drawdown_frontier_search(
+            jax.random.key(1), model, params_, dd_budget=0.6,
+            n_candidates=128, n_paths=8_192, n_steps=26, w_block=32,
+            use_pallas=True)
+        np.testing.assert_array_equal(r.ret, r2.ret)
+        assert r.opt_idx == r2.opt_idx
