@@ -487,6 +487,21 @@ def cmd_stress(args) -> None:
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
     crash = None if args.no_crash else (args.crash_rate, args.crash_size)
+    if args.path_stats:
+        from mcport.engine.stress import path_stress_test
+
+        rep = path_stress_test(params, w, n_paths=args.paths,
+                               n_steps=args.steps, alpha=args.alpha,
+                               seed=args.seed, crash_jump=crash)
+        worst_name, worst = rep.worst("dd_p95")
+        _emit({
+            "engine": "scenario-stress-paths",
+            "weights": dict(zip(d.names, map(float, w))),
+            "base": rep.base,
+            "scenarios": rep.scenarios,
+            "worst_by_dd_p95": {"scenario": worst_name, **worst},
+        })
+        return
     rep = stress_test(params, w, n_paths=args.paths, n_steps=args.steps,
                       alpha=args.alpha, seed=args.seed, crash_jump=crash)
     worst_name, worst = rep.worst("cvar")
@@ -1166,6 +1181,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=52)
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--path-stats", action="store_true",
+                    help="stress the max-drawdown DISTRIBUTION instead of "
+                         "terminal risk (path engine per scenario; dd_p95 "
+                         "deltas; crash via the Merton path engine)")
     sp.add_argument("--crash-rate", type=float, default=0.05,
                     help="systemic jump rate per step for the crash overlay")
     sp.add_argument("--crash-size", type=float, default=-0.10,

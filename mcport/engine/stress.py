@@ -30,8 +30,8 @@ import numpy as np
 
 from mcport.models.gbm import GBMParams
 
-__all__ = ["StressReport", "stress_test", "stress_params",
-           "scale_vol", "corr_to_one", "shift_mean"]
+__all__ = ["StressReport", "stress_test", "path_stress_test",
+           "stress_params", "scale_vol", "corr_to_one", "shift_mean"]
 
 
 def scale_vol(params: GBMParams, k: float) -> GBMParams:
@@ -171,5 +171,73 @@ def stress_test(
             "d_var": float(jr.var) - base["var"],
             "d_cvar": float(jr.cvar) - base["cvar"],
         }
+
+    return StressReport(base=base, scenarios=out)
+
+
+def path_stress_test(
+    params: GBMParams,
+    weights: np.ndarray,
+    scenarios: Mapping[str, Callable[[GBMParams], GBMParams]] | None = None,
+    n_paths: int = 65_536,
+    n_steps: int = 52,
+    path_block: int = 8_192,
+    alpha: float = 0.95,
+    seed: int = 0,
+    crash_jump: tuple[float, float] | None = _DEFAULT_CRASH,
+    rebalance: bool = True,
+) -> StressReport:
+    """Scenario stress on the PATH tier: max-drawdown distribution deltas.
+
+    Same shocked-parameter transforms as :func:`stress_test`, but every
+    scenario re-runs the path-risk engine (terminal VaR/CVaR plus the
+    simulated max-drawdown distribution — :mod:`mcport.engine.path_risk`,
+    fused kernels on TPU) with the same seed/grid, so
+    ``d_dd_p95``/``d_dd_median`` deltas isolate the shock's effect on the
+    drawdown profile — the question terminal stress can't answer: "how much
+    deeper do in-horizon drawdowns get if vol doubles / correlations
+    converge / crashes arrive?" The crash overlay runs through the
+    common-jump Merton PATH engine (per-step Bernoulli jump clock).
+    """
+    from mcport.config import GBMConfig
+    from mcport.engine.path_risk import run_merton_path_risk, run_path_risk
+
+    w = np.asarray(weights, np.float64)
+    _crash_explicit = crash_jump is not _DEFAULT_CRASH
+    cfg = GBMConfig(n_paths=n_paths, path_block=min(path_block, n_paths),
+                    n_steps=n_steps, seed=seed)
+
+    def metrics(rep):
+        return {"var": rep.var, "cvar": rep.cvar, "port_mean": rep.port_mean,
+                "dd_mean": rep.dd_mean, "dd_median": rep.dd_median,
+                "dd_p95": rep.dd_p95}
+
+    base = metrics(run_path_risk(params, w, cfg, alpha=alpha,
+                                 rebalance=rebalance))
+    scen = dict(_default_scenarios() if scenarios is None else scenarios)
+
+    def deltas(m):
+        m["d_cvar"] = m["cvar"] - base["cvar"]
+        m["d_dd_p95"] = m["dd_p95"] - base["dd_p95"]
+        m["d_dd_median"] = m["dd_median"] - base["dd_median"]
+        return m
+
+    out: dict[str, dict[str, float]] = {}
+    for name, transform in scen.items():
+        out[name] = deltas(metrics(run_path_risk(
+            transform(params), w, cfg, alpha=alpha, rebalance=rebalance)))
+
+    if crash_jump is not None and (scenarios is None or _crash_explicit):
+        from mcport.models.jump import MertonParams
+
+        rate, mu_j = crash_jump
+        a = params.n_assets
+        mp = MertonParams(
+            diffusion=params, jump_rate=float(rate),
+            jump_mean=np.full(a, float(mu_j)),
+            jump_vol=np.full(a, abs(float(mu_j)) / 2.0),
+        )
+        out["crash_jump"] = deltas(metrics(run_merton_path_risk(
+            mp, w, cfg, alpha=alpha)))
 
     return StressReport(base=base, scenarios=out)

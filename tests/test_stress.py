@@ -90,3 +90,31 @@ def test_explicit_crash_survives_custom_scenarios():
     rep2 = stress_test(p, w, scenarios={"calm": lambda q: scale_vol(q, 0.5)},
                        n_paths=16_384, n_steps=8)
     assert set(rep2.scenarios) == {"calm"}
+
+
+# ---- path-tier stress (late round 3) ---------------------------------------
+
+
+def test_path_stress_vol_shock_deepens_drawdowns():
+    from mcport.engine.stress import path_stress_test
+
+    p = _params()
+    w = np.full(A, 1.0 / A)
+    rep = path_stress_test(p, w, n_paths=8_192, n_steps=16,
+                           path_block=4_096, seed=3)
+    assert set(rep.base) >= {"var", "cvar", "dd_p95", "dd_median"}
+    for name in ("vol_x1.5", "vol_x2", "corr_to_one", "mean_-1sig",
+                 "crash_jump"):
+        assert name in rep.scenarios
+    # doubling vol must deepen the drawdown tail, monotonically past x1.5
+    assert rep.scenarios["vol_x2"]["d_dd_p95"] < 0
+    assert (rep.scenarios["vol_x2"]["dd_p95"]
+            < rep.scenarios["vol_x1.5"]["dd_p95"])
+    # crash overlay worsens the dd tail vs base
+    assert rep.scenarios["crash_jump"]["d_dd_p95"] < 0
+    # deterministic
+    rep2 = path_stress_test(p, w, n_paths=8_192, n_steps=16,
+                            path_block=4_096, seed=3)
+    assert rep2.scenarios["vol_x2"]["dd_p95"] == rep.scenarios["vol_x2"]["dd_p95"]
+    name, worst = rep.worst("dd_p95")
+    assert worst["dd_p95"] == min(s["dd_p95"] for s in rep.scenarios.values())
