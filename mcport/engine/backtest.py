@@ -17,8 +17,10 @@ drawdown, top-k VaR/CVaR conventions).
 Built-in rules span the framework's allocator tiers: equal weight, inverse
 volatility, exact min-variance and max-Sharpe (PGD QP, frontier_opt), exact
 min-CVaR over the window scenarios (cvar_opt), exact min-CDaR over the
-window path (cdar_opt), ERC risk parity and HRP (risk_parity). Custom rules
-are any ``f(window_returns) -> weights``.
+window path (cdar_opt), simulated drawdown-budget frontier over the next
+horizon (dd_budget: drawdown_frontier — the multi-dd kernel on TPU), ERC
+risk parity and HRP (risk_parity). Custom rules are any
+``f(window_returns) -> weights``.
 
 JAX rules are jit-cached by window shape, so the rolling loop pays one
 compile per rule; the loop itself is host-side on purpose — rebalance counts
@@ -84,6 +86,33 @@ def _rule_min_cdar(r: np.ndarray, alpha: float = 0.95) -> np.ndarray:
     return min_cdar_exact(fr)[0]
 
 
+def _rule_dd_budget(r: np.ndarray, dd_budget: float = 0.30,
+                    alpha: float = 0.95, n_steps: int = 13) -> np.ndarray:
+    """Max simulated return s.t. a p95 max-drawdown budget over the NEXT
+    horizon: fit per-step GBM moments to the window's log returns, run the
+    drawdown-constrained frontier (engine.drawdown_frontier — the multi-dd
+    kernel on TPU, lax elsewhere), and hold the feasible-return argmax.
+    Deterministic (fixed candidate/path key); equal weight when nothing
+    satisfies the budget."""
+    import jax
+
+    from mcport.engine.drawdown_frontier import drawdown_frontier_search
+    from mcport.models.gbm import GBMParams
+
+    a = r.shape[1]
+    lr = np.log1p(np.clip(np.asarray(r, np.float64), -0.9999, None))
+    cov = np.atleast_2d(np.cov(lr, rowvar=False, ddof=1))
+    params = GBMParams(
+        s0=np.ones(a), mean_step=lr.mean(axis=0),
+        chol_step=np.linalg.cholesky(cov + 1e-10 * np.eye(a)))
+    res = drawdown_frontier_search(
+        jax.random.key(0), params, dd_budget=dd_budget, n_candidates=2048,
+        n_paths=2048, n_steps=n_steps, alpha=alpha, rebalance=True)
+    if res.opt_idx < 0:
+        return np.full(a, 1.0 / a)
+    return np.asarray(res.opt_weights, np.float64)
+
+
 def _rule_erc(r: np.ndarray) -> np.ndarray:
     from mcport.engine.risk_parity import risk_parity
 
@@ -105,13 +134,15 @@ BUILTIN_RULES: Mapping[str, Callable[[np.ndarray], np.ndarray]] = {
     "max_sharpe": _rule_max_sharpe,
     "min_cvar": _rule_min_cvar,
     "min_cdar": _rule_min_cdar,
+    "dd_budget": _rule_dd_budget,
     "erc": _rule_erc,
     "hrp": _rule_hrp,
 }
 
 
 def make_rules(names: Sequence[str], risk_free: float = 0.0,
-               ann_factor: int = 52, alpha: float = 0.95
+               ann_factor: int = 52, alpha: float = 0.95,
+               dd_budget: float = 0.30, horizon: int = 13,
                ) -> dict[str, Callable[[np.ndarray], np.ndarray]]:
     """Resolve rule names to callables, binding shared parameters."""
     out: dict[str, Callable[[np.ndarray], np.ndarray]] = {}
@@ -122,6 +153,9 @@ def make_rules(names: Sequence[str], risk_free: float = 0.0,
             out[name] = lambda r, al=alpha: _rule_min_cvar(r, al)
         elif name == "min_cdar":
             out[name] = lambda r, al=alpha: _rule_min_cdar(r, al)
+        elif name == "dd_budget":
+            out[name] = lambda r, b=dd_budget, al=alpha, h=horizon: (
+                _rule_dd_budget(r, b, al, h))
         elif name in BUILTIN_RULES:
             out[name] = BUILTIN_RULES[name]
         else:
@@ -228,9 +262,11 @@ def walk_forward(
         raise ValueError(
             f"need at least window+horizon={window + horizon} periods, got {t_len}")
     if rules is None:
-        rules = make_rules(tuple(BUILTIN_RULES), risk_free, ann_factor, alpha)
+        rules = make_rules(tuple(BUILTIN_RULES), risk_free, ann_factor, alpha,
+                           horizon=horizon)
     elif not isinstance(rules, Mapping):
-        rules = make_rules(tuple(rules), risk_free, ann_factor, alpha)
+        rules = make_rules(tuple(rules), risk_free, ann_factor, alpha,
+                           horizon=horizon)
 
     rebal = np.arange(window, t_len - horizon + 1, horizon)
     names = tuple(rules)

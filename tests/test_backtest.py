@@ -147,3 +147,25 @@ def test_probabilistic_sharpe_properties():
     rmat = _returns(t=120, a=2, seed=7)
     res = walk_forward(rmat, window=40, horizon=40, rules=("equal",))
     assert 0.0 <= res.summary["equal"]["prob_sharpe"] <= 1.0
+
+
+# ---- simulated drawdown-budget rule (late round 3) --------------------------
+
+
+def test_dd_budget_rule_in_walk_forward():
+    from mcport.engine.backtest import BUILTIN_RULES, walk_forward
+
+    assert "dd_budget" in BUILTIN_RULES
+    rng = np.random.default_rng(23)
+    rets = rng.normal(2e-3, 0.03, (120, 3))
+    res = walk_forward(rets, window=52, horizon=13,
+                       rules=("equal", "dd_budget"), ann_factor=52)
+    assert "dd_budget" in res.summary
+    w = res.weights[res.rule_names.index("dd_budget")]
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+    assert np.isfinite(res.summary["dd_budget"]["sharpe"])
+    # an impossible budget falls back to equal weight (rule-level guard)
+    from mcport.engine.backtest import _rule_dd_budget
+
+    w_eq = _rule_dd_budget(rets[:52], dd_budget=1e-6, n_steps=13)
+    np.testing.assert_allclose(w_eq, np.full(3, 1 / 3))
