@@ -258,3 +258,17 @@ def test_path_risk_checkpoint_resume(btc, eth, tmp_path):
     with pytest.raises(SystemExit, match="requires --checkpoint"):
         run_cli(["path-risk", btc, "--period", "W", "--models", "garch",
                  "--resume"])
+
+
+def test_stress_path_stats_flag(eth):
+    out = run_cli(["stress", eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8", "--path-stats"])
+    assert out["engine"] == "scenario-stress-paths"
+    assert out["scenarios"]["vol_x2"]["d_dd_p95"] < 0
+    assert "worst_by_dd_p95" in out
+
+
+def test_backtest_dd_budget_rule(btc, eth):
+    out = run_cli(["backtest", btc, eth, "--period", "W", "--window", "104",
+                   "--horizon", "26", "--rules", "equal,dd_budget"])
+    assert "dd_budget" in out["summary"]
