@@ -25,6 +25,7 @@ from mcport.seeding import SEED_STRIDE
 __all__ = ["PathRiskReport", "run_path_risk", "run_garch_path_risk",
            "run_bootstrap_path_risk", "run_merton_path_risk",
            "run_dcc_path_risk", "run_resumable_path_risk",
+           "run_resumable_path_risk_with_recovery",
            "PathRiskCheckpoint", "load_path_risk_checkpoint", "DD_SKETCH"]
 
 # drawdowns live in [-1, 0]; a dedicated tight sketch keeps quantile error tiny
@@ -814,3 +815,54 @@ def run_resumable_path_risk(
         dd_mean=float(s_dd) / max(n_done, 1),
         dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n_done,
     ), ck
+
+
+def run_resumable_path_risk_with_recovery(
+    model: str,
+    model_params,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig | None = None,
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+    s0=None,
+    p_restart: float = 0.2,
+    rebalance: bool = True,
+    checkpoint_path="path_risk_checkpoint.npz",
+    segment_blocks: int = 64,
+    max_restarts: int = 3,
+) -> PathRiskReport:
+    """Elastic path-risk driver for ANY model family: run in checkpointed
+    segments and survive transient device aborts (the
+    :func:`mcport.engine.mc_engine.run_resumable_mc_with_recovery` protocol
+    applied to the path tier). Counter-addressed block streams make recovery
+    "reload the last checkpoint and continue" — bit-identical to an
+    uninterrupted run regardless of where failures land. ``max_restarts``
+    bounds CONSECUTIVE failed segments (progress resets the budget)."""
+    import pathlib
+
+    import jax
+
+    checkpoint_path = pathlib.Path(checkpoint_path)
+    ck = (load_path_risk_checkpoint(checkpoint_path)
+          if checkpoint_path.exists() else None)
+    failures = 0
+    while True:
+        try:
+            report, ck = run_resumable_path_risk(
+                model, model_params, weights, config, sketch, dd_sketch,
+                alpha=alpha, hedge=hedge, s0=s0, p_restart=p_restart,
+                rebalance=rebalance, checkpoint=ck,
+                checkpoint_path=checkpoint_path, max_blocks=segment_blocks)
+            failures = 0
+        except jax.errors.JaxRuntimeError:
+            failures += 1
+            if failures > max_restarts:
+                raise
+            # device state is gone; resume from the last durable checkpoint
+            ck = (load_path_risk_checkpoint(checkpoint_path)
+                  if checkpoint_path.exists() else None)
+            continue
+        if ck.done:
+            return report

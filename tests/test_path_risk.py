@@ -548,3 +548,48 @@ def test_resumable_path_risk_matches_oneshot_engines():
     b1, _ = run_resumable_path_risk("bootstrap", hist, W, c)
     b2 = run_bootstrap_path_risk(hist, W, c)
     assert b1 == b2
+
+
+def test_resumable_path_risk_recovery_survives_aborts(tmp_path, monkeypatch):
+    """Elastic driver: segments that raise JaxRuntimeError resume from the
+    durable checkpoint and the final result is bit-identical to an
+    uninterrupted run; a permanently-failing device re-raises."""
+    import jax
+
+    import mcport.engine.path_risk as pr
+    from mcport.engine.path_risk import (
+        run_resumable_path_risk, run_resumable_path_risk_with_recovery,
+    )
+    from mcport.models.garch_mc import estimate_ccc_garch
+
+    rng = np.random.default_rng(19)
+    hist = (rng.standard_t(6, (150, A)) * 0.02 + 0.002).astype(np.float32)
+    gp = estimate_ccc_garch(hist)
+    c = cfg(n_paths=4096, path_block=1024, n_steps=8)
+    clean, _ = run_resumable_path_risk("garch", gp, W, c)
+
+    real = pr.run_resumable_path_risk
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] in (2, 4):  # abort two mid-run segments
+            raise jax.errors.JaxRuntimeError("ABORTED: TPU backend error")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pr, "run_resumable_path_risk", flaky)
+    path = tmp_path / "pr.npz"
+    rep = run_resumable_path_risk_with_recovery(
+        "garch", gp, W, c, checkpoint_path=path, segment_blocks=1)
+    assert rep == clean
+    assert calls["n"] >= 6  # 4 data segments + 2 aborts
+
+    # permanent failure re-raises after max_restarts
+    def always_fail(*a, **kw):
+        raise jax.errors.JaxRuntimeError("ABORTED: TPU backend error")
+
+    monkeypatch.setattr(pr, "run_resumable_path_risk", always_fail)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        run_resumable_path_risk_with_recovery(
+            "garch", gp, W, c, checkpoint_path=tmp_path / "pr2.npz",
+            segment_blocks=1, max_restarts=2)
