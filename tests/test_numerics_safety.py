@@ -64,3 +64,37 @@ def test_degenerate_covariance_does_not_nan():
     assert bool(jnp.isfinite(term).all())
     # the constant asset's simulated log return is (near-)zero
     assert float(jnp.abs(jnp.asarray(term)[:, 0]).max()) < 1e-4
+
+
+def test_family_path_engines_clean_under_debug_nans():
+    """The family path-stats engines (lax forms, hedged included) run clean
+    under jax_debug_nans with degenerate inputs: zero-vol GARCH, constant
+    history bootstrap, zero-rate jumps."""
+    import jax
+    import numpy as np
+
+    from mcport.models.bootstrap import bootstrap_path_stats
+    from mcport.models.garch_mc import CCCGarchParams, garch_path_stats
+    from mcport.models.jump import merton_path_stats
+
+    a = 2
+    w = np.array([[0.5, 0.5]], np.float32)
+    with jax.debug_nans(True):
+        # zero-vol GARCH: sigma^2 = 0 throughout — sqrt(max(s2, 0)) guard
+        p0 = CCCGarchParams(
+            mu=np.zeros(a), omega=np.zeros(a), alpha=np.zeros(a),
+            beta=np.zeros(a), corr_chol=np.eye(a), sigma2_0=np.zeros(a),
+            eps2_0=np.zeros(a))
+        t, d = garch_path_stats(jax.random.key(0), p0, w, 64, 4)
+        assert np.isfinite(np.asarray(t)).all()
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-7)
+        # constant history: every resampled row identical
+        hist = np.full((32, a), 0.01, np.float32)
+        t, d = bootstrap_path_stats(jax.random.key(1), hist, w, 64, 4)
+        np.testing.assert_allclose(np.asarray(t), (1.01) ** 4 - 1, rtol=1e-5)
+        # zero jump rate + zero diffusion: exact zero returns
+        t, d = merton_path_stats(
+            jax.random.key(2), np.zeros(a, np.float32),
+            np.zeros((a, a), np.float32), 0.0, np.full(a, -0.5, np.float32),
+            np.zeros(a, np.float32), w, 64, 4)
+        np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-7)
