@@ -734,6 +734,11 @@ def run_resumable_path_risk(
         raise ValueError(
             f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
             f"'bootstrap', got {model!r}")
+    if config.qmc != "none":
+        raise ValueError(
+            "the resumable path-risk driver draws counter-addressed "
+            "pseudo-random block streams; qmc is one-shot only "
+            "(run_path_risk)")
     if hedge is not None and s0 is None:
         if model in ("gbm", "student_t"):
             s0 = np.asarray(model_params.s0, np.float64)

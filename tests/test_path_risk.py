@@ -593,3 +593,13 @@ def test_resumable_path_risk_recovery_survives_aborts(tmp_path, monkeypatch):
         run_resumable_path_risk_with_recovery(
             "garch", gp, W, c, checkpoint_path=tmp_path / "pr2.npz",
             segment_blocks=1, max_restarts=2)
+
+
+def test_resumable_path_risk_refuses_qmc():
+    import dataclasses
+
+    from mcport.engine.path_risk import run_resumable_path_risk
+
+    with pytest.raises(ValueError, match="qmc"):
+        run_resumable_path_risk("gbm", PARAMS, W,
+                                dataclasses.replace(cfg(), qmc="sobol"))
