@@ -33,6 +33,7 @@ from mcport.seeding import SEED_STRIDE
 
 __all__ = ["sharded_path_risk", "sharded_family_path_risk",
            "sharded_family_drawdown_frontier",
+           "sharded_family_drawdown_frontier_2d",
            "sharded_simulated_frontier",
            "sharded_simulated_frontier_2d", "sharded_bootstrap_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
@@ -733,6 +734,162 @@ def sharded_family_drawdown_frontier(
         all_s = jax.lax.all_gather(score[best], axis)
         all_w = jax.lax.all_gather(w[best], axis)
         all_d = jax.lax.all_gather(dd_p95[best], axis)
+        g = jnp.argmax(all_s)
+        w_out = jnp.where(jnp.isfinite(all_s[g]), all_w[g], jnp.nan)
+        return w_out, all_s[g], all_d[g], n_feas
+
+    if model == "garch":
+        p = model_params
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
+    elif model == "dcc":
+        p = model_params
+        b = p.base
+        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
+            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
+    elif model == "jump":
+        p = model_params
+        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.diffusion.mean_step, p.diffusion.chol_step,
+            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
+    else:
+        model_in = (jnp.asarray(model_params, jnp.float32),)
+    args = (key, jnp.asarray(min_weights, jnp.float32),
+            jnp.asarray(max_weights, jnp.float32),
+            *model_in, *(hedge_args or ()))
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(),) * len(args),
+        out_specs=(P(), P(), P(), P()), check_vma=False,
+    ))
+    return fn(*args)
+
+
+def sharded_family_drawdown_frontier_2d(
+    key: Array,
+    model: str,
+    model_params,
+    min_weights: Array,
+    max_weights: Array,
+    n_candidates: int,
+    n_paths: int,
+    n_steps: int,
+    mesh: Mesh,
+    dd_budget: float = 0.30,
+    alpha: float = 0.95,
+    paths_axis: str = "paths",
+    cand_axis: str = "cand",
+    w_block: int = 64,
+    p_restart: float = 0.2,
+    dd_sketch: SketchConfig | None = None,
+    hedge=None,
+    s0=None,
+) -> tuple[Array, Array, Array, Array]:
+    """Family drawdown frontier sharded over BOTH mesh axes (dp x tp).
+
+    The 1-D form (:func:`sharded_family_drawdown_frontier`) replicates the
+    whole path set on every device; here paths shard too — each device
+    evolves only its (paths-shard x candidate-shard) tile of family paths
+    ("garch"/"dcc"/"jump"/"bootstrap"). Per-candidate expected returns
+    reduce exactly (psum of sums over the paths axis); per-candidate
+    drawdown p95 reduces as per-candidate DD histogram sketches
+    (B_local x n_bins, psum over paths — one-bin-width quantile accuracy,
+    the 2-D GBM frontier's discipline); the winner resolves with one
+    all_gather over the candidate axis. Paths are keyed by the paths-shard
+    index only, so every candidate column sees the SAME global path set
+    regardless of which candidate shard it lives in.
+
+    Returns ``(best_weights, best_ret, best_dd_p95, n_feasible)`` — weights
+    NaN when nothing is feasible.
+    """
+    if model not in ("garch", "dcc", "jump", "bootstrap"):
+        raise ValueError(
+            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"got {model!r}")
+    if hedge is not None and s0 is None:
+        raise ValueError("hedged family frontier requires s0 (asset prices)")
+    n_dev_p = mesh.shape[paths_axis]
+    n_dev_c = mesh.shape[cand_axis]
+    if n_paths % n_dev_p:
+        raise ValueError(f"n_paths {n_paths} not divisible by {n_dev_p}")
+    if n_candidates % n_dev_c:
+        raise ValueError(f"n_candidates {n_candidates} not divisible by {n_dev_c}")
+    n_local_p = n_paths // n_dev_p
+    n_local_c = n_candidates // n_dev_c
+    if n_local_c % w_block and n_local_c > w_block:
+        raise ValueError(
+            f"local candidates {n_local_c} not divisible by w_block {w_block}")
+    block = min(w_block, n_local_c)
+    budget = abs(dd_budget)
+    if dd_sketch is None:
+        dd_sketch = SketchConfig(n_bins=1024, lo=-1.0, hi=0.0)
+    hedge_args = None if hedge is None else (
+        jnp.asarray(s0, jnp.float32), *hedge.arrays)
+    n_hedge = 0 if hedge_args is None else len(hedge_args)
+
+    def local(key, min_w, max_w, *rest):
+        if n_hedge:
+            model_args, h_args = rest[:-n_hedge], rest[-n_hedge:]
+        else:
+            model_args, h_args = rest, None
+        p_idx = jax.lax.axis_index(paths_axis)
+        c_idx = jax.lax.axis_index(cand_axis)
+        k_path, k_w = jax.random.split(key)
+        k_path = jax.random.fold_in(k_path, p_idx)
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, c_idx), n_local_c, min_w, max_w)
+        w = w.astype(jnp.float32)
+        psum_p = lambda x: jax.lax.psum(x, paths_axis)
+
+        def chunk(w_blk):
+            if model == "garch":
+                from mcport.models.garch_mc import _path_stats
+
+                (mu, omega, alpha_g, beta, corr_chol,
+                 sigma2_0, eps2_0) = model_args
+                term, dd = _path_stats(
+                    k_path, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
+                    eps2_0, w_blk.T, n_local_p, n_steps, jnp.float32, h_args)
+            elif model == "dcc":
+                from mcport.models.dcc import _dcc_path_stats_impl
+
+                (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0,
+                 eps2_0, a_dcc, b_dcc) = model_args
+                term, dd = _dcc_path_stats_impl(
+                    k_path, mu, omega, alpha_g, beta, s_mat, q0, e0,
+                    sigma2_0, eps2_0, a_dcc, b_dcc, w_blk.T, n_local_p,
+                    n_steps, jnp.float32, h_args)
+            elif model == "jump":
+                from mcport.models.jump import merton_path_stats
+
+                (mean_step, chol_step, rate, mu_j, sig_j) = model_args
+                term, dd = merton_path_stats(
+                    k_path, mean_step, chol_step, rate, mu_j, sig_j, w_blk,
+                    n_local_p, n_steps, hedge_args=h_args)
+            else:
+                from mcport.models.bootstrap import bootstrap_path_stats
+
+                (history,) = model_args
+                term, dd = bootstrap_path_stats(
+                    k_path, history, w_blk, n_local_p, n_steps,
+                    p_restart=p_restart, hedge_args=h_args)
+            ret = psum_p(term.sum(axis=1)) / n_paths          # (B,) exact
+            counts = jax.vmap(lambda row: histogram(row, dd_sketch))(dd)
+            counts = psum_p(counts)                           # (B, n_bins)
+            dd95 = jax.vmap(
+                lambda h: sketch_quantile(h, 1.0 - alpha, dd_sketch))(counts)
+            return ret, dd95
+
+        ret, dd_p95 = jax.lax.map(chunk, w.reshape(-1, block, w.shape[-1]))
+        ret, dd_p95 = ret.reshape(-1), dd_p95.reshape(-1)
+        feasible = valid & (dd_p95 >= -budget)
+        score = jnp.where(feasible, ret, -jnp.inf)
+        best = jnp.argmax(score)
+        n_feas = jax.lax.psum(feasible.sum(), cand_axis)
+        all_s = jax.lax.all_gather(score[best], cand_axis)
+        all_w = jax.lax.all_gather(w[best], cand_axis)
+        all_d = jax.lax.all_gather(dd_p95[best], cand_axis)
         g = jnp.argmax(all_s)
         w_out = jnp.where(jnp.isfinite(all_s[g]), all_w[g], jnp.nan)
         return w_out, all_s[g], all_d[g], n_feas

@@ -514,3 +514,66 @@ def test_sharded_family_drawdown_frontier_matches_single_chip(mesh):
         sharded_family_drawdown_frontier(
             key, "nope", gp, np.zeros(A), np.ones(A), 128, 512, 13, mesh,
             axis="paths")
+
+
+def test_sharded_family_frontier_2d_matches_host_replay(eight_devices):
+    """2-D (paths x cand) family frontier: per-candidate dd sketches psum
+    over paths; the winner equals a host replay that rebuilds every tile's
+    exact streams and the same sketch quantiles."""
+    import math
+
+    import jax
+    from jax.sharding import Mesh
+
+    from mcport.config import SketchConfig
+    from mcport.models.garch_mc import estimate_ccc_garch, garch_path_stats
+    from mcport.ops.dirichlet import sample_constrained_weights
+    from mcport.ops.quantile import histogram, sketch_quantile
+    from mcport.parallel.sharded_engines import (
+        sharded_family_drawdown_frontier_2d,
+    )
+
+    h = _fam_history()
+    gp = estimate_ccc_garch(h)
+    mesh2 = Mesh(np.array(eight_devices).reshape(4, 2), ("paths", "cand"))
+    key = jax.random.key(9)
+    n_cand, n_paths, steps, budget = 64, 1024, 8, 0.4
+    dd_sk = SketchConfig(n_bins=512, lo=-1.0, hi=0.0)
+    w_out, ret, dd95, n_feas = sharded_family_drawdown_frontier_2d(
+        key, "garch", gp, np.zeros(A, np.float32), np.ones(A, np.float32),
+        n_cand, n_paths, steps, mesh2, dd_budget=budget, w_block=16,
+        dd_sketch=dd_sk)
+    assert np.isfinite(float(ret))
+    np.testing.assert_allclose(np.asarray(w_out).sum(), 1.0, atol=1e-5)
+
+    # host replay: candidates per cand-shard, paths per paths-shard
+    k_path0, k_w = jax.random.split(key)
+    best_s, best_w = -np.inf, None
+    feas_total = 0
+    for c_idx in range(2):
+        w, valid = sample_constrained_weights(
+            jax.random.fold_in(k_w, c_idx), n_cand // 2,
+            np.zeros(A, np.float32), np.ones(A, np.float32))
+        w = np.asarray(w, np.float32)
+        s1 = np.zeros(w.shape[0])
+        counts = np.zeros((w.shape[0], dd_sk.n_bins))
+        for p_idx in range(4):
+            term, dd = garch_path_stats(
+                jax.random.fold_in(k_path0, p_idx), gp, w, n_paths // 4,
+                steps)
+            s1 += np.asarray(term, np.float64).sum(axis=1)
+            counts += np.asarray(
+                jax.vmap(lambda row: histogram(row, dd_sk))(dd))
+        ret_l = s1 / n_paths
+        dd95_l = np.asarray(jax.vmap(
+            lambda hh: sketch_quantile(jnp.asarray(hh, jnp.float32),
+                                       0.05, dd_sk))(jnp.asarray(counts)))
+        feas = np.asarray(valid) & (dd95_l >= -budget)
+        feas_total += int(feas.sum())
+        score = np.where(feas, ret_l, -np.inf)
+        j = int(np.argmax(score))
+        if score[j] > best_s:
+            best_s, best_w = score[j], w[j]
+    assert int(n_feas) == feas_total
+    assert float(ret) == pytest.approx(best_s, abs=1e-5)
+    np.testing.assert_allclose(np.asarray(w_out), best_w, atol=1e-6)
