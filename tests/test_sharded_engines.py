@@ -577,3 +577,49 @@ def test_sharded_family_frontier_2d_matches_host_replay(eight_devices):
     assert int(n_feas) == feas_total
     assert float(ret) == pytest.approx(best_s, abs=1e-5)
     np.testing.assert_allclose(np.asarray(w_out), best_w, atol=1e-6)
+
+
+def test_sharded_family_frontier_2d_hedged_identity_and_jump(eight_devices):
+    """2-D family frontier: identity hedge reproduces the plain winner on
+    the same streams (settlement-layer wiring check), and the jump model
+    runs through the 2-D tile path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mcport.models.gbm import GBMParams
+    from mcport.models.jump import MertonParams
+    from mcport.options import HedgeSpec
+    from mcport.parallel.sharded_engines import (
+        sharded_family_drawdown_frontier_2d,
+    )
+
+    h = _fam_history()
+    mesh2 = Mesh(np.array(eight_devices).reshape(4, 2), ("paths", "cand"))
+    kw = dict(dd_budget=0.6, w_block=8)
+    w0, r0, d0, n0 = sharded_family_drawdown_frontier_2d(
+        jax.random.key(2), "bootstrap", h, np.zeros(A, np.float32),
+        np.ones(A, np.float32), 32, 512, 8, mesh2, **kw)
+    ident = HedgeSpec.build({}, [f"X{i}" for i in range(A)])
+    w1, r1, d1, n1 = sharded_family_drawdown_frontier_2d(
+        jax.random.key(2), "bootstrap", h, np.zeros(A, np.float32),
+        np.ones(A, np.float32), 32, 512, 8, mesh2, hedge=ident,
+        s0=np.ones(A), **kw)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-6)
+    assert float(r1) == pytest.approx(float(r0), abs=5e-6)
+    assert int(n1) == int(n0)
+
+    mp = MertonParams(
+        diffusion=GBMParams(s0=np.ones(A) * 100,
+                            mean_step=np.full(A, 1e-3),
+                            chol_step=np.linalg.cholesky(
+                                4e-4 * (0.5 * np.eye(A) + 0.5))),
+        jump_rate=0.05, jump_mean=np.full(A, -0.1),
+        jump_vol=np.full(A, 0.05))
+    wj, rj, dj, nj = sharded_family_drawdown_frontier_2d(
+        jax.random.key(3), "jump", mp, np.zeros(A, np.float32),
+        np.ones(A, np.float32), 32, 512, 8, mesh2, **kw)
+    assert np.isfinite(float(rj)) and -1.0 <= float(dj) <= 0.0
+    with pytest.raises(ValueError, match="model must be"):
+        sharded_family_drawdown_frontier_2d(
+            jax.random.key(0), "nope", h, np.zeros(A), np.ones(A),
+            32, 512, 8, mesh2)
