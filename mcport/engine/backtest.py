@@ -87,13 +87,17 @@ def _rule_min_cdar(r: np.ndarray, alpha: float = 0.95) -> np.ndarray:
 
 
 def _rule_dd_budget(r: np.ndarray, dd_budget: float = 0.30,
-                    alpha: float = 0.95, n_steps: int = 13) -> np.ndarray:
+                    alpha: float = 0.95, n_steps: int = 13,
+                    n_candidates: int = 2048, n_paths: int = 2048
+                    ) -> np.ndarray:
     """Max simulated return s.t. a p95 max-drawdown budget over the NEXT
     horizon: fit per-step GBM moments to the window's log returns, run the
     drawdown-constrained frontier (engine.drawdown_frontier — the multi-dd
     kernel on TPU, lax elsewhere), and hold the feasible-return argmax.
     Deterministic (fixed candidate/path key); equal weight when nothing
-    satisfies the budget."""
+    satisfies the budget. Opt-in by name — NOT part of the ``rules=None``
+    default set (a simulated frontier per rebalance date is orders of
+    magnitude costlier than the closed-form rules)."""
     import jax
 
     from mcport.engine.drawdown_frontier import drawdown_frontier_search
@@ -106,8 +110,9 @@ def _rule_dd_budget(r: np.ndarray, dd_budget: float = 0.30,
         s0=np.ones(a), mean_step=lr.mean(axis=0),
         chol_step=np.linalg.cholesky(cov + 1e-10 * np.eye(a)))
     res = drawdown_frontier_search(
-        jax.random.key(0), params, dd_budget=dd_budget, n_candidates=2048,
-        n_paths=2048, n_steps=n_steps, alpha=alpha, rebalance=True)
+        jax.random.key(0), params, dd_budget=dd_budget,
+        n_candidates=n_candidates, n_paths=n_paths, n_steps=n_steps,
+        alpha=alpha, rebalance=True)
     if res.opt_idx < 0:
         return np.full(a, 1.0 / a)
     return np.asarray(res.opt_weights, np.float64)
@@ -262,7 +267,10 @@ def walk_forward(
         raise ValueError(
             f"need at least window+horizon={window + horizon} periods, got {t_len}")
     if rules is None:
-        rules = make_rules(tuple(BUILTIN_RULES), risk_free, ann_factor, alpha,
+        # dd_budget is opt-in: a simulated frontier per rebalance date costs
+        # orders of magnitude more than the closed-form default rules
+        default = tuple(n for n in BUILTIN_RULES if n != "dd_budget")
+        rules = make_rules(default, risk_free, ann_factor, alpha,
                            horizon=horizon)
     elif not isinstance(rules, Mapping):
         rules = make_rules(tuple(rules), risk_free, ann_factor, alpha,

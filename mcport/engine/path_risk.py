@@ -217,9 +217,9 @@ def run_path_risk(
         s_port = jnp.zeros((), dtype)
         s_dd = jnp.zeros((), dtype)
         for b in range(n_blocks):
-            paths = qmc_gbm_log_paths(m, chol, block_paths, config.n_steps,
-                                      method=config.qmc,
-                                      seed=config.seed + b + 1, dtype=dtype)
+            paths = qmc_gbm_log_paths(
+                m, chol, block_paths, config.n_steps, method=config.qmc,
+                seed=config.seed + (b + 1) * SEED_STRIDE, dtype=dtype)
             if hedge is not None:
                 port, dd = _hedged_stats_from_log_paths(
                     paths, jnp.asarray(params.s0, dtype), *hedge.arrays, w)
@@ -324,25 +324,10 @@ def run_garch_path_risk(
     simulated price path and requires ``s0`` (current asset prices). TPU runs
     the fused Pallas kernel (:func:`mcport.ops.pallas_garch
     .pallas_garch_path_stats`); elsewhere the lax reference."""
-    from mcport.models.garch_mc import garch_path_stats
-    from mcport.ops.pallas_garch import pallas_garch_path_stats
-
     if hedge is not None and s0 is None:
         raise ValueError("hedged GARCH path risk requires s0 (asset prices)")
-    hedge_args = None if hedge is None else (
-        jnp.asarray(s0, jnp.float32), *hedge.arrays)
-    w = jnp.asarray(weights, jnp.float32)[None, :]
-    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
-
-    def block_fn(_b, block_seed):
-        if use_pallas:
-            return pallas_garch_path_stats(
-                block_seed, params, w, config.path_block, config.n_steps,
-                hedge_args=hedge_args)
-        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
-        return garch_path_stats(key, params, w, config.path_block,
-                                config.n_steps, hedge_args=hedge_args)
-
+    block_fn, _ = _block_fn_for("garch", params, weights, config, hedge, s0,
+                                0.2, True)
     return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
 
 
@@ -364,28 +349,9 @@ def run_merton_path_risk(
     ``params`` is a :class:`mcport.models.jump.MertonParams`; hedged
     settlement uses its diffusion ``s0`` prices. TPU runs the fused kernel
     (:func:`mcport.ops.pallas_jump.pallas_merton_path_stats`)."""
-    from mcport.models.jump import merton_path_stats
-    from mcport.ops.pallas_jump import pallas_merton_path_stats
-
-    hedge_args = None if hedge is None else (
-        jnp.asarray(params.diffusion.s0, jnp.float32), *hedge.arrays)
-    w = jnp.asarray(weights, jnp.float32)[None, :]
-    m = jnp.asarray(params.diffusion.mean_step, jnp.float32)
-    chol = jnp.asarray(params.diffusion.chol_step, jnp.float32)
-    muj = jnp.asarray(params.jump_mean, jnp.float32)
-    sigj = jnp.asarray(params.jump_vol, jnp.float32)
-    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
-
-    def block_fn(_b, block_seed):
-        if use_pallas:
-            return pallas_merton_path_stats(
-                block_seed, m, chol, params.jump_rate, muj, sigj, w,
-                config.path_block, config.n_steps, hedge_args=hedge_args)
-        key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
-        return merton_path_stats(
-            key, m, chol, params.jump_rate, muj, sigj, w,
-            config.path_block, config.n_steps, hedge_args=hedge_args)
-
+    s0 = params.diffusion.s0 if hedge is not None else None
+    block_fn, _ = _block_fn_for("jump", params, weights, config, hedge, s0,
+                                0.2, True)
     return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
 
 
@@ -515,9 +481,15 @@ def _model_digest(model, model_params, weights, config: GBMConfig, hedge,
     arrs(weights)
     if s0 is not None:
         arrs(s0)
+    # the stream SOURCE is part of the computation: kernels draw the on-core
+    # hardware PRNG, the lax tier counter-addressed Threefry — resuming a
+    # kernel checkpoint on a lax backend (or vice versa) is a different run
+    # and must be rejected, not silently continued with switched streams
+    stream = ("pallas" if (config.use_pallas
+                           and jax.default_backend() == "tpu") else "lax")
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
              f"{config.path_block}|{config.innovations}|{config.t_dof}|"
-             f"{rebalance}".encode())
+             f"{rebalance}|{stream}".encode())
     if hedge is not None:
         h.update(b"hedge|" + hedge.digest_bytes())
     return h.hexdigest()
@@ -808,8 +780,10 @@ def run_resumable_path_risk(
             ck.save(checkpoint_path)
     if checkpoint_path is None and end > start:
         ck = snapshot(end)
-    if ck is None:  # resumed an already-done checkpoint (no-op)
-        ck = checkpoint
+    if ck is None:
+        # no block ran: resumed an already-done checkpoint (no-op) or
+        # max_blocks == 0 — snapshot the current (possibly empty) state
+        ck = checkpoint if checkpoint is not None else snapshot(start)
     v, c = sketch_var_cvar(h_port, alpha, sketch)
     dd_p95 = sketch_quantile(h_dd, 1.0 - alpha, dd_sketch)
     dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)

@@ -197,14 +197,20 @@ def path_stress_test(
     drawdown profile — the question terminal stress can't answer: "how much
     deeper do in-horizon drawdowns get if vol doubles / correlations
     converge / crashes arrive?" The crash overlay runs through the
-    common-jump Merton PATH engine (per-step Bernoulli jump clock).
+    common-jump Merton PATH engine (per-step Bernoulli jump clock), which is
+    inherently per-period REBALANCED — with ``rebalance=False`` its deltas
+    mix wealth conventions, so the scenario dict carries an explicit
+    ``settlement`` note in that case. ``n_paths`` rounds up to whole path
+    blocks (the CLI convention).
     """
     from mcport.config import GBMConfig
     from mcport.engine.path_risk import run_merton_path_risk, run_path_risk
 
     w = np.asarray(weights, np.float64)
     _crash_explicit = crash_jump is not _DEFAULT_CRASH
-    cfg = GBMConfig(n_paths=n_paths, path_block=min(path_block, n_paths),
+    block = min(path_block, n_paths)
+    n_paths = -(-n_paths // block) * block    # whole blocks (CLI convention)
+    cfg = GBMConfig(n_paths=n_paths, path_block=block,
                     n_steps=n_steps, seed=seed)
 
     def metrics(rep):
@@ -239,5 +245,9 @@ def path_stress_test(
         )
         out["crash_jump"] = deltas(metrics(run_merton_path_risk(
             mp, w, cfg, alpha=alpha)))
+        if not rebalance:
+            out["crash_jump"]["settlement"] = (
+                "rebalanced (Merton path engine); base is buy-and-hold — "
+                "deltas mix wealth conventions")
 
     return StressReport(base=base, scenarios=out)

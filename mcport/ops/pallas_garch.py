@@ -249,6 +249,8 @@ def _dd_call(
     hedge_args, unroll: int,
 ):
     w = jnp.asarray(weights, jnp.float32)
+    if w.ndim == 1:
+        w = w[None, :]
     w_cnt, a = w.shape
     max_w = 256
     if w_cnt > max_w:

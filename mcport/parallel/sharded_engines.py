@@ -154,6 +154,64 @@ def sharded_path_risk(
     )
 
 
+
+def _family_model_args(model: str, model_params) -> tuple:
+    """Flatten a family's parameter object into the f32 array tuple the
+    sharded locals unpack — ONE place, so adding a model field cannot drift
+    between the path-risk / 1-D frontier / 2-D frontier engines."""
+    if model == "garch":
+        p = model_params
+        return tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
+    if model == "dcc":
+        p = model_params
+        b = p.base
+        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
+        return tuple(jnp.asarray(x, jnp.float32) for x in (
+            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
+            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
+    if model == "jump":
+        p = model_params
+        return tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.diffusion.mean_step, p.diffusion.chol_step,
+            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
+    return (jnp.asarray(model_params, jnp.float32),)
+
+
+def _family_chunk_stats(model, model_args, h_args, key, w_blk, n_paths,
+                        n_steps, p_restart):
+    """(term (B, n), dd (B, n)) for one candidate block of any family — the
+    shared lax dispatch of the sharded locals (w_blk is (B, A))."""
+    if model == "garch":
+        from mcport.models.garch_mc import _path_stats
+
+        (mu, omega, alpha_g, beta, corr_chol, sigma2_0, eps2_0) = model_args
+        return _path_stats(key, mu, omega, alpha_g, beta, corr_chol.T,
+                           sigma2_0, eps2_0, w_blk.T, n_paths, n_steps,
+                           jnp.float32, h_args)
+    if model == "dcc":
+        from mcport.models.dcc import _dcc_path_stats_impl
+
+        (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0, eps2_0,
+         a_dcc, b_dcc) = model_args
+        return _dcc_path_stats_impl(key, mu, omega, alpha_g, beta, s_mat,
+                                    q0, e0, sigma2_0, eps2_0, a_dcc, b_dcc,
+                                    w_blk.T, n_paths, n_steps, jnp.float32,
+                                    h_args)
+    if model == "jump":
+        from mcport.models.jump import merton_path_stats
+
+        (mean_step, chol_step, rate, mu_j, sig_j) = model_args
+        return merton_path_stats(key, mean_step, chol_step, rate, mu_j,
+                                 sig_j, w_blk, n_paths, n_steps,
+                                 hedge_args=h_args)
+    from mcport.models.bootstrap import bootstrap_path_stats
+
+    (history,) = model_args
+    return bootstrap_path_stats(key, history, w_blk, n_paths, n_steps,
+                                p_restart=p_restart, hedge_args=h_args)
+
+
 def sharded_family_path_risk(
     seed,
     model: str,
@@ -180,10 +238,7 @@ def sharded_family_path_risk(
     ``hedge`` (a HedgeSpec) + ``s0`` switch every device to hedged
     per-period option settlement. Returns a replicated
     :class:`mcport.engine.path_risk.PathRiskReport`."""
-    from mcport.models.bootstrap import (
-        _auto_sketch_from_history, bootstrap_path_stats,
-    )
-    from mcport.models.garch_mc import garch_path_stats
+    from mcport.models.bootstrap import _auto_sketch_from_history
 
     if model not in ("garch", "dcc", "jump", "bootstrap"):
         raise ValueError(
@@ -212,34 +267,8 @@ def sharded_family_path_risk(
         dev_seed = (seed + idx * SEED_STRIDE).astype(jnp.int32)
         key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)
         w = weights[None, :]
-        if model == "garch":
-            from mcport.models.garch_mc import _path_stats
-
-            (mu, omega, alpha_g, beta, corr_chol, sigma2_0, eps2_0) = model_args
-            term, dd = _path_stats(
-                key, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
-                eps2_0, w.T, n_local, n_steps, jnp.float32, h_args)
-        elif model == "dcc":
-            from mcport.models.dcc import _dcc_path_stats_impl
-
-            (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0, eps2_0,
-             a_dcc, b_dcc) = model_args
-            term, dd = _dcc_path_stats_impl(
-                key, mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0,
-                eps2_0, a_dcc, b_dcc, w.T, n_local, n_steps, jnp.float32,
-                h_args)
-        elif model == "jump":
-            from mcport.models.jump import merton_path_stats
-
-            (mean_step, chol_step, rate, mu_j, sig_j) = model_args
-            term, dd = merton_path_stats(
-                key, mean_step, chol_step, rate, mu_j, sig_j, w,
-                n_local, n_steps, hedge_args=h_args)
-        else:
-            (history,) = model_args
-            term, dd = bootstrap_path_stats(
-                key, history, w, n_local, n_steps, p_restart=p_restart,
-                hedge_args=h_args)
+        term, dd = _family_chunk_stats(model, model_args, h_args, key, w,
+                                        n_local, n_steps, p_restart)
         port, ddv = term[0], dd[0]
         psum = lambda x: jax.lax.psum(x, axis)
         h_port = psum(histogram(port, sketch))
@@ -251,24 +280,7 @@ def sharded_family_path_risk(
         dd_med = sketch_quantile(h_dd, 0.5, dd_sketch)
         return v, c, s_port, s_dd, dd_p95, dd_med
 
-    if model == "garch":
-        p = model_params
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
-    elif model == "dcc":
-        p = model_params
-        b = p.base
-        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
-            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
-    elif model == "jump":
-        p = model_params
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            p.diffusion.mean_step, p.diffusion.chol_step,
-            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
-    else:
-        model_in = (jnp.asarray(model_params, jnp.float32),)
+    model_in = _family_model_args(model, model_params)
     args = (jnp.asarray(seed, jnp.int32), jnp.asarray(weights, jnp.float32),
             *model_in, *(hedge_args or ()))
     fn = jax.jit(shard_map(
@@ -690,37 +702,9 @@ def sharded_family_drawdown_frontier(
         w = w.astype(jnp.float32)
 
         def chunk(w_blk):
-            if model == "garch":
-                from mcport.models.garch_mc import _path_stats
-
-                (mu, omega, alpha_g, beta, corr_chol,
-                 sigma2_0, eps2_0) = model_args
-                term, dd = _path_stats(
-                    k_path, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
-                    eps2_0, w_blk.T, n_paths, n_steps, jnp.float32, h_args)
-            elif model == "dcc":
-                from mcport.models.dcc import _dcc_path_stats_impl
-
-                (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0,
-                 eps2_0, a_dcc, b_dcc) = model_args
-                term, dd = _dcc_path_stats_impl(
-                    k_path, mu, omega, alpha_g, beta, s_mat, q0, e0,
-                    sigma2_0, eps2_0, a_dcc, b_dcc, w_blk.T, n_paths,
-                    n_steps, jnp.float32, h_args)
-            elif model == "jump":
-                from mcport.models.jump import merton_path_stats
-
-                (mean_step, chol_step, rate, mu_j, sig_j) = model_args
-                term, dd = merton_path_stats(
-                    k_path, mean_step, chol_step, rate, mu_j, sig_j, w_blk,
-                    n_paths, n_steps, hedge_args=h_args)
-            else:
-                from mcport.models.bootstrap import bootstrap_path_stats
-
-                (history,) = model_args
-                term, dd = bootstrap_path_stats(
-                    k_path, history, w_blk, n_paths, n_steps,
-                    p_restart=p_restart, hedge_args=h_args)
+            term, dd = _family_chunk_stats(model, model_args, h_args,
+                                            k_path, w_blk, n_paths, n_steps,
+                                            p_restart)
             ret = term.mean(axis=1)
             worst, _ = jax.lax.top_k(-dd, k_tail)
             return ret, -worst[:, -1]
@@ -738,24 +722,7 @@ def sharded_family_drawdown_frontier(
         w_out = jnp.where(jnp.isfinite(all_s[g]), all_w[g], jnp.nan)
         return w_out, all_s[g], all_d[g], n_feas
 
-    if model == "garch":
-        p = model_params
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
-    elif model == "dcc":
-        p = model_params
-        b = p.base
-        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
-            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
-    elif model == "jump":
-        p = model_params
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            p.diffusion.mean_step, p.diffusion.chol_step,
-            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
-    else:
-        model_in = (jnp.asarray(model_params, jnp.float32),)
+    model_in = _family_model_args(model, model_params)
     args = (key, jnp.asarray(min_weights, jnp.float32),
             jnp.asarray(max_weights, jnp.float32),
             *model_in, *(hedge_args or ()))
@@ -843,37 +810,9 @@ def sharded_family_drawdown_frontier_2d(
         psum_p = lambda x: jax.lax.psum(x, paths_axis)
 
         def chunk(w_blk):
-            if model == "garch":
-                from mcport.models.garch_mc import _path_stats
-
-                (mu, omega, alpha_g, beta, corr_chol,
-                 sigma2_0, eps2_0) = model_args
-                term, dd = _path_stats(
-                    k_path, mu, omega, alpha_g, beta, corr_chol.T, sigma2_0,
-                    eps2_0, w_blk.T, n_local_p, n_steps, jnp.float32, h_args)
-            elif model == "dcc":
-                from mcport.models.dcc import _dcc_path_stats_impl
-
-                (mu, omega, alpha_g, beta, s_mat, q0, e0, sigma2_0,
-                 eps2_0, a_dcc, b_dcc) = model_args
-                term, dd = _dcc_path_stats_impl(
-                    k_path, mu, omega, alpha_g, beta, s_mat, q0, e0,
-                    sigma2_0, eps2_0, a_dcc, b_dcc, w_blk.T, n_local_p,
-                    n_steps, jnp.float32, h_args)
-            elif model == "jump":
-                from mcport.models.jump import merton_path_stats
-
-                (mean_step, chol_step, rate, mu_j, sig_j) = model_args
-                term, dd = merton_path_stats(
-                    k_path, mean_step, chol_step, rate, mu_j, sig_j, w_blk,
-                    n_local_p, n_steps, hedge_args=h_args)
-            else:
-                from mcport.models.bootstrap import bootstrap_path_stats
-
-                (history,) = model_args
-                term, dd = bootstrap_path_stats(
-                    k_path, history, w_blk, n_local_p, n_steps,
-                    p_restart=p_restart, hedge_args=h_args)
+            term, dd = _family_chunk_stats(model, model_args, h_args,
+                                            k_path, w_blk, n_local_p,
+                                            n_steps, p_restart)
             ret = psum_p(term.sum(axis=1)) / n_paths          # (B,) exact
             counts = jax.vmap(lambda row: histogram(row, dd_sketch))(dd)
             counts = psum_p(counts)                           # (B, n_bins)
@@ -894,24 +833,7 @@ def sharded_family_drawdown_frontier_2d(
         w_out = jnp.where(jnp.isfinite(all_s[g]), all_w[g], jnp.nan)
         return w_out, all_s[g], all_d[g], n_feas
 
-    if model == "garch":
-        p = model_params
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            p.mu, p.omega, p.alpha, p.beta, p.corr_chol, p.sigma2_0, p.eps2_0))
-    elif model == "dcc":
-        p = model_params
-        b = p.base
-        s_mat = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            b.mu, b.omega, b.alpha, b.beta, s_mat, p.q0, p.e0,
-            b.sigma2_0, b.eps2_0, np.float32(p.a_dcc), np.float32(p.b_dcc)))
-    elif model == "jump":
-        p = model_params
-        model_in = tuple(jnp.asarray(x, jnp.float32) for x in (
-            p.diffusion.mean_step, p.diffusion.chol_step,
-            np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
-    else:
-        model_in = (jnp.asarray(model_params, jnp.float32),)
+    model_in = _family_model_args(model, model_params)
     args = (key, jnp.asarray(min_weights, jnp.float32),
             jnp.asarray(max_weights, jnp.float32),
             *model_in, *(hedge_args or ()))

@@ -86,7 +86,9 @@ def test_oos_curve_and_guards():
 def test_full_builtin_set_smoke():
     r = _returns(t=140, a=3, seed=4)
     res = walk_forward(r, window=60, horizon=40)
-    assert set(res.rule_names) == set(BUILTIN_RULES)
+    # dd_budget is opt-in by name (a simulated frontier per rebalance date);
+    # the default set is every other builtin
+    assert set(res.rule_names) == set(BUILTIN_RULES) - {"dd_budget"}
 
 
 def test_switch_costs_charged_correctly():
