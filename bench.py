@@ -354,10 +354,50 @@ def headline(mean, chol, on_tpu):
     }))
 
 
-def main() -> None:
-    import jax
+def _error_headline(detail: str) -> None:
+    # The driver parses the LAST JSON line; never leave it a traceback.
+    print(json.dumps({
+        "metric": "gbm_path_steps_per_sec_per_chip", "value": 0.0,
+        "unit": f"error: {detail}"[:300],
+        "vs_baseline": 0.0,
+    }), flush=True)
 
-    on_tpu = jax.default_backend() == "tpu"
+
+def main() -> None:
+    # Outage-proof init (VERDICT r3 item 1): honor JAX_PLATFORMS=cpu (the axon
+    # plugin ignores the env var — CLAUDE.md), and bound backend init with a
+    # watchdog: a hung plugin factory holds xla_bridge's process-global lock,
+    # so on timeout the only clean move is to print the parseable tail and
+    # _exit. Zero added latency when the tunnel is healthy (unlike a probe
+    # subprocess, which would double the ~65-440 s tunnel init).
+    import os
+
+    from mcport.utils.backend import apply_platform, forced_platform, init_watchdog
+
+    forced = forced_platform()
+    if forced is not None:
+        apply_platform(forced)
+
+    def _die_bounded():
+        _emit("backend_status", 0.0,
+              "error: tpu_unavailable (backend init exceeded watchdog)")
+        _error_headline("tpu_unavailable (backend init exceeded watchdog)")
+        os._exit(0)
+
+    cancel = init_watchdog(
+        float(os.environ.get("MCPORT_BACKEND_TIMEOUT", "900")), _die_bounded)
+    try:
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception as e:  # fast-fail mode: tunnel relay down, init raised
+        cancel()
+        detail = f"tpu_unavailable ({type(e).__name__}: {e})"
+        _emit("backend_status", 0.0, f"error: {detail}"[:300])
+        _error_headline(detail)
+        return
+    cancel()
+
     mean, chol = _universe()
 
     if on_tpu:
@@ -367,7 +407,10 @@ def main() -> None:
             except Exception as e:  # fail-isolated: headline must still print
                 _emit(f"{stage.__name__}_error", 0.0, f"{type(e).__name__}: {e}")
 
-    headline(mean, chol, on_tpu)
+    try:
+        headline(mean, chol, on_tpu)
+    except Exception as e:
+        _error_headline(f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

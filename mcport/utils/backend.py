@@ -1,0 +1,160 @@
+"""Bounded JAX backend initialization (outage-proof entry points).
+
+The reference has no runtime-selection problem (NumPy only,
+/root/reference/app.py:1-30); this module exists because mcport's entry points
+run against a remote TPU whose transport can die mid-session. Two verified
+failure modes in this environment (VERDICT r3 "What's weak" 1-2):
+
+1. The axon TPU plugin IGNORES the ``JAX_PLATFORMS`` env var — only
+   ``jax.config.update("jax_platforms", "cpu")`` before the first backend
+   touch actually switches. A user exporting ``JAX_PLATFORMS=cpu`` and calling
+   ``mcport stats`` previously hung >400 s at import-time backend init.
+2. When the tunnel relay dies, backend init either raises ``RuntimeError:
+   Unable to initialize backend 'axon'`` quickly — or HANGS forever inside the
+   plugin factory while holding xla_bridge's process-global backend lock,
+   which makes any in-process fallback (init CPU after the hang) deadlock.
+
+Because a hung init cannot be recovered in-process, the only robust fallback
+decision point is BEFORE the first in-process backend touch.  ``probe_backend``
+therefore asks a *subprocess* to initialize the default backend under a wall
+timeout; ``ensure_backend`` uses it to pick a platform and force it via the
+config update, so callers get a working backend (or a clean error) in bounded
+time instead of an unbounded hang.
+
+Env knobs:
+  JAX_PLATFORMS=cpu        honored (config update applied — see mode 1).
+  MCPORT_BACKEND_PROBE=0   skip the subprocess probe (init directly).
+  MCPORT_BACKEND_TIMEOUT   probe wall timeout seconds (default 900; tunnel
+                           backend init measured at ~440 s in round 3).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+from dataclasses import dataclass
+
+_PROBE_SRC = (
+    "import jax, sys; sys.stdout.write(jax.default_backend()); sys.stdout.flush()"
+)
+
+#: Init failures that complete faster than this are treated as transient
+#: (worth one retry); a timeout or a slow failure means the transport is down.
+_FAST_FAIL_S = 60.0
+
+
+@dataclass(frozen=True)
+class ProbeResult:
+    ok: bool
+    backend: str | None
+    elapsed_s: float
+    detail: str
+
+
+def forced_platform() -> str | None:
+    """Platform forced by the JAX_PLATFORMS env var, if any (lowercased)."""
+    val = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    return val or None
+
+
+def apply_platform(platform: str) -> None:
+    """Force ``platform`` via the config update (the env var alone is ignored
+    by the axon plugin — CLAUDE.md verified gotcha). Must run before the first
+    in-process backend touch."""
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
+def probe_backend(timeout: float | None = None,
+                  probe_cmd: list[str] | None = None) -> ProbeResult:
+    """Initialize the default backend in a subprocess under a wall timeout.
+
+    Returns a ProbeResult; never raises. ``probe_cmd`` overrides the probe
+    subprocess for tests (e.g. a sleeper to simulate a hung plugin factory).
+    """
+    if timeout is None:
+        timeout = float(os.environ.get("MCPORT_BACKEND_TIMEOUT", "900"))
+    cmd = probe_cmd or [sys.executable, "-c", _PROBE_SRC]
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return ProbeResult(False, None, time.perf_counter() - t0,
+                           f"probe timed out after {timeout:.0f}s (hung init)")
+    except OSError as e:
+        return ProbeResult(False, None, time.perf_counter() - t0,
+                           f"probe spawn failed: {e}")
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or ["(no stderr)"]
+        return ProbeResult(False, None, dt,
+                           f"probe rc={proc.returncode}: {tail[0][:200]}")
+    backend = (proc.stdout or "").strip() or None
+    return ProbeResult(backend is not None, backend, dt, f"backend={backend}")
+
+
+def init_watchdog(timeout: float, on_timeout) -> "callable":
+    """Arm a daemon timer that calls ``on_timeout`` unless cancelled in time.
+
+    The hung-init failure mode (module docstring, mode 2) cannot be recovered
+    in-process, so the only bounded behavior for a batch entry point like
+    ``bench.py`` is: arm this before the first backend touch, cancel on
+    success, and have ``on_timeout`` print a parseable tail and ``os._exit``.
+    Unlike ``probe_backend`` this adds ZERO latency on the healthy path.
+
+    Returns the cancel callable.
+    """
+    import threading
+
+    t = threading.Timer(timeout, on_timeout)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
+def ensure_backend(want: str = "auto", timeout: float | None = None,
+                   retries: int = 1, quiet: bool = False,
+                   probe_cmd: list[str] | None = None) -> str:
+    """Pick and force a platform BEFORE any in-process backend init.
+
+    want:
+      "auto"  honor JAX_PLATFORMS if set; otherwise probe the default backend
+              in a subprocess (bounded) and fall back to "cpu" on failure.
+      "cpu"/"tpu"  force that platform directly (no probe).
+
+    Returns the platform string that was forced (or "default" when the probe
+    confirmed the default backend is healthy and no forcing is needed).
+    Never hangs longer than ~(retries+1) * timeout.
+    """
+    if want != "auto":
+        apply_platform(want)
+        return want
+
+    forced = forced_platform()
+    if forced is not None:
+        # Honor the env var the plugin ignores (failure mode 1).
+        apply_platform(forced)
+        return forced
+
+    if os.environ.get("MCPORT_BACKEND_PROBE", "1") == "0":
+        return "default"
+
+    last = None
+    for attempt in range(retries + 1):
+        last = probe_backend(timeout=timeout, probe_cmd=probe_cmd)
+        if last.ok:
+            return "default"
+        if not quiet:
+            print(f"mcport: backend probe attempt {attempt + 1} failed "
+                  f"({last.detail})", file=sys.stderr, flush=True)
+        if last.elapsed_s >= _FAST_FAIL_S:
+            break  # slow failure / timeout: transport is down, don't re-wait
+    if not quiet:
+        print("mcport: default backend unavailable — falling back to CPU",
+              file=sys.stderr, flush=True)
+    apply_platform("cpu")
+    return "cpu"
