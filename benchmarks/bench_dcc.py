@@ -134,8 +134,67 @@ def unroll_ab():
         print(f"  unroll={u}: {N_PATHS * N_STEPS / sec / 1e9:.2f}e9 path-steps/s")
 
 
+def layout_ab():
+    """Terminal-kernel layout A/B: tile (full / tri) vs pack (round 4).
+
+    Long k=8 windows and max-of-3 interleaved rounds — the tunnel's
+    between-window contention noise exceeds the tile-vs-tri delta otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.models.dcc import DCCGarchParams
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+    from mcport.utils.profiling import diff_timed
+
+    rng = np.random.default_rng(0)
+    corr = 0.5 * np.eye(N_ASSETS) + 0.5
+    sig0 = np.full(N_ASSETS, 4e-4)
+    base = CCCGarchParams(
+        mu=rng.normal(1e-3, 5e-4, N_ASSETS), omega=sig0 * 0.1,
+        alpha=np.full(N_ASSETS, 0.08), beta=np.full(N_ASSETS, 0.9),
+        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
+    params = DCCGarchParams(base=base, a_dcc=0.05, b_dcc=0.9,
+                            q0=corr, e0=np.zeros(N_ASSETS))
+
+    def make(kw):
+        @jax.jit
+        def one(seed):
+            return pallas_dcc_terminal_returns(
+                seed, params, N_PATHS, N_STEPS, **kw).sum() * 1e-9
+        return one
+
+    cfgs = {
+        "tile full b=512 u=2": make(dict(layout="tile", tri=False, block=512,
+                                         unroll=2)),
+        "tile tri  b=512 u=2": make(dict(layout="tile", tri=True, block=512,
+                                         unroll=2)),
+        "pack      b=1024 u=4": make(dict(layout="pack", block=1024,
+                                          unroll=4)),
+    }
+
+    def measure(one):
+        def loop(k):
+            acc = jnp.float32(0)
+            for i in range(k):
+                acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
+            return acc
+        return N_PATHS * N_STEPS / diff_timed(loop, k=8) / 1e9
+
+    hist = {n: [] for n in cfgs}
+    for _ in range(3):
+        for n, one in cfgs.items():
+            hist[n].append(measure(one))
+    for n, v in hist.items():
+        runs = " ".join(f"{x:.2f}" for x in v)
+        print(f"  {n}: max={max(v):.2f}e9 path-steps/s  (runs: {runs})")
+
+
 if __name__ == "__main__":
     if "--unroll" in sys.argv:
         unroll_ab()
+    elif "--layout" in sys.argv:
+        layout_ab()
     else:
         main()

@@ -92,6 +92,69 @@ def test_prefetch_same_stream():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_pack_layout_matches_lax_law():
+    """Round-4 packed-scalar layout (8 paths/sublane, per-element slabs):
+    same law as the lax reference, independent stream."""
+    n, steps = 20_000, 32
+    got = np.asarray(pallas_dcc_terminal_returns(
+        3, PARAMS, n, steps, interpret=True, block=128, layout="pack"))
+    ref = np.asarray(dcc_terminal_returns(jax.random.key(3), PARAMS, n, steps))
+    assert got.shape == (n, A)
+    se = ref.std(0) / np.sqrt(n)
+    np.testing.assert_allclose(got.mean(0), ref.mean(0), atol=float(6 * se.max()))
+    np.testing.assert_allclose(got.std(0), ref.std(0), rtol=0.08)
+    np.testing.assert_allclose(np.corrcoef(got, rowvar=False),
+                               np.corrcoef(ref, rowvar=False), atol=0.06)
+
+
+def test_pack_deterministic_and_padding_independent():
+    kw = dict(interpret=True, block=128, layout="pack")
+    a = np.asarray(pallas_dcc_terminal_returns(5, PARAMS, 300, 7, **kw))
+    b = np.asarray(pallas_dcc_terminal_returns(5, PARAMS, 300, 7, **kw))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all()
+    # p = 8b + s keeps paths block-local: a longer run extends, not reshuffles
+    c = np.asarray(pallas_dcc_terminal_returns(5, PARAMS, 257, 7, **kw))
+    np.testing.assert_array_equal(a[:257], c)
+
+
+def test_pack_zero_vol_closed_form():
+    base = CCCGarchParams(
+        mu=np.array([0.01, -0.005, 0.002]),
+        omega=np.zeros(A), alpha=np.zeros(A), beta=np.zeros(A),
+        corr_chol=np.eye(A), sigma2_0=np.zeros(A), eps2_0=np.zeros(A),
+    )
+    p = DCCGarchParams(base=base, a_dcc=0.05, b_dcc=0.9, q0=np.eye(A),
+                       e0=np.zeros(A))
+    out = np.asarray(pallas_dcc_terminal_returns(
+        1, p, 64, 6, interpret=True, block=128, layout="pack"))
+    np.testing.assert_allclose(out[:, 0], 1.01 ** 6 - 1, atol=3e-7)
+    np.testing.assert_allclose(out[:, 1], 0.995 ** 6 - 1, atol=3e-7)
+    np.testing.assert_allclose(out[:, 2], 1.002 ** 6 - 1, atol=3e-7)
+
+
+def test_tile_tri_bitexact_vs_full_15_assets():
+    """The triangle Q carry drops whole sublane tiles; consumed lanes run the
+    identical op sequence, so tri == full BITWISE (needs A > 8 so column
+    tiles actually differ)."""
+    a15 = 15
+    rng = np.random.default_rng(0)
+    corr = 0.5 * np.eye(a15) + 0.5
+    sig0 = np.full(a15, 4e-4)
+    base = CCCGarchParams(
+        mu=rng.normal(1e-3, 5e-4, a15), omega=sig0 * 0.1,
+        alpha=np.full(a15, 0.08), beta=np.full(a15, 0.9),
+        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
+    p = DCCGarchParams(base=base, a_dcc=0.05, b_dcc=0.9, q0=corr,
+                       e0=np.zeros(a15))
+    kw = dict(n_paths=256, n_steps=9, block=128, interpret=True,
+              layout="tile")
+    full = np.asarray(pallas_dcc_terminal_returns(7, p, tri=False, **kw))
+    tri = np.asarray(pallas_dcc_terminal_returns(7, p, tri=True, **kw))
+    np.testing.assert_array_equal(full, tri)
+    assert np.isfinite(tri).all()
+
+
 def test_correlation_rises_after_common_shocks():
     """The DCC point: with news weight a > 0, Q_t's off-diagonals move with
     realized shock products. Start Q below S: the mean-reverting (1-a-b)S

@@ -383,6 +383,41 @@ def test_dcc_kernel_compiled_law():
     assert abs(gc - rc) < 0.05
 
 
+def test_dcc_layouts_agree_compiled():
+    """Round 4: the pack layout (terminal default, 2.2x) vs the tile layout
+    on hardware — same law, independent streams; and tri==full bitwise."""
+    from mcport.models.dcc import DCCGarchParams
+    from mcport.models.garch_mc import CCCGarchParams
+    from mcport.ops.pallas_dcc import pallas_dcc_terminal_returns
+
+    a = 15
+    rng = np.random.default_rng(0)
+    corr = 0.5 * np.eye(a) + 0.5
+    sig0 = np.full(a, 4e-4)
+    base = CCCGarchParams(
+        mu=rng.normal(1e-3, 5e-4, a), omega=sig0 * 0.1,
+        alpha=np.full(a, 0.08), beta=np.full(a, 0.9),
+        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
+    p = DCCGarchParams(base=base, a_dcc=0.05, b_dcc=0.9, q0=corr,
+                       e0=np.zeros(a))
+    n, steps = 262_144, 26
+    pack = pallas_dcc_terminal_returns(7, p, n, steps, layout="pack")
+    tile = pallas_dcc_terminal_returns(7, p, n, steps, layout="tile")
+    for gm, tm in ((pack.mean(0), tile.mean(0)), (pack.std(0), tile.std(0))):
+        np.testing.assert_allclose(np.asarray(jax.device_get(gm)),
+                                   np.asarray(jax.device_get(tm)), rtol=0.06,
+                                   atol=3e-4)
+    pc = float(jax.device_get(jnp.corrcoef(pack.T)[0, 1]))
+    tc = float(jax.device_get(jnp.corrcoef(tile.T)[0, 1]))
+    assert abs(pc - tc) < 0.04
+    # tri drops whole sublane tiles but consumed lanes run identical ops
+    full = pallas_dcc_terminal_returns(3, p, 4_096, 13, layout="tile",
+                                       tri=False)
+    tri = pallas_dcc_terminal_returns(3, p, 4_096, 13, layout="tile",
+                                      tri=True)
+    assert bool(jax.device_get(jnp.array_equal(full, tri)))
+
+
 def test_hedged_multi_dd_compiled():
     """Round 3: hedged per-period settlement on hardware — identity hedge
     tracks rebalance mode; protective puts lift every drawdown."""
