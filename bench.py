@@ -119,6 +119,19 @@ def fleet(mean, chol):
     _emit("hedged_overhead_vs_terminal_pct", (t_hedged / t_plain - 1.0) * 100,
           "% wall overhead of option settlement on the terminal engine")
 
+    # -- screening-tier terminal (bm="poly_fast", round 4): degree-5 normal
+    # fits, draw error <=1.5e-4 worst-case — the frontier/VaR screening tier
+    @jax.jit
+    def plain_fast(seed):
+        term = pallas_terminal_log_returns(seed, mean, chol, N_PATHS, N_STEPS,
+                                           bm="poly_fast")
+        return ((jnp.exp(term) - 1.0) @ w).sum() * 1e-9
+
+    rate_f = N_PATHS * N_STEPS / diff_timed(_chain(plain_fast), k=5)
+    _emit("gbm_terminal_fast_path_steps_per_sec", rate_f,
+          "path-steps/s (15 assets, 252 steps, poly_fast screening tier)",
+          rate_f / BASELINE_PATH_STEPS_PER_SEC)
+
     # -- path-stats kernel (terminal + per-step portfolio value + drawdown)
     from mcport.ops.pallas_gbm import gbm_path_stats
 

@@ -157,7 +157,8 @@ def cmd_gbm_risk(args) -> None:
     cfg = GBMConfig(n_paths=n_paths, n_steps=args.steps, seed=args.seed,
                     antithetic=args.antithetic, path_block=block,
                     use_pallas=not args.no_pallas,
-                    innovations=args.innovations, t_dof=t_dof)
+                    innovations=args.innovations, t_dof=t_dof,
+                    bm=args.fast_normal and "poly_fast" or "poly")
     ck = load_checkpoint(args.checkpoint) if args.resume else None
     _, hedge = _hedge_from_args(args, d)
     report, ck_out = run_resumable_mc(
@@ -920,6 +921,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--path-stats", action="store_true",
                     help="also simulate full paths for the max-drawdown distribution")
     sp.add_argument("--no-pallas", action="store_true", help="force the lax engine")
+    sp.add_argument("--fast-normal", action="store_true",
+                    help="screening-tier normal draws (degree-5 polynomial "
+                         "Box-Muller, ~+30%% terminal throughput, draw error "
+                         "<=~1e-5; Pallas path only)")
     sp.add_argument("--checkpoint", default=None, help="npz checkpoint path")
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     sp.add_argument("--hedge", default=None, metavar="FILE",

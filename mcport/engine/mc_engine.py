@@ -57,6 +57,10 @@ def _run_digest(params: GBMParams, weights, config: GBMConfig, hedge=None) -> st
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
              f"{config.path_block}|{config.antithetic}|"
              f"{config.innovations}|{config.t_dof}".encode())
+    if getattr(config, "bm", "poly") != "poly":
+        # stream-affecting normal tier; appended only when non-default so
+        # pre-round-4 checkpoints keep their digests
+        h.update(f"|bm={config.bm}".encode())
     if hedge is not None:
         h.update(b"hedge|" + hedge.digest_bytes())
     return h.hexdigest()
@@ -159,7 +163,7 @@ class RiskReport:
     jax.jit,
     static_argnames=(
         "n_dispatch_blocks", "block_paths", "n_steps", "use_pallas", "antithetic",
-        "sketch", "innovations", "t_dof", "hedged",
+        "sketch", "innovations", "t_dof", "hedged", "bm",
     ),
 )
 def _blocks_update(
@@ -182,6 +186,7 @@ def _blocks_update(
     t_dof: float = 6.0,
     hedged: bool = False,
     hedge_args: tuple = (),
+    bm: str = "poly",
 ):
     """Fold ``n_dispatch_blocks`` consecutive path blocks in ONE device dispatch.
 
@@ -201,6 +206,7 @@ def _blocks_update(
                 block_seed, mean_step, chol_step, block_paths, n_steps,
                 antithetic=antithetic,
                 t_df=t_dof if innovations == "student_t" else None,
+                bm=bm,
             )
         elif innovations == "student_t":
             key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
@@ -356,7 +362,7 @@ def run_resumable_mc(
             mean_step, chol_step, w, shift, moments, hist, port_sum,
             group, block_paths, config.n_steps, use_pallas, config.antithetic,
             sketch, config.innovations, config.t_dof,
-            hedge is not None, hedge_args,
+            hedge is not None, hedge_args, getattr(config, "bm", "poly"),
         )
         b += group
 

@@ -59,13 +59,13 @@ class ShardedRisk(NamedTuple):
 
 
 def _local_terminal(seed, mean_step, chol_step, n_local, n_steps, use_pallas,
-                    antithetic, t_df=None):
+                    antithetic, t_df=None, bm="poly"):
     if use_pallas:
         from mcport.ops.pallas_gbm import pallas_terminal_log_returns
 
         return pallas_terminal_log_returns(
             seed, mean_step, chol_step, n_local, n_steps, antithetic=antithetic,
-            t_df=t_df,
+            t_df=t_df, bm=bm,
         )
     key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
     if t_df is not None:

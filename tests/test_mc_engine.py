@@ -59,6 +59,22 @@ def test_wrong_config_checkpoint_rejected(tmp_path):
         run_resumable_mc(PARAMS, W, other, SKETCH, checkpoint=load_checkpoint(path))
 
 
+def test_fast_normal_tier_config():
+    """bm="poly_fast" (round-4 screening tier) changes the checkpoint digest
+    (stream-affecting) but old default-config digests are unchanged, and the
+    lax fallback still runs (bm affects the Pallas path only)."""
+    import dataclasses
+
+    from mcport.engine.mc_engine import _run_digest
+
+    fast_cfg = dataclasses.replace(CFG, bm="poly_fast")
+    assert _run_digest(PARAMS, W, fast_cfg) != _run_digest(PARAMS, W, CFG)
+    r_fast, _ = run_resumable_mc(PARAMS, W, fast_cfg, sketch=SKETCH)
+    r_def, _ = run_resumable_mc(PARAMS, W, CFG, sketch=SKETCH)
+    # lax path ignores bm: identical results
+    assert r_fast.var == r_def.var and r_fast.cvar == r_def.cvar
+
+
 def test_indivisible_block_raises():
     with pytest.raises(ValueError):
         run_resumable_mc(PARAMS, W, GBMConfig(n_paths=1000, path_block=512, use_pallas=False))

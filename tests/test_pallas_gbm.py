@@ -177,6 +177,41 @@ def test_terminal_kernel_variants_same_law_interpret():
     base = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True, bm="exact"))
     poly = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True, bm="poly"))
     np.testing.assert_allclose(poly, base, atol=2e-5)
+    fast = np.asarray(gbm_terminal_noise(3, chol, 2048, 8, interpret=True,
+                                         bm="poly_fast"))
+    np.testing.assert_allclose(fast, base, atol=3e-4)
+
+
+def test_poly_fast_fidelity_bound():
+    """Screening tier (VERDICT r3 item 3): the measured draw-fidelity bound.
+
+    Same uniforms through poly_fast and exact Box-Muller: the z error is the
+    ln-fit error (5.7e-6) amplified by 1/r near u1→1, plus the sincos fit
+    error (2.2e-5 cos / 2.5e-6 sin) scaled UP by r. Worst case over the full
+    representable uniform range: ~1.5e-4 at the 5.65σ radius (u1 = 2^-23) —
+    tiny relative to MC noise at any screening path count."""
+    from mcport.ops.pallas_gbm import _BM_VARIANTS
+
+    rng = np.random.default_rng(1)
+    # include extreme corners of both uniforms: deep tail and r→0
+    u1 = np.concatenate([
+        rng.uniform(2**-23, 1.0, 400_000),
+        np.array([2**-23, 1e-6, 0.9999, 0.999999, 1.0 - 2**-24]),
+    ]).astype(np.float32)
+    u2 = rng.uniform(0, 1, u1.shape[0]).astype(np.float32)
+    z1e, z2e = _BM_VARIANTS["exact"](jnp.asarray(u1), jnp.asarray(u2))
+    z1f, z2f = _BM_VARIANTS["poly_fast"](jnp.asarray(u1), jnp.asarray(u2))
+    d1 = np.abs(np.asarray(z1f) - np.asarray(z1e))
+    d2 = np.abs(np.asarray(z2f) - np.asarray(z2e))
+    r = np.sqrt(-2.0 * np.log(u1.astype(np.float64)))
+    # ln err / r (dominates small r) + sincos err * r (dominates the tail)
+    bound = 1e-5 + 2.5e-5 * r + 1.2 * 5.7e-6 / np.maximum(r, 1e-3)
+    assert (d1 <= bound).all() and (d2 <= bound).all()
+    assert d1.max() < 1.6e-4 and d2.max() < 1.6e-4
+    # distribution-level: quantiles of the fast tier match exact to 1e-4
+    for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+        assert abs(np.quantile(np.asarray(z1f), q)
+                   - np.quantile(np.asarray(z1e), q)) < 1e-4
 
 
 def test_t_kernel_law_parity_vs_lax_t():
