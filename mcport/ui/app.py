@@ -57,6 +57,7 @@ st.markdown(
     .stNumberInput>input { background-color: #2e2e2e; color: #e0e0e0;
                            border: 1px solid #444; border-radius: 5px; }
     .stExpander { background-color: #2e2e2e; border: 1px solid #444; border-radius: 5px; }
+    .stExpander > div[data-testid="stExpanderHeader"] { color: #e0e0e0; }
     .stTabs [data-baseweb="tab-list"] { background-color: #2e2e2e;
                                         border-bottom: 1px solid #444; }
     .stTabs [data-baseweb="tab"] { background-color: #2e2e2e; color: #bbb;
@@ -86,16 +87,19 @@ with st.sidebar.expander("بارگذاری فایل‌ها 📤"):
         type=["csv"], accept_multiple_files=True, key="uploader",
     )
     if uploaded_files:
-        loaded = {n for n, _ in st.session_state["uploaded_dfs"]}
+        # per-file-OBJECT dedupe, exactly as the reference (app.py:385-390):
+        # a same-name re-upload is a NEW object → appended as a new asset,
+        # later disambiguated by dedupe_names' Counter suffix (app.py:441-447)
         for file in uploaded_files:
-            name = file.name.split(".")[0]
-            if name in loaded:
+            if getattr(file, "uploaded_in_session", False):
                 continue
             try:
                 df = read_csv_file(file)
-                st.session_state["uploaded_dfs"].append((name, df))
+                st.session_state["uploaded_dfs"].append(
+                    (file.name.split(".")[0], df))
             except Exception as e:
                 st.error(f"خطا در خواندن فایل {file.name}: {e}")
+            file.uploaded_in_session = True
 
 with st.sidebar.expander("دریافت داده آنلاین 📥"):
     st.markdown(

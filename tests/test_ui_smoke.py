@@ -64,7 +64,22 @@ def _make_streamlit(rec: _Recorder, upload_paths):
     st.warning = lambda *a, **k: None
     st.success = lambda *a, **k: None
     st.error = lambda *a, **k: rec.errors.append(a[0] if a else "?")
-    st.file_uploader = lambda *a, **k: [_UploadFile(p) for p in upload_paths]
+    # real streamlit returns the SAME UploadedFile objects on every rerun
+    # until the widget value changes — the reference's per-object dedupe
+    # (app.py:385-390) relies on that, so the mock must too. Appending to
+    # st.file_uploader_paths simulates the user adding a file (new object).
+    st.file_uploader_paths = list(upload_paths)
+    _upload_objs = {}
+
+    def _uploader(*a, **k):
+        out = []
+        for i, path in enumerate(st.file_uploader_paths):
+            if i not in _upload_objs:
+                _upload_objs[i] = _UploadFile(path)
+            out.append(_upload_objs[i])
+        return out
+
+    st.file_uploader = _uploader
     st.text_input = lambda *a, **k: ""
     st.date_input = lambda label, value=None, **k: value
     st.button = lambda *a, **k: False
@@ -125,3 +140,20 @@ def test_ui_runs_end_to_end_with_fixture_uploads(monkeypatch):
     assert rec.charts >= 6 * 2 + 2
     # the uploaded data landed in session state
     assert len(st.session_state["uploaded_dfs"]) == 2
+
+    # reference upload semantics (app.py:385-390 + 441-447): a rerun with the
+    # SAME file objects is idempotent; a same-name re-upload is a NEW object
+    # and appends a second asset, disambiguated by the Counter suffix
+    sys.modules.pop("mcport.ui.app", None)
+    runpy.run_module("mcport.ui.app", run_name="app")
+    assert len(st.session_state["uploaded_dfs"]) == 2
+
+    st.file_uploader_paths.append(uploads[0])   # re-upload BTC (new object)
+    sys.modules.pop("mcport.ui.app", None)
+    runpy.run_module("mcport.ui.app", run_name="app")
+    assert len(st.session_state["uploaded_dfs"]) == 3
+    from mcport.data.pipeline import dedupe_names
+
+    names = dedupe_names([t for t, _ in st.session_state["uploaded_dfs"]])
+    assert names[2] == f"{names[0]} (2)"
+    assert rec.errors == []
