@@ -203,6 +203,33 @@ def fleet(mean, chol):
         _emit(f"multi_dd_{label}_cand_path_steps_per_sec", rate,
               f"cand-path-steps/s (256 cand, 131072 paths, 252 steps, {sd})")
 
+    # -- drawdown-frontier auto precision tier (round 4): the engine default
+    # resolves score_dtype="auto" to the bf16 screen + exact winner rescore
+    # on big buy-and-hold workloads; identical optimum, less wall
+    from mcport.engine.drawdown_frontier import drawdown_frontier_search
+    from mcport.models.gbm import GBMParams
+
+    fp = GBMParams(s0=np.full(N_ASSETS, 100.0), mean_step=np.asarray(mean),
+                   chol_step=np.asarray(chol))
+    fkw = dict(dd_budget=0.5, n_candidates=2048, n_paths=32_768,
+               n_steps=N_STEPS, w_block=256)
+
+    def frontier_wall(sd):
+        t0 = time.perf_counter()
+        r = drawdown_frontier_search(jax.random.key(5), fp, score_dtype=sd,
+                                     **fkw)
+        return time.perf_counter() - t0, r
+
+    frontier_wall("float32")                    # compile both programs
+    frontier_wall("auto")
+    t32, r32 = frontier_wall("float32")         # warm walls
+    tauto, rauto = frontier_wall("auto")
+    same = (r32.opt_idx == rauto.opt_idx
+            and r32.ret[r32.opt_idx] == rauto.ret[rauto.opt_idx])
+    _emit("dd_frontier_auto_speedup", t32 / max(tauto, 1e-9),
+          f"x wall vs full-f32 (2048 cand, 32768 paths, 252 steps, warm; "
+          f"optimum identical: {bool(same)})")
+
     # -- stationary block bootstrap kernel
     from mcport.ops.pallas_bootstrap import pallas_bootstrap_terminal_returns
 

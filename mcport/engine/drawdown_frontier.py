@@ -161,13 +161,14 @@ def drawdown_frontier_search(
     max_weights: np.ndarray | None = None,
     w_block: int = 128,
     dtype=jnp.float32,
-    score_dtype: str = "float32",
+    score_dtype: str = "auto",
     rescore_top: int = 32,
     use_pallas: bool | None = None,
     interpret: bool = False,
     rebalance: bool = False,
     hedge=None,
     t_df: float | None = None,
+    auto_bf16_min_work: int = 1 << 25,
 ) -> DrawdownFrontierResult:
     """Max expected simulated return s.t. the p95-worst drawdown >= -dd_budget.
 
@@ -182,6 +183,20 @@ def drawdown_frontier_search(
     metrics are exact f32. ``use_pallas``/``interpret`` default to backend
     auto-detection; tests force the kernel path on CPU via
     ``use_pallas=True, interpret=True``.
+
+    ``score_dtype="auto"`` (default, round 4) turns the bf16 screen ON when
+    it is provably exact-at-the-optimum AND worth its extra rescore dispatch:
+    buy-and-hold unhedged kernel scoring (terminal returns are bit-exact
+    under bf16 — only drawdowns perturb, and every candidate the argmax could
+    select lands in the rescore pool, so the reported optimum is IDENTICAL to
+    a full-f32 search, pinned by tests) with at least ``auto_bf16_min_work``
+    candidate-path-steps (2^25 default — below that the f32 screen is already
+    sub-millisecond on-chip and the extra dispatch dominates; on a tunneled
+    device the ~0.25 s dispatch floor pushes the practical breakeven higher).
+    Rebalanced/hedged scoring compounds bf16 rounding through the terminal
+    return itself, so auto never picks bf16 there — pass
+    ``score_dtype="bfloat16"`` explicitly for those (metrics at the optimum
+    are still exact f32; winner identity is then only margin-protected).
 
     ``rebalance=True`` scores per-period-rebalanced candidates
     (V_{t+1} = V_t · w'exp(x_t), the reference's historical R·w convention)
@@ -198,6 +213,12 @@ def drawdown_frontier_search(
     max_w = jnp.ones(a) if max_weights is None else jnp.asarray(max_weights)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    if score_dtype == "auto":
+        work = n_candidates * n_paths * n_steps
+        score_dtype = "bfloat16" if (
+            use_pallas and rescore_top > 0 and not rebalance and hedge is None
+            and work >= auto_bf16_min_work) else "float32"
 
     trivial = bool((np.asarray(min_w) <= 0).all() and (np.asarray(max_w) >= 1).all())
     mean_j, chol_j = jnp.asarray(params.mean_step), jnp.asarray(params.chol_step)

@@ -121,6 +121,34 @@ def test_frontier_bf16_screen_exact_rescore():
     assert rb16.dd_p95[rb16.opt_idx] == r32.dd_p95[r32.opt_idx]
 
 
+def test_frontier_auto_tier_default_bitequal_vs_f32():
+    """Round-4 default: score_dtype="auto" resolves to the bf16 screen +
+    exact rescore on big buy-and-hold kernel workloads, and the reported
+    optimum is BIT-EQUAL to a full-f32 search (identity + metrics)."""
+    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=2048, n_steps=26,
+              use_pallas=True, interpret=True)
+    r32 = drawdown_frontier_search(jax.random.key(2), PARAMS,
+                                   score_dtype="float32", **kw)
+    # auto_bf16_min_work=0 forces the auto heuristic ON at test scale
+    rauto = drawdown_frontier_search(jax.random.key(2), PARAMS,
+                                     auto_bf16_min_work=0, **kw)
+    assert r32.opt_idx >= 0
+    assert rauto.opt_idx == r32.opt_idx
+    assert rauto.ret[rauto.opt_idx] == r32.ret[r32.opt_idx]
+    assert rauto.dd_p95[rauto.opt_idx] == r32.dd_p95[r32.opt_idx]
+    # below the work threshold (default 2^25 > 64*2048*26) auto stays f32:
+    # every score matches the f32 run, not just the rescored optimum
+    rsmall = drawdown_frontier_search(jax.random.key(2), PARAMS, **kw)
+    np.testing.assert_array_equal(rsmall.ret, r32.ret)
+    np.testing.assert_array_equal(rsmall.dd_p95, r32.dd_p95)
+    # rebalanced scoring compounds bf16 into returns: auto must refuse bf16
+    rreb = drawdown_frontier_search(
+        jax.random.key(2), PARAMS, auto_bf16_min_work=0, rebalance=True, **kw)
+    rreb32 = drawdown_frontier_search(
+        jax.random.key(2), PARAMS, score_dtype="float32", rebalance=True, **kw)
+    np.testing.assert_array_equal(rreb.ret, rreb32.ret)
+
+
 def test_multi_dd_rebalance_matches_path_stats_kernel():
     """W=1 rebalanced multi-dd == the single-portfolio kernel's rebalance
     mode: identical streams, same V_{t+1} = V_t * w'exp(x_t) recursion."""
