@@ -188,8 +188,11 @@ def drawdown_frontier_search(
     it is provably exact-at-the-optimum AND worth its extra rescore dispatch:
     buy-and-hold unhedged kernel scoring (terminal returns are bit-exact
     under bf16 — only drawdowns perturb, and every candidate the argmax could
-    select lands in the rescore pool, so the reported optimum is IDENTICAL to
-    a full-f32 search, pinned by tests) with at least ``auto_bf16_min_work``
+    select lands in the rescore pool, so the reported optimum matches a
+    full-f32 search, pinned by tests; the only residual ambiguity is
+    candidates whose mean returns tie within ~1 ulp of the cross-program
+    reduction — those are rescored and the argmax taken on exact values, so
+    the auto winner is exact-optimal even then) with at least ``auto_bf16_min_work``
     candidate-path-steps (2^25 default — below that the f32 screen is already
     sub-millisecond on-chip and the extra dispatch dominates; on a tunneled
     device the ~0.25 s dispatch floor pushes the practical breakeven higher).
@@ -265,10 +268,22 @@ def drawdown_frontier_search(
                     break
                 winner = int(np.argmax(np.where(feas, ret, -np.inf)))
                 if winner in rescored:
-                    break
-                fresh = [i for i in pool[np.argsort(-ret[pool])]
-                         if i != winner and i not in rescored]
-                batch = np.asarray([winner] + fresh[:rescore_top - 1])
+                    # near-tie contenders: ret is a cross-compiled-program
+                    # mean reduction, so two programs can disagree by ~1 ulp
+                    # (~1e-7 rel, observed 9e-8 on the v5e). Rescore any
+                    # feasible candidate within that band of the (exact)
+                    # winner so the final argmax compares exact values.
+                    tie = 4e-7 * max(1.0, abs(float(ret[winner])))
+                    ties = [i for i in np.nonzero(feas)[0]
+                            if i not in rescored
+                            and ret[i] >= ret[winner] - tie]
+                    if not ties:
+                        break
+                    batch = np.asarray(ties[:max(rescore_top, 1)])
+                else:
+                    fresh = [i for i in pool[np.argsort(-ret[pool])]
+                             if i != winner and i not in rescored]
+                    batch = np.asarray([winner] + fresh[:rescore_top - 1])
                 term_x, dd_x = gbm_multi_portfolio_dd(
                     seed, mean_j, chol_j, jnp.asarray(w[batch]), n_paths,
                     n_steps, interpret=interpret, rebalance=rebalance,
