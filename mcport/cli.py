@@ -855,6 +855,52 @@ def cmd_dd_frontier(args) -> None:
     _emit(out)
 
 
+def cmd_report(args) -> None:
+    """Static HTML report: the app's tabs (stats / frontier / forecast)
+    rendered dependency-free via mcport.ui.static (round 4 — the UI tier's
+    executable path in environments without streamlit)."""
+    import pandas as pd
+
+    from mcport.engine import run_simulation
+    from mcport.engine.simulate import DEFAULT_METHODS
+    from mcport.models import forecast_prices
+    from mcport.stats import DISPLAY_COLUMNS, asset_stats_batch
+    from mcport.ui.static import render_report
+    from mcport.ui.view import forecast_view, frontier_view
+
+    d = _universe(args)
+    stats = asset_stats_batch(d.stats_rets.T, d.ann_factor, args.risk_free)
+    stats_df = pd.DataFrame(
+        {k: np.asarray(stats[k]) for k in DISPLAY_COLUMNS}, index=list(d.names))
+
+    cfg = Config(
+        portfolio=PortfolioConfig(risk_free=args.risk_free,
+                                  investment_amount=args.investment),
+        simulation=SimulationConfig(n_portfolios=args.n_portfolios,
+                                    seed=args.seed),
+    )
+    methods = args.methods.split(",") if args.methods else DEFAULT_METHODS
+    out = run_simulation(d, cfg, methods=methods)
+    fviews = {
+        m: frontier_view(m, r, d.names, args.risk_free, args.investment)
+        for m, r in out.results.items()
+    }
+
+    horizons = tuple(int(h) for h in args.horizons.split(","))
+    fc_views = {}
+    for i, name in enumerate(d.names):
+        f = forecast_prices(d.prices[:, i], ForecastConfig(horizons=horizons))
+        fc_views[name] = forecast_view(float(d.prices[-1, i]), f)
+
+    html_doc = render_report(
+        stats_df, fviews, fc_views, period_label=args.period,
+        investment=args.investment)
+    with open(args.out, "w", encoding="utf-8") as fh:
+        fh.write(html_doc)
+    _emit({"report": args.out, "bytes": len(html_doc),
+           "methods": list(fviews), "assets": list(d.names)})
+
+
 def cmd_forecast(args) -> None:
     from mcport.models import forecast_prices
 
@@ -888,6 +934,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("stats", help="per-asset statistics table")
     common(sp)
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("report", help="static HTML report (stats + "
+                        "frontier + forecasts; no streamlit needed)")
+    common(sp)
+    sp.add_argument("--out", default="mcport_report.html")
+    sp.add_argument("--n-portfolios", type=int, default=2500)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--investment", type=float, default=10_000.0)
+    sp.add_argument("--methods", default=None, help="comma list (default: all six)")
+    sp.add_argument("--horizons", default="1,3,6",
+                    help="forecast horizons, comma list of periods")
+    sp.set_defaults(fn=cmd_report)
 
     sp = sub.add_parser("simulate", help="random-weight portfolio search")
     common(sp)
