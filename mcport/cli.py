@@ -705,7 +705,8 @@ def cmd_path_risk(args) -> None:
     block = min(args.paths, 8192)
     n_paths = _round_paths(args.paths, block)
     cfg = Config(gbm=GBMConfig(n_paths=n_paths, n_steps=args.steps,
-                               seed=args.seed, path_block=block),
+                               seed=args.seed, path_block=block,
+                               bm="poly_fast" if args.fast_normal else "poly"),
                  simulation=SimulationConfig(alpha=args.alpha))
     rebalance = not args.buy_and_hold
     models = args.models.split(",")
@@ -813,8 +814,11 @@ def cmd_dd_frontier(args) -> None:
             n_steps=args.steps, alpha=args.alpha,
             score_dtype=args.score_dtype,
             rebalance=args.rebalance, hedge=hedge, t_df=t_dof,
+            bm="poly_fast" if args.fast_normal else "poly",
         )
     else:
+        if args.fast_normal:
+            raise SystemExit("--fast-normal applies to --model gbm only")
         if args.model == "garch":
             from mcport.models.garch_mc import estimate_ccc_garch
 
@@ -1144,6 +1148,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "bit-identical to unsplit ones)")
     sp.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint FILE")
+    sp.add_argument("--fast-normal", action="store_true",
+                    help="screening-tier normal draws (degree-5 polynomial "
+                         "Box-Muller, draw error <=~1.5e-4; gbm/student_t "
+                         "Pallas path only — other families ignore it)")
     sp.set_defaults(fn=cmd_path_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
@@ -1172,12 +1180,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
     sp.add_argument("--score-dtype",
-                    choices=["float32", "tensorfloat32", "bfloat16"],
-                    default="float32",
-                    help="candidate-scoring matmul tier: tensorfloat32 is "
-                         "near-exact (~1.5e-5) at ~half the f32 cost; "
-                         "bfloat16 screens at 2.2x then re-scores the "
-                         "leaders at f32")
+                    choices=["auto", "float32", "tensorfloat32", "bfloat16"],
+                    default="auto",
+                    help="candidate-scoring matmul tier: auto (default) "
+                         "bf16-screens + exact-rescores when provably "
+                         "exact-at-the-optimum and worth the extra dispatch; "
+                         "tensorfloat32 is near-exact (~1.5e-5) at ~half the "
+                         "f32 cost; bfloat16 screens at 2.2x then re-scores "
+                         "the leaders at f32")
     sp.add_argument("--rebalance", action="store_true",
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
@@ -1197,6 +1207,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "dof; gbm model only)")
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
+    sp.add_argument("--fast-normal", action="store_true",
+                    help="screening-tier normal draws for screen AND rescore "
+                         "(stream-consistent; draw error <=~1.5e-4; gbm "
+                         "Pallas path only)")
     sp.set_defaults(fn=cmd_dd_frontier)
 
     sp = sub.add_parser("backtest",

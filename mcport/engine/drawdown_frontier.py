@@ -96,7 +96,7 @@ def _lax_multi_dd_hedged(key, mean_step, chol_step, w, n_paths, n_steps, dtype,
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "n_steps", "alpha", "w_block",
                      "use_pallas", "dtype", "trivial_bounds", "score_dtype",
-                     "interpret", "rebalance", "hedged", "t_df"),
+                     "interpret", "rebalance", "hedged", "t_df", "bm"),
 )
 def _score(
     key, mean_step, chol_step, min_w, max_w,
@@ -104,7 +104,7 @@ def _score(
     w_block: int, use_pallas: bool, dtype, trivial_bounds: bool = False,
     score_dtype: str = "float32", interpret: bool = False,
     rebalance: bool = False, hedged: bool = False, hedge_args: tuple = (),
-    t_df: float | None = None,
+    t_df: float | None = None, bm: str = "poly",
 ):
     k_path_seed, k_w = jax.random.split(key)
     if trivial_bounds:
@@ -133,7 +133,7 @@ def _score(
                 seed, mean_step, chol_step, w_blk, n_paths, n_steps,
                 interpret=interpret, score_dtype=score_dtype,
                 rebalance=rebalance,
-                hedge_args=hedge_args if hedged else None, t_df=t_df,
+                hedge_args=hedge_args if hedged else None, t_df=t_df, bm=bm,
             )
         else:
             term, dd = _lax_multi_dd(
@@ -169,6 +169,7 @@ def drawdown_frontier_search(
     hedge=None,
     t_df: float | None = None,
     auto_bf16_min_work: int = 1 << 25,
+    bm: str = "poly",
 ) -> DrawdownFrontierResult:
     """Max expected simulated return s.t. the p95-worst drawdown >= -dd_budget.
 
@@ -210,6 +211,14 @@ def drawdown_frontier_search(
     ``t_df`` scores candidates under unit-variance Student-t shocks (fat
     tails, same per-step covariance) in every mode — kernel, lax, hedged,
     and the exact rescore pass.
+
+    ``bm="poly_fast"`` (kernel path only; lax ignores it) swaps in the
+    screening-tier normal draws (pallas_gbm._boxmuller_poly_fast,
+    |Δz| <= ~1.5e-4) for BOTH the screen and the f32 winner rescore, so
+    the rescore stays stream-consistent and the reported optimum remains
+    exact-optimal *for the poly_fast draw stream*. The stream differs from
+    the "poly" default (results shift by MC-noise-sized amounts), so this
+    is an explicit screening opt-in, never picked by "auto".
     """
     a = params.n_assets
     min_w = jnp.zeros(a) if min_weights is None else jnp.asarray(min_weights)
@@ -231,7 +240,7 @@ def drawdown_frontier_search(
         key, mean_j, chol_j,
         min_w, max_w, n_candidates, n_paths, n_steps, alpha, w_block, use_pallas,
         dtype, trivial, score_dtype if use_pallas else "float32", interpret,
-        rebalance, hedge is not None, hedge_args, t_df,
+        rebalance, hedge is not None, hedge_args, t_df, bm,
     )
     w, valid = np.asarray(w), np.asarray(valid)
     ret, dd_p95 = np.array(ret), np.array(dd_p95)   # writable: rescore updates
@@ -288,7 +297,7 @@ def drawdown_frontier_search(
                     seed, mean_j, chol_j, jnp.asarray(w[batch]), n_paths,
                     n_steps, interpret=interpret, rebalance=rebalance,
                     hedge_args=hedge_args if hedge is not None else None,
-                    t_df=t_df,
+                    t_df=t_df, bm=bm,
                 )
                 ret[batch] = np.asarray(term_x.mean(axis=1))
                 worst, _ = jax.lax.top_k(-dd_x, k_tail)

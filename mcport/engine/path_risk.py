@@ -98,7 +98,7 @@ def _lax_path_stats(key, mean_step, chol_step, weights, n_paths, n_steps, dtype,
     jax.jit,
     static_argnames=(
         "n_blocks", "block_paths", "n_steps", "use_pallas", "sketch", "dd_sketch",
-        "rebalance", "hedged", "t_df",
+        "rebalance", "hedged", "t_df", "bm",
     ),
 )
 def _accumulate(
@@ -106,6 +106,7 @@ def _accumulate(
     n_blocks: int, block_paths: int, n_steps: int, use_pallas: bool,
     sketch: SketchConfig, dd_sketch: SketchConfig, rebalance: bool = False,
     hedged: bool = False, hedge_args: tuple = (), t_df: float | None = None,
+    bm: str = "poly",
 ):
     a = mean_step.shape[-1]
     dtype = mean_step.dtype
@@ -122,6 +123,7 @@ def _accumulate(
                 term, dd2 = gbm_multi_portfolio_dd(
                     block_seed, mean_step, chol_step, weights[None, :],
                     block_paths, n_steps, hedge_args=hedge_args, t_df=t_df,
+                    bm=bm,
                 )
             else:
                 from mcport.engine.drawdown_frontier import _lax_multi_dd_hedged
@@ -137,7 +139,7 @@ def _accumulate(
 
             _, port, dd = gbm_path_stats(
                 block_seed, mean_step, chol_step, weights, block_paths, n_steps,
-                rebalance=rebalance, t_df=t_df,
+                rebalance=rebalance, t_df=t_df, bm=bm,
             )
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
@@ -191,7 +193,11 @@ def run_path_risk(
     variance concentrated in the leading dimensions, so drawdown quantiles
     converge faster than pseudo-random at the same path count); each block
     uses its own scrambling seed (randomized-QMC replicates). Incompatible
-    with student_t (the bridge transform is Gaussian)."""
+    with student_t (the bridge transform is Gaussian).
+
+    ``config.bm="poly_fast"`` (kernel path only; lax and QMC ignore it)
+    selects the screening-tier normal draws — a different stream with
+    |Δz| <= ~1.5e-4 draw error; see pallas_gbm._boxmuller_poly_fast."""
     block_paths = config.path_block
     if config.n_paths % block_paths:
         raise ValueError(
@@ -248,7 +254,7 @@ def run_path_risk(
         rebalance, hedge is not None,
         () if hedge is None else (jnp.asarray(params.s0, dtype),
                                   *hedge.arrays),
-        t_df,
+        t_df, getattr(config, "bm", "poly"),
     )
     v, c = sketch_var_cvar(h_port, alpha, sketch)
     # dd quantiles: p95-worst = the 5th percentile of the (negative) dd sample
@@ -490,6 +496,10 @@ def _model_digest(model, model_params, weights, config: GBMConfig, hedge,
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
              f"{config.path_block}|{config.innovations}|{config.t_dof}|"
              f"{rebalance}|{stream}".encode())
+    if getattr(config, "bm", "poly") != "poly":
+        # stream-affecting normal tier (kernel path); appended only when
+        # non-default so existing checkpoints keep their digests
+        h.update(f"|bm={config.bm}".encode())
     if hedge is not None:
         h.update(b"hedge|" + hedge.digest_bytes())
     return h.hexdigest()
@@ -571,6 +581,7 @@ def _block_fn_for(model, model_params, weights, config: GBMConfig, hedge,
         chol = jnp.asarray(model_params.chol_step, jnp.float32)
         if model == "student_t" and t_df is None:
             t_df = float(config.t_dof)
+        bm = getattr(config, "bm", "poly")
 
         def block_fn(_b, block_seed):
             if hedge is not None:
@@ -579,7 +590,8 @@ def _block_fn_for(model, model_params, weights, config: GBMConfig, hedge,
 
                     return gbm_multi_portfolio_dd(
                         block_seed, m, chol, w1, config.path_block,
-                        config.n_steps, hedge_args=hedge_args, t_df=t_df)
+                        config.n_steps, hedge_args=hedge_args, t_df=t_df,
+                        bm=bm)
                 from mcport.engine.drawdown_frontier import _lax_multi_dd_hedged
 
                 key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
@@ -591,7 +603,7 @@ def _block_fn_for(model, model_params, weights, config: GBMConfig, hedge,
 
                 _, port, dd = gbm_path_stats(
                     block_seed, m, chol, w1[0], config.path_block,
-                    config.n_steps, rebalance=rebalance, t_df=t_df)
+                    config.n_steps, rebalance=rebalance, t_df=t_df, bm=bm)
                 return port[None, :], dd[None, :]
             key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
             port, dd = _lax_path_stats(

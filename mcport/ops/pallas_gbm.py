@@ -626,7 +626,8 @@ def _exp_small(x: Array) -> Array:
 def _path_stats_kernel(
     seed_ref, m_ref, lt_ref, w_ref, term_ref, stats_ref, *, n_steps: int,
     interpret: bool, impl: str = "eup_sum", rebalance: bool = False,
-    prefetch: bool = False, unroll: int = 1, t_df: float | None = None
+    prefetch: bool = False, unroll: int = 1, t_df: float | None = None,
+    bm: str = "poly"
 ):
     """impl selects the per-step portfolio-value pipeline (same math, same
     draws; see the module docstring A/B table):
@@ -646,7 +647,7 @@ def _path_stats_kernel(
     if t_df is not None:
         normal_pair = _make_t_pair(interpret, seed_ref, (a_pad, block), t_df)
     else:
-        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
 
     m = m_ref[:]          # (a_pad, 1) per-step mean log return
     lt = lt_ref[:]        # (a_pad, a_pad) Cholesky (lower)
@@ -712,7 +713,7 @@ def _path_stats_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_paths", "n_steps", "block", "interpret", "impl", "rebalance",
-                     "prefetch", "unroll", "t_df")
+                     "prefetch", "unroll", "t_df", "bm")
 )
 def gbm_path_stats(
     seed: Array,
@@ -728,6 +729,7 @@ def gbm_path_stats(
     prefetch: bool = True,
     unroll: int = 2,
     t_df: float | None = None,
+    bm: str = "poly",
 ) -> tuple[Array, Array, Array]:
     """Full in-VMEM path evolution with portfolio statistics.
 
@@ -742,6 +744,12 @@ def gbm_path_stats(
     :func:`pallas_terminal_log_returns` convention: the 1/sqrt(df/(df-2))
     scale folds into the Cholesky factor; fat tails, same per-step
     covariance).
+
+    ``bm="poly_fast"`` selects the screening-tier normal draws (degree-5
+    ln + degree-5/4 sincos, |Δz| <= ~1.5e-4 worst-case — see
+    :func:`_boxmuller_poly_fast`); a DIFFERENT stream from the "poly"
+    default, so opt-in for screening path risk only. Ignored with ``t_df``
+    (the t sampler has its own polynomial pipeline).
     """
     m = jnp.asarray(mean_step, jnp.float32)
     chol = jnp.asarray(chol_step, jnp.float32)
@@ -759,7 +767,7 @@ def gbm_path_stats(
     term, stats = pl.pallas_call(
         functools.partial(_path_stats_kernel, n_steps=n_steps, interpret=interpret,
                           impl=impl, rebalance=rebalance, prefetch=prefetch,
-                          unroll=unroll, t_df=t_df),
+                          unroll=unroll, t_df=t_df, bm=bm),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

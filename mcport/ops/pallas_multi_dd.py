@@ -83,7 +83,7 @@ def _multi_dd_kernel(
     seed_ref, m_ref, lt_ref, w_ref, *rest, n_steps: int,
     interpret: bool, prefetch: bool = False, score_dtype: str = "float32",
     rebalance: bool = False, hedged: bool = False, unroll: int = 1,
-    t_df: float | None = None
+    t_df: float | None = None, bm: str = "poly"
 ):
     if hedged:
         s0_ref, ht_ref, hk_ref, hp_ref, hq_ref, term_ref, dd_ref = rest
@@ -96,7 +96,7 @@ def _multi_dd_kernel(
 
         normal_pair = _make_t_pair(interpret, seed_ref, (a_pad, block), t_df)
     else:
-        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
+        normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block), bm)
 
     m = m_ref[:]          # (a_pad, 1)
     lt = lt_ref[:]        # (a_pad, a_pad)
@@ -228,7 +228,7 @@ def _multi_dd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret", "prefetch",
-                              "score_dtype", "rebalance", "unroll", "t_df")
+                              "score_dtype", "rebalance", "unroll", "t_df", "bm")
 )
 def gbm_multi_portfolio_dd(
     seed: Array,
@@ -245,6 +245,7 @@ def gbm_multi_portfolio_dd(
     hedge_args: tuple | None = None,
     unroll: int = 2,
     t_df: float | None = None,
+    bm: str = "poly",
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W candidates.
 
@@ -282,6 +283,12 @@ def gbm_multi_portfolio_dd(
     ``t_df`` swaps the shocks for unit-variance Student-t draws
     (pallas_gbm convention: the 1/sqrt(df/(df-2)) scale folds into the
     Cholesky factor) — fat-tail candidate scoring in every mode.
+
+    ``bm="poly_fast"`` swaps in the screening-tier normal draws
+    (pallas_gbm._boxmuller_poly_fast, |Δz| <= ~1.5e-4) — a DIFFERENT
+    stream from the "poly" default, so the drawdown frontier keeps its
+    winner rescore on the SAME bm for stream-consistent exactness.
+    Ignored with ``t_df``.
     """
     m = jnp.asarray(mean_step, jnp.float32)
     chol = jnp.asarray(chol_step, jnp.float32)
@@ -299,7 +306,7 @@ def gbm_multi_portfolio_dd(
             gbm_multi_portfolio_dd(seed, mean_step, chol_step,
                                    w[i:i + max_w], n_paths, n_steps,
                                    block, interpret, prefetch, score_dtype,
-                                   rebalance, hedge_args, unroll, t_df)
+                                   rebalance, hedge_args, unroll, t_df, bm)
             for i in range(0, w_cnt, max_w)
         ]
         return (jnp.concatenate([p[0] for p in parts], axis=0),
@@ -336,7 +343,7 @@ def gbm_multi_portfolio_dd(
         functools.partial(_multi_dd_kernel, n_steps=n_steps, interpret=interpret,
                           prefetch=prefetch, score_dtype=score_dtype,
                           rebalance=rebalance, hedged=hedged, unroll=unroll,
-                          t_df=t_df),
+                          t_df=t_df, bm=bm),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -110,8 +110,13 @@ def sharded_path_risk(
     dd_sketch: SketchConfig = DD_SKETCH,
     use_pallas: bool = False,
     axis: str = "paths",
+    bm: str = "poly",
 ) -> PathRiskReport:
-    """Drawdown + terminal tail risk over a mesh (psum'd histogram sketches)."""
+    """Drawdown + terminal tail risk over a mesh (psum'd histogram sketches).
+
+    ``bm="poly_fast"`` selects the screening-tier kernel normals on the
+    Pallas path (see pallas_gbm._boxmuller_poly_fast); ignored by the lax
+    tier."""
     n_dev = mesh.shape[axis]
     if n_paths % n_dev:
         raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
@@ -124,7 +129,7 @@ def sharded_path_risk(
             from mcport.ops.pallas_gbm import gbm_path_stats
 
             _, port, dd = gbm_path_stats(
-                dev_seed, mean_step, chol_step, weights, n_local, n_steps
+                dev_seed, mean_step, chol_step, weights, n_local, n_steps, bm=bm
             )
         else:
             key = jax.random.fold_in(jax.random.PRNGKey(0), dev_seed)

@@ -329,3 +329,40 @@ def test_family_frontier_hedged_and_errors():
     with pytest.raises(ValueError, match="s0"):
         family_drawdown_frontier_search(jax.random.key(0), "garch", gp,
                                         hedge=prot, **kw)
+
+
+def test_poly_fast_path_tier_and_stream_consistent_rescore():
+    """bm="poly_fast" (round-4 screening tier) through the PATH tier.
+
+    Interpret mode feeds the SAME Threefry uniforms to every bm variant, so
+    the fast tier's scores sit within the draw-fidelity bound of the poly
+    default (|Δz| <= ~1.5e-4 propagated through the step recursion), the
+    single-portfolio path-stats kernel stays consistent with the W=1
+    multi-dd kernel, and — the guarantee that matters — the bf16 screen's
+    exact rescore runs on the SAME bm, so the reported optimum is bit-equal
+    to a full-f32 poly_fast search (stream-consistent exactness)."""
+    w = np.asarray(jax.random.dirichlet(jax.random.key(1), jnp.ones(A), (16,)),
+                   np.float32)
+    base = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13, **KW)
+    fast = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13, bm="poly_fast",
+                                  **KW)
+    assert np.abs(np.asarray(base[0]) - np.asarray(fast[0])).max() < 2e-3
+    assert np.abs(np.asarray(base[1]) - np.asarray(fast[1])).max() < 2e-3
+    # single-portfolio path-stats kernel: same fast stream as multi-dd W=1
+    _, port_s, dd_s = gbm_path_stats(5, MEAN, CHOL, w[0], 2048, 13,
+                                     bm="poly_fast", **KW)
+    np.testing.assert_allclose(np.asarray(fast[0][0]), np.asarray(port_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast[1][0]), np.asarray(dd_s),
+                               atol=1e-5)
+
+    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=2048, n_steps=26,
+              use_pallas=True, interpret=True, bm="poly_fast")
+    rf32 = drawdown_frontier_search(jax.random.key(2), PARAMS,
+                                    score_dtype="float32", **kw)
+    rb16 = drawdown_frontier_search(jax.random.key(2), PARAMS,
+                                    score_dtype="bfloat16", **kw)
+    assert rf32.opt_idx >= 0
+    assert rb16.opt_idx == rf32.opt_idx
+    assert rb16.ret[rb16.opt_idx] == rf32.ret[rf32.opt_idx]
+    assert rb16.dd_p95[rb16.opt_idx] == rf32.dd_p95[rf32.opt_idx]

@@ -603,3 +603,21 @@ def test_resumable_path_risk_refuses_qmc():
     with pytest.raises(ValueError, match="qmc"):
         run_resumable_path_risk("gbm", PARAMS, W,
                                 dataclasses.replace(cfg(), qmc="sobol"))
+
+
+def test_path_risk_bm_digest_and_lax_invariance():
+    """config.bm="poly_fast" (round-4 screening tier) is stream-affecting on
+    the kernel path, so the resumable digest must change; default-config
+    digests are unchanged and the lax engine ignores bm entirely."""
+    import dataclasses
+
+    from mcport.engine.path_risk import _model_digest
+
+    c = cfg()
+    fast = dataclasses.replace(c, bm="poly_fast")
+    assert (_model_digest("gbm", PARAMS, W, fast, None, None, 0.2, True)
+            != _model_digest("gbm", PARAMS, W, c, None, None, 0.2, True))
+    # lax path (use_pallas=False here): bm is kernel-only, results identical
+    r_fast = run_path_risk(PARAMS, W, fast)
+    r_def = run_path_risk(PARAMS, W, c)
+    assert r_fast == r_def
