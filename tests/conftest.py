@@ -29,6 +29,11 @@ if not TPU_TIER:
         os.environ["XLA_FLAGS"] = (
             _flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # Suppress XLA's per-load E-log about the +prefer-no-scatter/gather
+    # pseudo-features when reloading persistent-cache AOT results (benign:
+    # those are compiler hints the host feature parser doesn't know, not
+    # real ISA requirements; everything else in the feature lists matches).
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 # repo root on sys.path so `import mcport` works without installation
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -42,6 +47,14 @@ if not TPU_TIER:
     # virtual devices.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # Suite diet (VERDICT r3 item 6): persist compiled XLA:CPU executables
+    # across workers and runs. The heavy interpret-mode kernel graphs compile
+    # once, then every other xdist worker / subprocess test / future full run
+    # AOT-loads them from disk (measured: cross-process reload of a 0.4 s
+    # compile costs ~0). Repo-local dir, gitignored.
+    _cache = Path(__file__).resolve().parent.parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -199,7 +199,7 @@ def test_simulate_hedged_flag(btc, eth, tmp_path):
 
 def test_path_risk_command(btc, eth, tmp_path):
     out = run_cli(["path-risk", btc, eth, "--period", "W",
-                   "--paths", "4096", "--steps", "13"])
+                   "--paths", "1024", "--steps", "13"])
     assert out["settlement"] == "unhedged" and out["rebalance_gbm"]
     assert out["student_t"]["t_dof"] > 2.0
     for model in ("gbm", "student_t", "garch", "dcc", "jump", "bootstrap"):
@@ -213,7 +213,7 @@ def test_path_risk_command(btc, eth, tmp_path):
     }))
     out_h = run_cli(["path-risk", btc, eth, "--period", "W",
                      "--hedge", str(hedge), "--models", "garch,bootstrap",
-                     "--paths", "4096", "--steps", "13"])
+                     "--paths", "1024", "--steps", "13"])
     assert out_h["settlement"] == "per-period hedged"
     for model in ("garch", "bootstrap"):
         assert out_h[model]["hedged_assets"] == ["BTC_USD 7 Years Weekly"]
@@ -269,6 +269,10 @@ def test_stress_path_stats_flag(eth):
 
 
 def test_backtest_dd_budget_rule(btc, eth):
-    out = run_cli(["backtest", btc, eth, "--period", "W", "--window", "104",
-                   "--horizon", "26", "--rules", "equal,dd_budget"])
+    # suite diet: wide window/horizon → 2 rebalances (the dd_budget rule runs
+    # a 2048x2048 frontier per rebalance; mechanics are covered by
+    # test_backtest.py::test_dd_budget_rule_in_walk_forward)
+    out = run_cli(["backtest", btc, eth, "--period", "W", "--window", "208",
+                   "--horizon", "78", "--rules", "equal,dd_budget"])
     assert "dd_budget" in out["summary"]
+    assert out["n_rebalances"] >= 2

@@ -204,11 +204,21 @@ def test_multi_dd_tf32_scoring_fidelity():
 
 
 def test_multi_dd_flag_matrix_composes():
-    """Every (prefetch, score_dtype, rebalance) combination runs and stays
-    within its tier's documented error of the plain-f32 result."""
+    """Every score_dtype tier composes with prefetch and rebalance and stays
+    within its tier's documented error of the plain-f32 result.
+
+    Suite-diet note: the full 2x2x3 matrix is 14 interpret-mode compiles;
+    each tier is instead exercised once with prefetch ON and once OFF
+    across the two rebalance modes (every pairwise flag combination still
+    appears)."""
     w = np.asarray(jax.random.dirichlet(jax.random.key(5), jnp.ones(A), (8,)),
                    np.float32)
-    for rebalance in (False, True):
+    for rebalance, cases in (
+        (False, (("float32", True), ("tensorfloat32", False),
+                 ("bfloat16", True))),
+        (True, (("float32", False), ("tensorfloat32", True),
+                ("bfloat16", False))),
+    ):
         # bf16's per-path MAX error compounds in rebalance mode (~2e-3
         # relative per step as a random walk; the max over 8k samples sits
         # several sigma out) — the frontier's guarantee is unaffected since
@@ -218,34 +228,43 @@ def test_multi_dd_flag_matrix_composes():
                if rebalance else 1.5e-2}
         base = gbm_multi_portfolio_dd(11, MEAN, CHOL, w, 1024, 13,
                                       rebalance=rebalance, **KW)
-        for prefetch in (False, True):
-            for sd, atol in tol.items():
-                term, dd = gbm_multi_portfolio_dd(
-                    11, MEAN, CHOL, w, 1024, 13, prefetch=prefetch,
-                    score_dtype=sd, rebalance=rebalance, **KW)
-                if atol == 0.0:
-                    assert (np.asarray(term) == np.asarray(base[0])).all()
-                    assert (np.asarray(dd) == np.asarray(base[1])).all()
-                else:
-                    assert np.abs(np.asarray(dd) - np.asarray(base[1])).max() < atol
+        for sd, prefetch in cases:
+            atol = tol[sd]
+            term, dd = gbm_multi_portfolio_dd(
+                11, MEAN, CHOL, w, 1024, 13, prefetch=prefetch,
+                score_dtype=sd, rebalance=rebalance, **KW)
+            if atol == 0.0:
+                assert (np.asarray(term) == np.asarray(base[0])).all()
+                assert (np.asarray(dd) == np.asarray(base[1])).all()
+            else:
+                assert np.abs(np.asarray(dd) - np.asarray(base[1])).max() < atol
 
 
 def test_multi_dd_unroll_same_stream():
     """unroll=1/2/4 consume the identical draw sequence in every scoring mode
     (main loop + tail pairs + odd step); outputs match to fusion tolerance.
-    Pins the unroll=2 production default against the unroll=1 reference."""
+    Pins the unroll=2 production default against the unroll=1 reference.
+
+    Suite-diet note: each (steps, rebalance, unroll) tuple is a separate
+    interpret-mode compile. steps=9 covers the odd tail, steps=10 the
+    even tail-pair (for both u=2 and u=4); the exact-multiple case
+    (steps=8) and u=4 get one pinned combination each."""
     w = np.asarray(jax.random.dirichlet(jax.random.key(8), jnp.ones(A), (8,)),
                    np.float32)
-    for steps in (8, 9, 10, 13):       # even, odd, tail-pair cases
-        for rebalance in (False, True):
-            outs = [gbm_multi_portfolio_dd(13, MEAN, CHOL, w, 512, steps,
-                                           rebalance=rebalance, unroll=u, **KW)
-                    for u in (1, 2, 4)]
-            for term, dd in outs[1:]:
-                np.testing.assert_allclose(np.asarray(term),
-                                           np.asarray(outs[0][0]), atol=2e-6)
-                np.testing.assert_allclose(np.asarray(dd),
-                                           np.asarray(outs[0][1]), atol=2e-6)
+    cases = [  # (steps, rebalance, unrolls-vs-1)
+        (9, False, (2,)), (9, True, (2,)),
+        (10, False, (2,)), (10, True, (4,)),
+        (8, True, (2, 4)),
+    ]
+    for steps, rebalance, unrolls in cases:
+        outs = [gbm_multi_portfolio_dd(13, MEAN, CHOL, w, 512, steps,
+                                       rebalance=rebalance, unroll=u, **KW)
+                for u in (1, *unrolls)]
+        for term, dd in outs[1:]:
+            np.testing.assert_allclose(np.asarray(term),
+                                       np.asarray(outs[0][0]), atol=2e-6)
+            np.testing.assert_allclose(np.asarray(dd),
+                                       np.asarray(outs[0][1]), atol=2e-6)
 
 
 # ---- model-family frontier (round 3): GARCH + bootstrap --------------------
@@ -343,20 +362,20 @@ def test_poly_fast_path_tier_and_stream_consistent_rescore():
     to a full-f32 poly_fast search (stream-consistent exactness)."""
     w = np.asarray(jax.random.dirichlet(jax.random.key(1), jnp.ones(A), (16,)),
                    np.float32)
-    base = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13, **KW)
-    fast = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 2048, 13, bm="poly_fast",
+    base = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 1024, 13, **KW)
+    fast = gbm_multi_portfolio_dd(5, MEAN, CHOL, w, 1024, 13, bm="poly_fast",
                                   **KW)
     assert np.abs(np.asarray(base[0]) - np.asarray(fast[0])).max() < 2e-3
     assert np.abs(np.asarray(base[1]) - np.asarray(fast[1])).max() < 2e-3
     # single-portfolio path-stats kernel: same fast stream as multi-dd W=1
-    _, port_s, dd_s = gbm_path_stats(5, MEAN, CHOL, w[0], 2048, 13,
+    _, port_s, dd_s = gbm_path_stats(5, MEAN, CHOL, w[0], 1024, 13,
                                      bm="poly_fast", **KW)
     np.testing.assert_allclose(np.asarray(fast[0][0]), np.asarray(port_s),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fast[1][0]), np.asarray(dd_s),
                                atol=1e-5)
 
-    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=2048, n_steps=26,
+    kw = dict(dd_budget=0.35, n_candidates=64, n_paths=1024, n_steps=13,
               use_pallas=True, interpret=True, bm="poly_fast")
     rf32 = drawdown_frontier_search(jax.random.key(2), PARAMS,
                                     score_dtype="float32", **kw)

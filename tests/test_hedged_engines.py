@@ -409,10 +409,12 @@ def test_hedged_kernel_unroll_same_stream():
          for i in range(A)}, NAMES)
     args = _spec_args(prot, p.s0)
     kw = dict(interpret=True, block=128)
-    for steps in (9, 13):
+    # suite diet: one unroll variant per steps case (odd tails differ
+    # between u=2 and u=4; 9 pins u=2's odd tail, 13 pins u=4's)
+    for steps, unrolls in ((9, (2,)), (13, (4,))):
         outs = [gbm_multi_portfolio_dd(17, mean, chol, w, 256, steps,
                                        hedge_args=args, unroll=u, **kw)
-                for u in (1, 2, 4)]
+                for u in (1, *unrolls)]
         for term, dd in outs[1:]:
             np.testing.assert_allclose(np.asarray(term),
                                        np.asarray(outs[0][0]), atol=2e-6)

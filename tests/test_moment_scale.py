@@ -31,34 +31,43 @@ MU = np.linspace(0.05, 0.45, A)
 SD = np.linspace(0.2, 0.8, A)
 
 
+# suite diet: the 16.7M test narrows the asset axis — the accumulation law
+# is per-column, so the claim under test (1e-6 at 16.7M SAMPLES) is intact
+# while the host-side f64 oracle (cost ∝ A²) drops ~6x; the 1M tight test
+# below keeps the full BASELINE width.
+A16 = 6
+
+
 def _blocks(seed=7):
     rng = np.random.default_rng(seed)
     for _ in range(N_TOTAL // BLOCK):
-        yield (MU + SD * rng.standard_normal((BLOCK, A))).astype(np.float32)
+        yield (MU[:A16] + SD[:A16]
+               * rng.standard_normal((BLOCK, A16))).astype(np.float32)
 
 
 @pytest.mark.slow
 def test_f32_moments_match_f64_oracle_at_16m():
-    state = init_moments(A, jnp.float32)
-    shift = jnp.asarray(MU, jnp.float32)  # drift centering, as the engines pass it
+    mu, sd = MU[:A16], SD[:A16]
+    state = init_moments(A16, jnp.float32)
+    shift = jnp.asarray(mu, jnp.float32)  # drift centering, as the engines pass it
 
-    o_sum = np.zeros(A, np.float64)
-    o_outer = np.zeros((A, A), np.float64)
+    o_sum = np.zeros(A16, np.float64)
+    o_outer = np.zeros((A16, A16), np.float64)
     for x32 in _blocks():
         state = update_moments(state, x32, shift=shift)
-        x64 = x32.astype(np.float64) - MU
+        x64 = x32.astype(np.float64) - mu
         o_sum += x64.sum(axis=0)
         o_outer += x64.T @ x64
 
     mean, cov = finalize_moments(state, shift=shift)
     o_mean_c = o_sum / N_TOTAL
     o_cov = (o_outer - N_TOTAL * np.outer(o_mean_c, o_mean_c)) / (N_TOTAL - 1)
-    o_mean = o_mean_c + MU
+    o_mean = o_mean_c + mu
 
     assert int(state.count) == N_TOTAL
-    # relative to the natural scales: |mean| ~ MU, cov diag ~ SD^2
-    mean_err = np.max(np.abs(np.asarray(mean, np.float64) - o_mean) / np.abs(MU))
-    cov_err = np.max(np.abs(np.asarray(cov, np.float64) - o_cov) / np.outer(SD, SD))
+    # relative to the natural scales: |mean| ~ mu, cov diag ~ sd^2
+    mean_err = np.max(np.abs(np.asarray(mean, np.float64) - o_mean) / np.abs(mu))
+    cov_err = np.max(np.abs(np.asarray(cov, np.float64) - o_cov) / np.outer(sd, sd))
     assert mean_err < 1e-6, f"mean accumulation error {mean_err:.3e}"
     assert cov_err < 1e-6, f"cov accumulation error {cov_err:.3e}"
 

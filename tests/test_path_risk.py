@@ -346,7 +346,7 @@ def test_t_multi_dd_kernel_and_frontier():
     )
     from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
 
-    a, n, steps, df = 3, 8_192, 13, 5.5
+    a, n, steps, df = 3, 4_096, 13, 5.5   # suite diet: tolerances se-scaled
     m = np.full(a, 1e-3, np.float32)
     chol = np.linalg.cholesky(4e-4 * (0.5 * np.eye(a) + 0.5)).astype(np.float32)
     cand = np.asarray(jax.random.dirichlet(jax.random.key(0), jnp.ones(a), (8,)),
