@@ -33,6 +33,8 @@ Commands:
   stress       scenario stress test (shocked-parameter risk deltas)
   bl-frontier  Black-Litterman posterior + exact frontier (views blending)
   forecast     ARIMA(1,1,1)+GARCH(1,1) price forecasts (tab 3)
+  serve        JSON-over-HTTP daemon exposing every command above from ONE
+               long-lived process (compile-once serve-many; mcport/serve.py)
 """
 
 from __future__ import annotations
@@ -905,6 +907,12 @@ def cmd_report(args) -> None:
            "methods": list(fviews), "assets": list(d.names)})
 
 
+def cmd_serve(args) -> None:
+    from mcport.serve import serve
+
+    serve(host=args.host, port=args.port)
+
+
 def cmd_forecast(args) -> None:
     from mcport.models import forecast_prices
 
@@ -1274,6 +1282,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--horizons", default="1,3,6")
     sp.set_defaults(fn=cmd_forecast)
+
+    sp = sub.add_parser("serve", help="compile-once serve-many JSON API over "
+                        "every command (mcport/serve.py)")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8799)
+    sp.set_defaults(fn=cmd_serve)
     return p
 
 
