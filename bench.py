@@ -227,10 +227,14 @@ def fleet(mean, chol):
     t32, r32 = frontier_wall("float32")         # warm walls
     tauto, rauto = frontier_wall("auto")
     # equivalent = same candidate, or distinct candidates whose exact mean
-    # returns tie within the cross-program reduction ulp (both exact-optimal)
-    same = (r32.opt_idx == rauto.opt_idx
-            or abs(float(r32.ret[r32.opt_idx]) - float(rauto.ret[rauto.opt_idx]))
-            <= 4e-7 * max(1.0, abs(float(r32.ret[r32.opt_idx]))))
+    # returns tie within the cross-program reduction ulp (both exact-optimal);
+    # opt_idx < 0 means "no feasible candidate" — never index with it (ret[-1]
+    # would silently compare an arbitrary candidate)
+    feasible = int(r32.opt_idx) >= 0 and int(rauto.opt_idx) >= 0
+    same = feasible and (
+        r32.opt_idx == rauto.opt_idx
+        or abs(float(r32.ret[r32.opt_idx]) - float(rauto.ret[rauto.opt_idx]))
+        <= 4e-7 * max(1.0, abs(float(r32.ret[r32.opt_idx]))))
     _emit("dd_frontier_auto_speedup", t32 / max(tauto, 1e-9),
           f"x wall vs full-f32 (4096 cand, 131072 paths, 252 steps, warm; "
           f"optimum equivalent: {bool(same)})")

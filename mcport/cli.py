@@ -154,6 +154,10 @@ def cmd_gbm_risk(args) -> None:
         from mcport.models.gbm import estimate_t_dof
 
         t_dof = estimate_t_dof(d.prices)
+        if args.fast_normal:
+            print("mcport: --fast-normal is ignored with student_t "
+                  "innovations (the t sampler has its own polynomial "
+                  "pipeline)", file=sys.stderr)
     block = min(args.paths, 8192)
     n_paths = _round_paths(args.paths, block)
     cfg = GBMConfig(n_paths=n_paths, n_steps=args.steps, seed=args.seed,
@@ -1158,8 +1162,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resume from --checkpoint FILE")
     sp.add_argument("--fast-normal", action="store_true",
                     help="screening-tier normal draws (degree-5 polynomial "
-                         "Box-Muller, draw error <=~1.5e-4; gbm/student_t "
-                         "Pallas path only — other families ignore it)")
+                         "Box-Muller, draw error <=~1.5e-4; gbm Pallas path "
+                         "only — student_t innovations and other families "
+                         "have their own samplers and ignore it)")
     sp.set_defaults(fn=cmd_path_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")
@@ -1295,10 +1300,12 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     # Bounded backend init BEFORE the first jax op (VERDICT r3 weak 1): honors
     # JAX_PLATFORMS=cpu (the axon plugin ignores the env var — CLAUDE.md), and
-    # when no platform is forced, probes the default backend in a subprocess
-    # under MCPORT_BACKEND_TIMEOUT and falls back to CPU with a stderr warning
-    # instead of hanging forever on a dead TPU tunnel. MCPORT_BACKEND_PROBE=0
-    # skips the probe for latency-sensitive healthy environments.
+    # when no platform is forced, initializes the default backend under a
+    # watchdog — zero added latency when healthy (a probe subprocess would
+    # double the ~65-440 s tunnel init), CPU fallback on a fast init failure,
+    # and an actionable exit(3) instead of an unbounded hang on a dead tunnel.
+    # MCPORT_BACKEND_PROBE=1 swaps in the subprocess probe (recovers hung
+    # tunnels too); =0 trusts the environment entirely.
     from mcport.utils.backend import ensure_backend
 
     ensure_backend(retries=0)

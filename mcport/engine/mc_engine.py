@@ -57,9 +57,11 @@ def _run_digest(params: GBMParams, weights, config: GBMConfig, hedge=None) -> st
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
              f"{config.path_block}|{config.antithetic}|"
              f"{config.innovations}|{config.t_dof}".encode())
-    if getattr(config, "bm", "poly") != "poly":
+    if getattr(config, "bm", "poly") != "poly" and config.innovations != "student_t":
         # stream-affecting normal tier; appended only when non-default so
-        # pre-round-4 checkpoints keep their digests
+        # pre-round-4 checkpoints keep their digests — and only when it
+        # actually changes the stream (the Student-t sampler ignores bm, so
+        # a student_t run draws identically with or without the flag)
         h.update(f"|bm={config.bm}".encode())
     if hedge is not None:
         h.update(b"hedge|" + hedge.digest_bytes())

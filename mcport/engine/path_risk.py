@@ -453,6 +453,33 @@ def run_bootstrap_path_risk(
 # checkpoint/resume across every family (late round 3)
 # ---------------------------------------------------------------------------
 
+def _kernel_block_default(model: str) -> int:
+    """The family kernel's internal ``block`` default — stream-affecting
+    (PRNG program ids stride by ``path // block``), so the digest must track
+    it. Read from the signature so a future default change automatically
+    invalidates checkpoints instead of silently switching streams (the
+    round-4 DCC 512→1024 lesson)."""
+    import inspect
+
+    if model in ("gbm", "student_t"):
+        from mcport.ops.pallas_gbm import gbm_path_stats as fn
+    elif model == "garch":
+        from mcport.ops.pallas_garch import pallas_garch_path_stats as fn
+    elif model == "dcc":
+        from mcport.ops.pallas_dcc import pallas_dcc_path_stats as fn
+    elif model == "jump":
+        from mcport.ops.pallas_jump import pallas_merton_path_stats as fn
+    else:
+        from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats as fn
+    return int(inspect.signature(fn).parameters["block"].default)
+
+
+# what the pre-round-4 digest scheme implicitly assumed per family; appending
+# |kblock= only when the live default differs keeps unchanged-stream
+# checkpoints resumable while rejecting ones whose streams actually moved
+_R3_KERNEL_BLOCKS = {"dcc": 512}
+
+
 def _model_digest(model, model_params, weights, config: GBMConfig, hedge,
                   s0, p_restart: float, rebalance: bool) -> str:
     """Binds a path-risk checkpoint to the exact computation (the
@@ -496,9 +523,17 @@ def _model_digest(model, model_params, weights, config: GBMConfig, hedge,
     h.update(f"{config.seed}|{config.n_steps}|{config.n_paths}|"
              f"{config.path_block}|{config.innovations}|{config.t_dof}|"
              f"{rebalance}|{stream}".encode())
-    if getattr(config, "bm", "poly") != "poly":
+    if stream == "pallas":
+        kb = _kernel_block_default(model)
+        if kb != _R3_KERNEL_BLOCKS.get(model, 1024):
+            h.update(f"|kblock={kb}".encode())
+    t_active = config.innovations == "student_t"
+    if getattr(config, "bm", "poly") != "poly" and not t_active:
         # stream-affecting normal tier (kernel path); appended only when
-        # non-default so existing checkpoints keep their digests
+        # non-default so existing checkpoints keep their digests — and only
+        # when it actually changes the stream (the Student-t sampler has its
+        # own pipeline and ignores bm, so the draw stream is bit-identical
+        # with or without the flag there)
         h.update(f"|bm={config.bm}".encode())
     if hedge is not None:
         h.update(b"hedge|" + hedge.digest_bytes())

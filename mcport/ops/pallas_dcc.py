@@ -633,7 +633,10 @@ def pallas_dcc_terminal_returns(
 
     a = int(np.asarray(b.mu).shape[-1])
     if layout == "auto":
-        layout = "pack" if (a <= 16 and not interpret) else "tile"
+        # An explicit block incompatible with pack's lane tiling means the
+        # caller sized it for the tile kernel — fall back rather than raise.
+        pack_ok = a <= 16 and not interpret and (block is None or block % 1024 == 0)
+        layout = "pack" if pack_ok else "tile"
     if block is None:
         block = 1024 if layout == "pack" else 512
     if unroll is None:

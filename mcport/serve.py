@@ -31,8 +31,8 @@ from __future__ import annotations
 import contextlib
 import io
 import json
-import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 __all__ = ["build_argv", "make_server", "run_command", "serve"]
 
@@ -87,7 +87,12 @@ def run_command(argv: list[str]) -> tuple[int, bytes]:
     except SystemExit as exc:  # argparse --help/errors must not kill the server
         ok = not exc.code
         body = {"status": "ok"} if ok else {"error": "bad arguments"}
-        body["detail"] = (out.getvalue() + err.getvalue()).strip()
+        # argparse writes usage to stderr, but `raise SystemExit("msg")` keeps
+        # its message in exc.code (Python prints it only at interpreter exit).
+        detail = (out.getvalue() + err.getvalue()).strip()
+        if isinstance(exc.code, str):
+            detail = f"{exc.code}\n{detail}".strip()
+        body["detail"] = detail
         return (200 if ok else 400), json.dumps(body).encode()
     except (ValueError, FileNotFoundError, KeyError) as exc:
         return 400, json.dumps(
@@ -101,6 +106,10 @@ def run_command(argv: list[str]) -> tuple[int, bytes]:
 class _Handler(BaseHTTPRequestHandler):
     server_version = "mcport"
     protocol_version = "HTTP/1.1"
+    # Bound how long an idle keep-alive client may hold its connection open
+    # between requests; engine work itself is unaffected (it runs to
+    # completion once the request line has been read).
+    timeout = 30.0
 
     def log_message(self, *_args) -> None:  # route through logging, not stderr
         pass
@@ -147,16 +156,29 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, TypeError) as exc:
             self._reply(400, json.dumps({"error": str(exc)}).encode())
             return
-        with self.server.request_lock:  # one accelerator, one query at a time
-            status, body = run_command(argv)
+        # One accelerator, one query at a time — and always the SAME thread:
+        # connection handlers are per-thread (keep-alive), but JAX dispatch
+        # and the compile caches live on a single dedicated worker so engine
+        # state never hops threads.
+        status, body = self.server.engine.submit(run_command, argv).result()
         self._reply(status, body)
 
 
-def make_server(host: str = "127.0.0.1", port: int = 0) -> HTTPServer:
-    """An HTTPServer ready for serve_forever(); port=0 picks a free port."""
-    server = HTTPServer((host, port), _Handler)
+def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """An HTTPServer ready for serve_forever(); port=0 picks a free port.
+
+    Threading matters even though engine work is serialized: HTTP/1.1
+    keep-alive (the default for pooled clients) leaves the handler blocked in
+    ``readline()`` between requests, and a single-connection server would let
+    one idle client starve everyone else. Each connection gets a daemon
+    thread; all engine work funnels through ONE dedicated worker thread
+    (single-tenant accelerator, and JAX state never hops threads).
+    """
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.daemon_threads = True
     server.commands = _commands()
-    server.request_lock = threading.Lock()
+    server.engine = ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="mcport-engine")
     return server
 
 
@@ -170,4 +192,5 @@ def serve(host: str = "127.0.0.1", port: int = 8799) -> None:
     except KeyboardInterrupt:
         pass
     finally:
+        server.engine.shutdown(wait=False)
         server.server_close()

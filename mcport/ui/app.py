@@ -87,11 +87,21 @@ with st.sidebar.expander("بارگذاری فایل‌ها 📤"):
         type=["csv"], accept_multiple_files=True, key="uploader",
     )
     if uploaded_files:
-        # per-file-OBJECT dedupe, exactly as the reference (app.py:385-390):
-        # a same-name re-upload is a NEW object → appended as a new asset,
-        # later disambiguated by dedupe_names' Counter suffix (app.py:441-447)
+        # Reference semantics (app.py:385-390): each uploaded FILE is
+        # ingested once — a same-name re-upload is a new file and appends a
+        # new asset, disambiguated later by dedupe_names' Counter suffix
+        # (app.py:441-447). The reference marks the UploadedFile OBJECT,
+        # which only stays idempotent if streamlit returns the same object
+        # every rerun; we key on the stable per-upload file_id when the
+        # streamlit version exposes it, so a widget-triggered rerun can
+        # never re-append, and fall back to the reference's object mark.
+        seen_ids = st.session_state.setdefault("_ingested_upload_ids", set())
         for file in uploaded_files:
-            if getattr(file, "uploaded_in_session", False):
+            fid = getattr(file, "file_id", None)
+            if fid is not None:
+                if fid in seen_ids:
+                    continue
+            elif getattr(file, "uploaded_in_session", False):
                 continue
             try:
                 df = read_csv_file(file)
@@ -99,7 +109,10 @@ with st.sidebar.expander("بارگذاری فایل‌ها 📤"):
                     (file.name.split(".")[0], df))
             except Exception as e:
                 st.error(f"خطا در خواندن فایل {file.name}: {e}")
-            file.uploaded_in_session = True
+            if fid is not None:
+                seen_ids.add(fid)
+            else:
+                file.uploaded_in_session = True
 
 with st.sidebar.expander("دریافت داده آنلاین 📥"):
     st.markdown(

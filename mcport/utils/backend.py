@@ -23,9 +23,15 @@ time instead of an unbounded hang.
 
 Env knobs:
   JAX_PLATFORMS=cpu        honored (config update applied — see mode 1).
-  MCPORT_BACKEND_PROBE=0   skip the subprocess probe (init directly).
-  MCPORT_BACKEND_TIMEOUT   probe wall timeout seconds (default 900; tunnel
-                           backend init measured at ~440 s in round 3).
+  MCPORT_BACKEND_PROBE=1   use the subprocess probe + CPU fallback instead of
+                           the default in-process watchdog (the probe can
+                           recover a hung tunnel by falling back to CPU, at
+                           the cost of a full extra backend init on the
+                           healthy path — ~65-440 s through the tunnel).
+  MCPORT_BACKEND_PROBE=0   skip both probe and watchdog (init directly,
+                           unbounded — trust the environment).
+  MCPORT_BACKEND_TIMEOUT   probe/watchdog wall timeout seconds (default 900;
+                           tunnel backend init measured at ~440 s in round 3).
 """
 
 from __future__ import annotations
@@ -116,19 +122,63 @@ def init_watchdog(timeout: float, on_timeout) -> "callable":
     return t.cancel
 
 
+def _init_under_watchdog(timeout: float | None, quiet: bool) -> str:
+    """Initialize the default backend IN-PROCESS under a wall watchdog.
+
+    Zero added latency on the healthy path (no extra subprocess init). On a
+    FAST in-process failure (the plugin raised — relay down but transport
+    answered) the platform is re-forced to CPU and init retried, which works
+    because a raised init releases xla_bridge's backend lock (verified in
+    this environment). On a HUNG init nothing in-process can recover (the
+    lock is held), so the watchdog prints an actionable message and exits
+    with status 3 — bounded, never a silent hang.
+    """
+    if timeout is None:
+        timeout = float(os.environ.get("MCPORT_BACKEND_TIMEOUT", "900"))
+
+    def _on_timeout():
+        print(
+            f"mcport: backend init exceeded {timeout:.0f}s (hung TPU plugin"
+            " — transport down?). Re-run with JAX_PLATFORMS=cpu to force the"
+            " CPU backend, or MCPORT_BACKEND_PROBE=1 for automatic fallback.",
+            file=sys.stderr, flush=True)
+        os._exit(3)
+
+    cancel = init_watchdog(timeout, _on_timeout)
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception as e:
+        cancel()
+        if not quiet:
+            print(f"mcport: default backend failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}) — falling back to CPU",
+                  file=sys.stderr, flush=True)
+        apply_platform("cpu")
+        return "cpu" if jax.default_backend() == "cpu" else "default"
+    cancel()
+    return backend
+
+
 def ensure_backend(want: str = "auto", timeout: float | None = None,
                    retries: int = 1, quiet: bool = False,
                    probe_cmd: list[str] | None = None) -> str:
-    """Pick and force a platform BEFORE any in-process backend init.
+    """Give the caller a working backend (or a clean error) in bounded time.
 
     want:
-      "auto"  honor JAX_PLATFORMS if set; otherwise probe the default backend
-              in a subprocess (bounded) and fall back to "cpu" on failure.
-      "cpu"/"tpu"  force that platform directly (no probe).
+      "auto"  honor JAX_PLATFORMS if set; otherwise initialize the default
+              backend in-process under a watchdog (zero healthy-path
+              latency; exits with an actionable message on a hung init,
+              falls back to CPU on a fast failure). MCPORT_BACKEND_PROBE=1
+              swaps in the subprocess probe, which can also recover a HUNG
+              tunnel by falling back to CPU — at the cost of one full extra
+              backend init when healthy.
+      "cpu"/"tpu"  force that platform directly (no probe, no watchdog).
 
-    Returns the platform string that was forced (or "default" when the probe
-    confirmed the default backend is healthy and no forcing is needed).
-    Never hangs longer than ~(retries+1) * timeout.
+    Returns the platform string that was forced (or the initialized default
+    backend name / "default" when no forcing was needed). Never hangs longer
+    than ~(retries+1) * timeout.
     """
     if want != "auto":
         apply_platform(want)
@@ -140,8 +190,11 @@ def ensure_backend(want: str = "auto", timeout: float | None = None,
         apply_platform(forced)
         return forced
 
-    if os.environ.get("MCPORT_BACKEND_PROBE", "1") == "0":
+    mode = os.environ.get("MCPORT_BACKEND_PROBE", "watchdog")
+    if mode == "0":
         return "default"
+    if mode != "1":
+        return _init_under_watchdog(timeout, quiet)
 
     last = None
     for attempt in range(retries + 1):

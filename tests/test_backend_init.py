@@ -89,6 +89,39 @@ def test_cli_bounded_with_forced_cpu(fixtures_dir):
     assert out["ann_factor"] == 52
 
 
+def test_ensure_watchdog_default_falls_back_on_fast_failure():
+    """Default (no env knobs) mode is the in-process watchdog: a backend init
+    that RAISES quickly (relay down) must fall back to CPU in-process — no
+    probe subprocess, no extra init on the healthy path."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'bogus');"
+        "from mcport.utils.backend import ensure_backend; import sys;"
+        "sys.stdout.write(ensure_backend(quiet=True));"
+        "assert jax.default_backend() == 'cpu'"
+    )
+    env = _env(JAX_PLATFORMS="")
+    env.pop("MCPORT_BACKEND_PROBE", None)
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.strip() == "cpu"
+
+
+def test_cli_watchdog_exits_actionably_on_hung_init(fixtures_dir):
+    """Default-mode CLI against a backend init slower than the watchdog
+    (1 ms simulates the hung tunnel): bounded exit(3) with a JAX_PLATFORMS
+    hint, never an unbounded hang."""
+    csv = str(fixtures_dir / "ETH_USD 7 Years Weekly.csv")
+    env = _env(JAX_PLATFORMS="", MCPORT_BACKEND_TIMEOUT="0.001")
+    env.pop("MCPORT_BACKEND_PROBE", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "mcport.cli", "stats", csv, "--period", "W"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-2000:])
+    assert "JAX_PLATFORMS=cpu" in proc.stderr
+
+
 def test_watchdog_fires_and_cancels():
     from mcport.utils.backend import init_watchdog
 

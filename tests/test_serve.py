@@ -126,6 +126,36 @@ def test_bad_arguments_400_and_server_survives(server_url):
     assert _get(server_url + "/health")[0] == 200
 
 
+def test_idle_keepalive_client_does_not_starve_others(server_url):
+    """HTTP/1.1 keep-alive is the default for pooled clients: a client that
+    sends one request and then holds its connection open idle must NOT block
+    other clients (the single-connection HTTPServer failure mode — the
+    handler sits in readline() waiting for the idle client's next request)."""
+    import socket
+
+    hostport = server_url.removeprefix("http://")
+    host, port = hostport.rsplit(":", 1)
+    with socket.create_connection((host, int(port)), timeout=30) as sock:
+        sock.sendall(b"GET /health HTTP/1.1\r\nHost: x\r\n"
+                     b"Connection: keep-alive\r\n\r\n")
+        assert sock.recv(65536).startswith(b"HTTP/1.1 200")
+        # connection stays open and idle; a second client must get through
+        status, body = _get(server_url + "/health")
+        assert status == 200 and body["status"] == "ok"
+
+
+def test_string_systemexit_message_lands_in_detail(server_url, fixtures_dir):
+    """CLI guards that `raise SystemExit("msg")` keep the message in
+    exc.code (never printed inside the server process) — the 400 detail must
+    carry it, not come back empty."""
+    csv = str(fixtures_dir / "ETH_USD 7 Years Weekly.csv")
+    status, body = _post(
+        server_url + "/v1/gbm-risk",
+        {"args": [csv], "options": {"weights": "0.5,0.5", "period": "W"}})
+    assert status == 400 and body["error"] == "bad arguments"
+    assert "--weights needs 1 entries" in body["detail"]
+
+
 def test_non_object_body_400(server_url):
     req = urllib.request.Request(
         server_url + "/v1/stats", data=b"[1, 2]", method="POST")

@@ -157,3 +157,45 @@ def test_ui_runs_end_to_end_with_fixture_uploads(monkeypatch):
     names = dedupe_names([t for t, _ in st.session_state["uploaded_dfs"]])
     assert names[2] == f"{names[0]} (2)"
     assert rec.errors == []
+
+
+def test_upload_dedupe_survives_object_reconstruction(monkeypatch):
+    """Streamlit versions that rebuild UploadedFile wrappers from the stored
+    UploadedFileRec on every rerun lose per-object attributes — the app keys
+    on the stable file_id there, so a widget-triggered rerun must NOT
+    re-append, while a genuine re-upload (new file_id) still appends a new
+    asset (reference semantics, app.py:385-390 + 441-447)."""
+    rec = _Recorder()
+    uploads = [
+        FIXTURES / "BTC_USD 7 Years Weekly.csv",
+        FIXTURES / "ETH_USD 7 Years Weekly.csv",
+    ]
+    st = _make_streamlit(rec, uploads)
+    upload_cls = type(st.file_uploader()[0])  # the mock's _UploadFile class
+    st.session_state.clear()
+
+    def _uploader(*a, **k):
+        out = []
+        for i, path in enumerate(st.file_uploader_paths):
+            f = upload_cls(path)  # FRESH object every rerun
+            f.file_id = f"rec-{i}"
+            out.append(f)
+        return out
+
+    st.file_uploader = _uploader
+    plotly, go, px = _make_plotly()
+    monkeypatch.setitem(sys.modules, "streamlit", st)
+    monkeypatch.setitem(sys.modules, "plotly", plotly)
+    monkeypatch.setitem(sys.modules, "plotly.graph_objects", go)
+    monkeypatch.setitem(sys.modules, "plotly.express", px)
+
+    for _ in range(3):  # three reruns, fresh objects each time
+        sys.modules.pop("mcport.ui.app", None)
+        runpy.run_module("mcport.ui.app", run_name="app")
+    assert len(st.session_state["uploaded_dfs"]) == 2, "rerun re-appended"
+
+    st.file_uploader_paths.append(uploads[0])  # genuine re-upload: new id
+    sys.modules.pop("mcport.ui.app", None)
+    runpy.run_module("mcport.ui.app", run_name="app")
+    assert len(st.session_state["uploaded_dfs"]) == 3
+    assert rec.errors == []
