@@ -46,6 +46,7 @@ __all__ = [
     "exact_cdar_frontier",
     "risk_based_weights",
     "compare_tail_risk",
+    "sensitivities",
     "forecast",
     "Config",
 ]
@@ -674,6 +675,51 @@ def compare_tail_risk(
                         seed=g.seed)
     out["block_bootstrap"] = pack(br.var, br.cvar, br.port_mean)
     return out
+
+
+def sensitivities(
+    data: PriceData,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+    legs_by_asset=None,
+) -> dict:
+    """Pathwise Greeks of the simulated terminal portfolio via AD
+    (:mod:`mcport.engine.greeks`): per-asset ∂(mean, VaR, CVaR)/∂weight,
+    drift sensitivities, relative-vol vegas, and — with ``legs_by_asset`` —
+    spot deltas of the hedged book (options settle at intrinsic against the
+    simulated terminal prices). One reverse pass per metric, not 2·K bumped
+    re-simulations; the reference has no sensitivity analytics at all
+    (its optimum is a sampled-weight pick, app.py:699-747).
+    """
+    from mcport.engine.greeks import portfolio_sensitivities
+    from mcport.options.hedged import HedgeSpec
+
+    a = len(data.names)
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
+    params = estimate_gbm(data.prices)
+    hedge = (HedgeSpec.build(legs_by_asset, data.names)
+             if legs_by_asset else None)
+    out = portfolio_sensitivities(
+        params, w, config.gbm, alpha=config.simulation.alpha, hedge=hedge,
+        s0=(np.asarray(data.prices[-1], np.float64)
+            if hedge is not None else None))
+    base = getattr(out, "base", out)
+    result = {
+        "mean": base.mean, "var": base.var, "cvar": base.cvar,
+        "alpha": base.alpha, "hedged": hedge is not None,
+        "euler_gap_var": base.euler_gap_var,
+        "euler_gap_cvar": base.euler_gap_cvar,
+        "d_mean_dw": dict(zip(data.names, base.d_mean_dw)),
+        "d_var_dw": dict(zip(data.names, base.d_var_dw)),
+        "d_cvar_dw": dict(zip(data.names, base.d_cvar_dw)),
+        "d_cvar_dmu": dict(zip(data.names, base.d_cvar_dmu)),
+        "vega_mean": dict(zip(data.names, base.d_mean_dvol)),
+        "vega_cvar": dict(zip(data.names, base.d_cvar_dvol)),
+    }
+    if hedge is not None:
+        result["delta_mean"] = dict(zip(data.names, out.d_mean_ds0))
+        result["delta_cvar"] = dict(zip(data.names, out.d_cvar_ds0))
+    return result
 
 
 def forecast(

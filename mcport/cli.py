@@ -243,6 +243,59 @@ def cmd_gbm_risk(args) -> None:
     _emit(out)
 
 
+def cmd_greeks(args) -> None:
+    """Pathwise sensitivities of (mean, VaR, CVaR) via AD through the
+    simulation (mcport.engine.greeks) — weight gradients, drift/vol
+    sensitivities, and per-asset spot deltas of a hedged book."""
+    from mcport.engine.greeks import portfolio_sensitivities
+    from mcport.models.gbm import estimate_gbm
+
+    d = _universe(args)
+    a = d.n_assets
+    w = (np.full(a, 1.0 / a) if args.weights is None
+         else np.asarray([float(x) for x in args.weights.split(",")]))
+    if w.shape[0] != a:
+        raise SystemExit(f"--weights needs {a} entries")
+    params = estimate_gbm(d.prices)
+    t_dof = 6.0
+    if args.innovations == "student_t":
+        from mcport.models.gbm import estimate_t_dof
+
+        t_dof = estimate_t_dof(d.prices)
+    _, hedge = _hedge_from_args(args, d)
+    cfg = GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
+                    antithetic=args.antithetic,
+                    innovations=args.innovations, t_dof=t_dof)
+    out = portfolio_sensitivities(
+        params, w, cfg, alpha=args.alpha, hedge=hedge,
+        s0=(d.prices[-1] if hedge is not None else None))
+    base = getattr(out, "base", out)
+    per_asset = {
+        name: {
+            "weight": float(w[i]),
+            "d_mean_dw": float(base.d_mean_dw[i]),
+            "d_var_dw": float(base.d_var_dw[i]),
+            "d_cvar_dw": float(base.d_cvar_dw[i]),
+            "d_cvar_dmu": float(base.d_cvar_dmu[i]),
+            "vega_cvar": float(base.d_cvar_dvol[i]),
+            "vega_mean": float(base.d_mean_dvol[i]),
+        }
+        for i, name in enumerate(d.names)
+    }
+    if hedge is not None:
+        for i, name in enumerate(d.names):
+            per_asset[name]["delta_mean"] = float(out.d_mean_ds0[i])
+            per_asset[name]["delta_cvar"] = float(out.d_cvar_ds0[i])
+    _emit({
+        "alpha": args.alpha, "paths": base.n_paths, "steps": args.steps,
+        "hedged": hedge is not None,
+        "mean": base.mean, "var": base.var, "cvar": base.cvar,
+        "euler_gap_var": base.euler_gap_var,
+        "euler_gap_cvar": base.euler_gap_cvar,
+        "per_asset": per_asset,
+    })
+
+
 def cmd_garch_risk(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -1004,6 +1057,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     sp.set_defaults(fn=cmd_gbm_risk)
+
+    sp = sub.add_parser(
+        "greeks",
+        help="pathwise sensitivities by differentiating the simulation "
+             "(∂ mean/VaR/CVaR ∂ weights/drift/vol, spot deltas with --hedge)")
+    common(sp)
+    sp.add_argument("--paths", type=int, default=131_072)
+    sp.add_argument("--steps", type=int, default=252)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--weights", default=None, help="comma list; default equal")
+    sp.add_argument("--antithetic", action="store_true")
+    sp.add_argument("--innovations", default="normal",
+                    choices=["normal", "student_t"])
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config (hedged.legs_from_spec schema): "
+                         "options settle at intrinsic against simulated "
+                         "terminal prices; adds per-asset spot deltas")
+    sp.set_defaults(fn=cmd_greeks)
 
     sp = sub.add_parser("garch-risk",
                         help="tail risk under multivariate GARCH(1,1) "

@@ -21,6 +21,12 @@ from mcport.engine.cvar_opt import (
     min_cvar_exact,
     simulated_cvar_frontier,
 )
+from mcport.engine.greeks import (
+    HedgedSensitivities,
+    PortfolioSensitivities,
+    hedged_sensitivities,
+    portfolio_sensitivities,
+)
 from mcport.engine.path_risk import PathRiskReport, run_path_risk
 from mcport.engine.risk_parity import (
     hierarchical_risk_parity,
@@ -64,6 +70,10 @@ __all__ = [
     "load_checkpoint",
     "PathRiskReport",
     "run_path_risk",
+    "PortfolioSensitivities",
+    "HedgedSensitivities",
+    "portfolio_sensitivities",
+    "hedged_sensitivities",
     "SimFrontierResult",
     "simulated_weight_search",
     "DrawdownFrontierResult",

@@ -90,3 +90,23 @@ def test_compare_tail_risk_all_models(data):
         assert -1.0 < m["cvar"] < 0.0, name
     assert out["gbm_student_t"]["t_dof"] > 4.0
     assert out["merton_jump"]["jump_rate_per_step"] >= 0.0
+
+
+def test_sensitivities_api(data):
+    from mcport.api import sensitivities
+
+    cfg = Config(gbm=GBMConfig(n_paths=4096, n_steps=8, seed=2))
+    out = sensitivities(data, config=cfg)
+    assert not out["hedged"]
+    w = np.full(2, 0.5)
+    grad = np.array(list(out["d_cvar_dw"].values()))
+    # Euler homogeneity: w·∇_w CVaR == CVaR in-float
+    assert float(w @ grad) == pytest.approx(out["cvar"], abs=1e-4)
+    assert all(v < 0 for v in out["vega_cvar"].values())
+
+    hedged = sensitivities(
+        data, config=cfg,
+        legs_by_asset={data.names[0]: [("BUY_ASSET", 0, 0, 1.0),
+                                       ("BUY_PUT", 1.0, 0.0, 1.0)]})
+    assert hedged["hedged"] and data.names[0] in hedged["delta_mean"]
+    assert abs(hedged["delta_cvar"][data.names[1]]) < 1e-6

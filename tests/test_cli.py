@@ -276,3 +276,34 @@ def test_backtest_dd_budget_rule(btc, eth):
                    "--horizon", "78", "--rules", "equal,dd_budget"])
     assert "dd_budget" in out["summary"]
     assert out["n_rebalances"] >= 2
+
+
+def test_greeks_command(btc, eth, tmp_path):
+    out = run_cli(["greeks", btc, eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8"])
+    assert not out["hedged"]
+    pa = out["per_asset"]
+    assert len(pa) == 2
+    # Euler self-diagnostics come back tiny (homogeneity holds in-float)
+    assert out["euler_gap_cvar"] < 1e-4
+    w = np.array([v["weight"] for v in pa.values()])
+    grad = np.array([v["d_cvar_dw"] for v in pa.values()])
+    assert float(w @ grad) == pytest.approx(out["cvar"], abs=1e-4)
+    for v in pa.values():
+        assert v["vega_cvar"] < 0          # more vol worsens the tail
+        assert "delta_mean" not in v       # no hedge → no spot deltas
+
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "BTC_USD 7 Years Weekly": {"strategy": "Married Put",
+                                   "params": {"premium_put": 0.0}},
+    }))
+    out_h = run_cli(["greeks", btc, eth, "--period", "W", "--paths", "4096",
+                     "--steps", "8", "--hedge", str(hedge)])
+    assert out_h["hedged"]
+    ph = out_h["per_asset"]
+    assert "delta_mean" in ph["BTC_USD 7 Years Weekly"]
+    # unhedged asset: spot delta is 0 up to f32 rounding
+    assert abs(ph["ETH_USD 7 Years Weekly"]["delta_cvar"]) < 1e-6
+    # zero-premium protective put floors the tail: CVaR improves
+    assert out_h["cvar"] >= out["cvar"]
