@@ -307,6 +307,26 @@ def fleet(mean, chol):
     _emit("dcc_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (DCC-GARCH, 256 cand, 131072 paths, 52 steps)")
 
+    # -- pathwise Greeks (round 4): warm wall of the full jacrev — 1 forward
+    # + 3 reverse passes of the remat'd 131072x252 simulation per call
+    import time as _time
+
+    from mcport.config import GBMConfig
+    from mcport.engine.greeks import portfolio_sensitivities
+    from mcport.models.gbm import GBMParams
+
+    gp = GBMParams(mean_step=np.asarray(mean), chol_step=np.asarray(chol),
+                   s0=np.full(N_ASSETS, 100.0))
+    gw = np.full(N_ASSETS, 1.0 / N_ASSETS)
+    gcfg = GBMConfig(n_paths=131_072, n_steps=N_STEPS, seed=0)
+    portfolio_sensitivities(gp, gw, gcfg)            # compile
+    t0 = _time.perf_counter()
+    gout = portfolio_sensitivities(gp, gw, gcfg)     # host API incl. fetch
+    gwall = _time.perf_counter() - t0
+    _emit("greeks_jacrev_warm_wall_s", gwall,
+          f"s (mean/VaR/CVaR grads wrt w+mu+vol, 131072x252 remat'd sim; "
+          f"euler_gap_cvar {gout.euler_gap_cvar:.1e})")
+
 
 def configs(mean, chol):
     """BASELINE configs 3 and 4: end-to-end wall times (cold incl. compile)."""

@@ -62,6 +62,7 @@ __all__ = [
     "HedgedSensitivities",
     "portfolio_sensitivities",
     "hedged_sensitivities",
+    "terminal_log_remat",
 ]
 
 
@@ -117,7 +118,9 @@ def _metrics(port: Array, k: int) -> Array:
     return jnp.stack([port.mean(), -worst[k - 1], -worst.mean()])
 
 
-def _terminal_log(config: GBMConfig, mu: Array, chol: Array) -> Array:
+def terminal_log_remat(key: Array, mu: Array, chol: Array, n_paths: int,
+                       n_steps: int, antithetic: bool = False,
+                       t_df: float | None = None) -> Array:
     """(N, A) terminal log returns, differentiable in (mu, chol).
 
     Same law, stream structure (fold_in per step), and antithetic convention
@@ -126,13 +129,11 @@ def _terminal_log(config: GBMConfig, mu: Array, chol: Array) -> Array:
     step: the reverse pass then RE-DRAWS each step's z instead of storing a
     (paths, A) residual per step — O(paths·A) total memory instead of
     O(paths·A·steps) (~2 GB at the 131k×252 default), trading one cheap PRNG
-    re-evaluation per step for HBM."""
-    key = jax.random.key(config.seed)
+    re-evaluation per step for HBM. Shared with the mesh form
+    (:mod:`mcport.parallel.sharded_greeks`), which calls it per device."""
     lt = chol.T
     a = mu.shape[-1]
-    half = config.n_paths // 2 if config.antithetic else config.n_paths
-    t_df = (float(config.t_dof)
-            if config.innovations == "student_t" else None)
+    half = n_paths // 2 if antithetic else n_paths
     if t_df is not None:
         scale = 1.0 / jnp.sqrt(jnp.asarray(t_df / (t_df - 2.0), jnp.float32))
 
@@ -143,14 +144,21 @@ def _terminal_log(config: GBMConfig, mu: Array, chol: Array) -> Array:
             z = _student_t_polar(zk, t_df, (half, a), jnp.float32) * scale
         else:
             z = jax.random.normal(zk, (half, a), jnp.float32)
-        if config.antithetic:
+        if antithetic:
             z = jnp.concatenate([z, -z], axis=0)
         return carry + mu + z @ lt, None
 
-    init = jnp.zeros((half * 2 if config.antithetic else config.n_paths, a),
-                     jnp.float32)
-    out, _ = jax.lax.scan(step, init, jnp.arange(config.n_steps))
+    init = jnp.zeros((half * 2 if antithetic else n_paths, a), jnp.float32)
+    out, _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     return out
+
+
+def _terminal_log(config: GBMConfig, mu: Array, chol: Array) -> Array:
+    t_df = (float(config.t_dof)
+            if config.innovations == "student_t" else None)
+    return terminal_log_remat(jax.random.key(config.seed), mu, chol,
+                              config.n_paths, config.n_steps,
+                              antithetic=config.antithetic, t_df=t_df)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "k", "hedged"))

@@ -1,4 +1,5 @@
 from mcport.parallel.auto_sharded import auto_sharded_weight_search
+from mcport.parallel.sharded_greeks import sharded_sensitivities
 from mcport.parallel.mesh import make_mesh, make_mesh_2d, maybe_initialize_distributed
 from mcport.parallel.sharded_engines import (
     sharded_bootstrap_risk,
@@ -54,6 +55,7 @@ __all__ = [
     "sharded_importance_tail",
     "sharded_dcc_risk",
     "sharded_cvar_attribution",
+    "sharded_sensitivities",
     "auto_sharded_weight_search",
     "ShardedMCCheckpoint",
     "load_sharded_checkpoint",

@@ -162,3 +162,55 @@ def test_student_t_innovations_gradients_finite():
     assert np.isfinite(out.d_cvar_dw).all()
     assert out.euler_gap_cvar < 5e-5 * max(1.0, abs(out.cvar))
     assert (out.d_cvar_dvol < 0).all()
+
+
+def test_sharded_sensitivities_exact_host_replay(eight_devices):
+    """Mesh Greeks == host replay of the per-device streams: simulate each
+    device's counter-addressed shard on one host, concatenate, differentiate
+    — gradients and metrics must match the 8-device shard_map run (the
+    all_gather/psum transposes introduce no reduction drift)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcport.engine.greeks import _metrics, terminal_log_remat
+    from mcport.parallel import make_mesh
+    from mcport.parallel.sharded_greeks import sharded_sensitivities
+    from mcport.seeding import SEED_STRIDE
+
+    params = _params()
+    w = np.array([0.5, 0.3, 0.2])
+    n_paths, n_steps, seed, alpha = 4096, 8, 11, 0.95
+    mesh = make_mesh(eight_devices)
+    out = sharded_sensitivities(seed, params, w, n_paths, n_steps, mesh,
+                                alpha=alpha)
+    assert out.euler_gap_cvar < 5e-5 * max(1.0, abs(out.cvar))
+
+    mu = jnp.asarray(params.mean_step, jnp.float32)
+    chol = jnp.asarray(params.chol_step, jnp.float32)
+    n_local = n_paths // 8
+    k = math.ceil((1 - alpha) * n_paths)
+
+    def host_metrics(w_, mu_, vol_scale):
+        shards = [
+            terminal_log_remat(
+                jax.random.fold_in(jax.random.PRNGKey(0),
+                                   seed + d * SEED_STRIDE),
+                mu_, vol_scale[:, None] * chol, n_local, n_steps)
+            for d in range(8)
+        ]
+        port = jnp.concatenate([jnp.expm1(t) @ w_ for t in shards])
+        return _metrics(port, k)
+
+    import jax as _jax
+    w_j = jnp.asarray(w, jnp.float32)
+    ones = jnp.ones(3, jnp.float32)
+    vals = np.asarray(host_metrics(w_j, mu, ones), np.float64)
+    jac = _jax.jacrev(host_metrics, argnums=(0, 1, 2))(w_j, mu, ones)
+    np.testing.assert_allclose([out.mean, out.var, out.cvar], vals,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(out.d_cvar_dw, np.asarray(jac[0])[2],
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(out.d_cvar_dmu, np.asarray(jac[1])[2],
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(out.d_cvar_dvol, np.asarray(jac[2])[2],
+                               rtol=1e-5, atol=1e-8)
