@@ -264,7 +264,7 @@ def cmd_greeks(args) -> None:
         t_dof = estimate_t_dof(d.prices)
     _, hedge = _hedge_from_args(args, d)
     cfg = GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
-                    antithetic=args.antithetic,
+                    antithetic=args.antithetic, qmc=args.qmc,
                     innovations=args.innovations, t_dof=t_dof)
     out = portfolio_sensitivities(
         params, w, cfg, alpha=args.alpha, hedge=hedge,
@@ -1071,6 +1071,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--antithetic", action="store_true")
     sp.add_argument("--innovations", default="normal",
                     choices=["normal", "student_t"])
+    sp.add_argument("--qmc", default="none", choices=["none", "sobol", "halton"],
+                    help="low-discrepancy terminal draws — variance-reduced "
+                         "gradients (Gaussian terminals only)")
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config (hedged.legs_from_spec schema): "
                          "options settle at intrinsic against simulated "

@@ -156,6 +156,23 @@ def terminal_log_remat(key: Array, mu: Array, chol: Array, n_paths: int,
 def _terminal_log(config: GBMConfig, mu: Array, chol: Array) -> Array:
     t_df = (float(config.t_dof)
             if config.innovations == "student_t" else None)
+    if config.qmc != "none":
+        # GBM's terminal log return is exactly Gaussian (N(n·mu, n·LL')), so
+        # the QMC estimator draws ONE low-discrepancy normal per path
+        # (terminal_log_returns_exact convention) — the points are fixed
+        # (parameter-independent), so the reparameterized gradients stay
+        # valid and inherit the full QMC variance reduction.
+        if t_df is not None:
+            raise ValueError("QMC sensitivities draw Gaussian terminals; "
+                             "use innovations='normal' or qmc='none'")
+        if config.antithetic:
+            raise ValueError("antithetic is redundant under QMC; disable one")
+        from mcport.models.qmc import qmc_normals
+
+        z = qmc_normals(config.n_paths, mu.shape[-1], config.qmc, config.seed)
+        z = jax.lax.stop_gradient(z)
+        scale = jnp.sqrt(jnp.asarray(config.n_steps, jnp.float32))
+        return config.n_steps * mu + scale * (z @ chol.T)
     return terminal_log_remat(jax.random.key(config.seed), mu, chol,
                               config.n_paths, config.n_steps,
                               antithetic=config.antithetic, t_df=t_df)

@@ -643,3 +643,23 @@ def test_family_frontier_compiled_end_to_end():
             use_pallas=True)
         np.testing.assert_array_equal(r.ret, r2.ret)
         assert r.opt_idx == r2.opt_idx
+
+
+def test_greeks_jacrev_compiles_and_holds_euler_on_hardware():
+    """The pathwise-Greeks reverse pass (remat'd scan + top_k grads) must
+    lower and run ON CHIP at a production-like shape, with the Euler
+    homogeneity self-diagnostic intact (scalar fetches only)."""
+    from mcport.config import GBMConfig
+    from mcport.engine.greeks import portfolio_sensitivities
+    from mcport.models.gbm import GBMParams
+
+    a = 15
+    params = GBMParams(mean_step=np.full(a, 1e-3, np.float32),
+                       chol_step=_chol(a), s0=np.full(a, 100.0))
+    w = np.full(a, 1.0 / a)
+    out = portfolio_sensitivities(
+        params, w, GBMConfig(n_paths=131_072, n_steps=64, seed=1), alpha=0.95)
+    assert out.euler_gap_cvar < 5e-5 * max(1.0, abs(out.cvar))
+    assert out.euler_gap_var < 5e-5 * max(1.0, abs(out.var))
+    assert np.isfinite(out.d_cvar_dvol).all()
+    assert float(w @ out.d_mean_dw) == pytest.approx(out.mean, abs=1e-5)
