@@ -682,6 +682,7 @@ def sensitivities(
     weights: Sequence[float] | np.ndarray | None = None,
     config: Config = Config(),
     legs_by_asset=None,
+    gamma: bool = False,
 ) -> dict:
     """Pathwise Greeks of the simulated terminal portfolio via AD
     (:mod:`mcport.engine.greeks`): per-asset ∂(mean, VaR, CVaR)/∂weight,
@@ -719,6 +720,14 @@ def sensitivities(
     if hedge is not None:
         result["delta_mean"] = dict(zip(data.names, out.d_mean_ds0))
         result["delta_cvar"] = dict(zip(data.names, out.d_cvar_ds0))
+        if gamma:
+            from mcport.engine.greeks import hedged_mean_gamma
+
+            gam, gse = hedged_mean_gamma(
+                params, w, hedge, np.asarray(data.prices[-1], np.float64),
+                config.gbm)
+            result["gamma_mean"] = dict(zip(data.names, gam))
+            result["gamma_se"] = dict(zip(data.names, gse))
     return result
 
 

@@ -263,6 +263,9 @@ def cmd_greeks(args) -> None:
 
         t_dof = estimate_t_dof(d.prices)
     _, hedge = _hedge_from_args(args, d)
+    if args.gamma and hedge is None:
+        raise SystemExit("--gamma requires --hedge (gamma of an unhedged "
+                         "asset's mean return is structurally 0)")
     cfg = GBMConfig(n_paths=args.paths, n_steps=args.steps, seed=args.seed,
                     antithetic=args.antithetic, qmc=args.qmc,
                     innovations=args.innovations, t_dof=t_dof)
@@ -286,6 +289,13 @@ def cmd_greeks(args) -> None:
         for i, name in enumerate(d.names):
             per_asset[name]["delta_mean"] = float(out.d_mean_ds0[i])
             per_asset[name]["delta_cvar"] = float(out.d_cvar_ds0[i])
+        if args.gamma:
+            from mcport.engine.greeks import hedged_mean_gamma
+
+            gam, gse = hedged_mean_gamma(params, w, hedge, d.prices[-1], cfg)
+            for i, name in enumerate(d.names):
+                per_asset[name]["gamma_mean"] = float(gam[i])
+                per_asset[name]["gamma_se"] = float(gse[i])
     _emit({
         "alpha": args.alpha, "paths": base.n_paths, "steps": args.steps,
         "hedged": hedge is not None,
@@ -1078,6 +1088,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON hedge config (hedged.legs_from_spec schema): "
                          "options settle at intrinsic against simulated "
                          "terminal prices; adds per-asset spot deltas")
+    sp.add_argument("--gamma", action="store_true",
+                    help="also report per-asset gamma of the hedged mean "
+                         "(likelihood-ratio estimator with its standard "
+                         "error; requires --hedge, normal innovations)")
     sp.set_defaults(fn=cmd_greeks)
 
     sp = sub.add_parser("garch-risk",

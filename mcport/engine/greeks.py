@@ -62,6 +62,7 @@ __all__ = [
     "HedgedSensitivities",
     "portfolio_sensitivities",
     "hedged_sensitivities",
+    "hedged_mean_gamma",
     "terminal_log_remat",
 ]
 
@@ -267,3 +268,76 @@ def hedged_sensitivities(
                                   hedge=hedge, s0=s0)
     assert isinstance(out, HedgedSensitivities)
     return out
+
+
+# ---------------------------------------------------------------------------
+# second order: gamma by likelihood ratio (pathwise is invalid at the kink)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _lr_gamma_core(mu, chol, s0, w, hedge_arrays, config: GBMConfig):
+    from mcport.options.hedged import hedged_terminal_returns
+
+    x = _terminal_log(config, mu, chol)                  # (N, A)
+    r = hedged_terminal_returns(x, s0, *hedge_arrays)    # (N, A)
+    u = jnp.expm1(x)                                     # control variate
+    n = jnp.asarray(config.n_steps, jnp.float32)
+    centered = (x - config.n_steps * mu).T               # (A, N)
+    lfac = jnp.sqrt(n) * chol                            # V = lfac lfac^T
+    g = jax.scipy.linalg.cho_solve((lfac, True), centered).T   # (N, A)
+    vinv_diag = jnp.diagonal(
+        jax.scipy.linalg.cho_solve((lfac, True), jnp.eye(mu.shape[-1],
+                                                         dtype=mu.dtype)))
+    t = g * g - vinv_diag - 3.0 * g + 2.0
+    core = jnp.mean((r - u) * t, axis=0)                 # (A,) E[(r-u)·t]
+    # per-sample spread of the estimator, for the reported standard error
+    se = jnp.std((r - u) * t, axis=0, ddof=1) / jnp.sqrt(r.shape[0])
+    return core, se
+
+
+def hedged_mean_gamma(
+    params: GBMParams,
+    weights: np.ndarray,
+    hedge,
+    s0: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-asset GAMMA of the hedged portfolio's mean return:
+    ``∂²mean/∂s0_a²`` — by the likelihood-ratio method, because the pathwise
+    second derivative of a kinked (piecewise-linear) payoff is zero a.e. and
+    therefore invalid. Returns ``(gamma (A,), standard_error (A,))``.
+
+    Derivation sketch (full derivation in tests/test_greeks.py's closed-form
+    pin): GBM's terminal log X is exactly Gaussian, S = s0·e^X, and the
+    s0-shift moves into the density, so with the score
+    ``g = V^{-1}(X − n·mu)``, ``t = g² − V^{-1}_aa − 3g + 2``:
+
+        gamma_a = (w_a / s0_a²) · ( E[(r_a − u_a)·t_a] − 2 − 2·β_a )
+
+    where ``u = e^X − 1`` is a control variate with the known value
+    ``E[u·t] = −2`` (it removes the S-linear component: an UNHEDGED asset's
+    gamma comes out structurally zero, not zero-in-expectation), and ``β_a``
+    counts the legs whose payoff references s0 explicitly
+    (−qty per buy-asset, +qty per sell-asset/sell-futures — their
+    ``β·s0`` term has no curvature). Requires Gaussian terminals
+    (``innovations='normal'``); QMC points are fine (fixed-point
+    integration of the same integrand).
+    """
+    if config.innovations == "student_t":
+        raise ValueError("LR gamma needs the Gaussian score; "
+                         "innovations='student_t' is not supported")
+    if hedge is None:
+        raise ValueError("hedged_mean_gamma requires a HedgeSpec")
+    mu = jnp.asarray(params.mean_step, jnp.float32)
+    chol = jnp.asarray(params.chol_step, jnp.float32)
+    w = np.asarray(weights, np.float64)
+    s0_np = np.asarray(s0, np.float64)
+
+    core, se = _lr_gamma_core(mu, chol, jnp.asarray(s0, jnp.float32),
+                              jnp.asarray(weights, jnp.float32),
+                              hedge.arrays, config)
+    type_id, qty = np.asarray(hedge.type_id), np.asarray(hedge.qty)
+    beta = (qty * np.isin(type_id, (1, 6)) - qty * (type_id == 0)).sum(axis=1)
+    scale = w / s0_np**2
+    gamma = scale * (np.asarray(core, np.float64) - 2.0 - 2.0 * beta)
+    return gamma, np.abs(scale) * np.asarray(se, np.float64)

@@ -307,3 +307,14 @@ def test_greeks_command(btc, eth, tmp_path):
     assert abs(ph["ETH_USD 7 Years Weekly"]["delta_cvar"]) < 1e-6
     # zero-premium protective put floors the tail: CVaR improves
     assert out_h["cvar"] >= out["cvar"]
+
+    out_g = run_cli(["greeks", btc, eth, "--period", "W", "--paths", "8192",
+                     "--steps", "8", "--hedge", str(hedge), "--gamma"])
+    gb = out_g["per_asset"]["BTC_USD 7 Years Weekly"]
+    assert np.isfinite(gb["gamma_mean"]) and gb["gamma_se"] >= 0
+    # unhedged asset's gamma is structurally ~0
+    assert abs(out_g["per_asset"]["ETH_USD 7 Years Weekly"]["gamma_mean"]) < 1e-8
+
+    with pytest.raises(SystemExit, match="requires --hedge"):
+        run_cli(["greeks", btc, "--period", "W", "--paths", "1024",
+                 "--steps", "4", "--gamma"])

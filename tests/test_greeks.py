@@ -241,3 +241,64 @@ def test_qmc_greeks_match_closed_form_mean_gradient():
         portfolio_sensitivities(
             params, w,
             GBMConfig(n_paths=1024, n_steps=4, qmc="sobol", antithetic=True))
+
+
+def test_call_gamma_matches_black_scholes_closed_form():
+    """LR gamma of the mean hedged return vs the closed form. With
+    C(s0) = s0·G·N(d1) − K·N(d2), G = e^{m+v/2}, C' = G·N(d1),
+    C'' = G·φ(d1)/(s0·√v), the mean return (C − p)/s0 has
+
+        gamma = C''/s0 − 2·C'/s0² + 2·(C − p)/s0³.
+
+    Also pins the structural zero: the UNHEDGED asset's gamma comes out
+    exactly 0 via the control variate (not zero-in-expectation)."""
+    from scipy.stats import norm
+
+    from mcport.engine.greeks import hedged_mean_gamma
+
+    vol, drift, steps = 0.04, 1e-3, 16
+    params = GBMParams(mean_step=np.array([drift, drift]),
+                       chol_step=np.diag([vol, 1.5 * vol]),
+                       s0=np.array([100.0, 50.0]))
+    s0, strike, prem = 100.0, 105.0, 3.0
+    spec = HedgeSpec.build({0: [("buy_call", strike, prem, 1.0)]},
+                           names=["A", "B"])
+    cfg = GBMConfig(n_paths=262_144, n_steps=steps, seed=9, antithetic=True)
+    w = np.array([1.0, 1.0])
+    gamma, se = hedged_mean_gamma(params, w, spec, np.array([s0, 50.0]), cfg)
+
+    m, v = steps * drift, steps * vol**2
+    d1 = (math.log(s0 / strike) + m + v) / math.sqrt(v)
+    d2 = d1 - math.sqrt(v)
+    growth = math.exp(m + v / 2.0)
+    c = s0 * growth * norm.cdf(d1) - strike * norm.cdf(d2)
+    c_p = growth * norm.cdf(d1)
+    c_pp = growth * norm.pdf(d1) / (s0 * math.sqrt(v))
+    gamma_exact = c_pp / s0 - 2 * c_p / s0**2 + 2 * (c - prem) / s0**3
+
+    assert abs(gamma[0] - gamma_exact) < max(4 * se[0], 0.05 * abs(gamma_exact))
+    # unhedged asset: structurally zero (control variate cancels exactly,
+    # up to f32 rounding of the (s0·e^x − s0)/s0 vs expm1 cancellation)
+    assert abs(gamma[1]) < 1e-8
+
+
+def test_gamma_consistent_with_fd_of_pathwise_delta():
+    """Central FD of the (valid, pathwise) AD delta under common random
+    numbers is an independent gamma estimate — LR and FD must agree."""
+    from mcport.engine.greeks import hedged_mean_gamma
+
+    vol, drift, steps = 0.05, 0.0, 8
+    params = GBMParams(mean_step=np.array([drift]),
+                       chol_step=np.array([[vol]]), s0=np.array([100.0]))
+    spec = HedgeSpec.build({0: [("buy_put", 95.0, 2.0, 1.0)]}, names=["A"])
+    cfg = GBMConfig(n_paths=131_072, n_steps=steps, seed=13, antithetic=True)
+    w = np.array([1.0])
+    gamma, se = hedged_mean_gamma(params, w, spec, np.array([100.0]), cfg)
+
+    h = 2.0
+    d_up = hedged_sensitivities(params, w, spec, np.array([100.0 + h]),
+                                cfg).d_mean_ds0[0]
+    d_dn = hedged_sensitivities(params, w, spec, np.array([100.0 - h]),
+                                cfg).d_mean_ds0[0]
+    fd = (d_up - d_dn) / (2 * h)
+    assert abs(gamma[0] - fd) < max(4 * se[0], 0.10 * abs(fd))
