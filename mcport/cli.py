@@ -96,6 +96,14 @@ def _hedge_from_args(args, d):
         raise SystemExit(f"--hedge {path}: {e}")
 
 
+def _estimate_from_args(args, d):
+    """estimate_gbm honoring the --estimator/--ewma-lambda tier flags."""
+    from mcport.models.gbm import estimate_gbm
+
+    return estimate_gbm(d.prices, estimator=getattr(args, "estimator", "sample"),
+                        ewma_lambda=getattr(args, "ewma_lambda", 0.94))
+
+
 def cmd_stats(args) -> None:
     from mcport.stats import STAT_COLUMNS, asset_stats_batch
 
@@ -143,7 +151,7 @@ def cmd_gbm_risk(args) -> None:
     from mcport.models import estimate_gbm
 
     d = _universe(args)
-    params = estimate_gbm(d.prices)
+    params = _estimate_from_args(args, d)
     a = d.n_assets
     w = (np.full(a, 1.0 / a) if args.weights is None
          else np.asarray([float(x) for x in args.weights.split(",")]))
@@ -256,7 +264,7 @@ def cmd_greeks(args) -> None:
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
-    params = estimate_gbm(d.prices)
+    params = _estimate_from_args(args, d)
     t_dof = 6.0
     if args.innovations == "student_t":
         from mcport.models.gbm import estimate_t_dof
@@ -550,7 +558,7 @@ def cmd_stress(args) -> None:
     from mcport.models import estimate_gbm
 
     d = _universe(args)
-    params = estimate_gbm(d.prices)
+    params = _estimate_from_args(args, d)
     a = d.n_assets
     w = (np.full(a, 1.0 / a) if args.weights is None
          else np.asarray([float(x) for x in args.weights.split(",")]))
@@ -630,7 +638,7 @@ def cmd_tail_risk(args) -> None:
     from mcport.models.importance import importance_tail_risk
 
     d = _universe(args)
-    params = estimate_gbm(d.prices)
+    params = _estimate_from_args(args, d)
     a = d.n_assets
     w = (np.full(a, 1.0 / a) if args.weights is None
          else np.asarray([float(x) for x in args.weights.split(",")]))
@@ -810,7 +818,7 @@ def cmd_sim_frontier(args) -> None:
     from mcport.models import estimate_gbm
 
     d = _universe(args)
-    params = estimate_gbm(d.prices)
+    params = _estimate_from_args(args, d)
     _, hedge = _hedge_from_args(args, d)
     min_w = np.full(d.n_assets, args.min_weight) if args.min_weight else None
     max_w = np.full(d.n_assets, args.max_weight) if args.max_weight < 1.0 else None
@@ -877,7 +885,7 @@ def cmd_dd_frontier(args) -> None:
 
             t_dof = estimate_t_dof(d.prices)
         r = drawdown_frontier_search(
-            jax.random.key(args.seed), estimate_gbm(d.prices),
+            jax.random.key(args.seed), _estimate_from_args(args, d),
             dd_budget=args.dd_budget,
             n_candidates=args.candidates, n_paths=args.paths,
             n_steps=args.steps, alpha=args.alpha,
@@ -996,6 +1004,16 @@ def cmd_forecast(args) -> None:
     _emit({"horizons": list(horizons), "forecasts": out})
 
 
+def _estimator_flags(sp) -> None:
+    sp.add_argument("--estimator", default="sample",
+                    choices=["sample", "lw", "ewma"],
+                    help="covariance tier: reference sample (ddof=1) | "
+                         "Ledoit-Wolf shrinkage (short/wide universes) | "
+                         "RiskMetrics EWMA (current-regime risk)")
+    sp.add_argument("--ewma-lambda", type=float, default=0.94,
+                    help="EWMA decay (only with --estimator ewma)")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mcport", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -1066,6 +1084,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resume", action="store_true", help="resume from --checkpoint")
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_gbm_risk)
 
     sp = sub.add_parser(
@@ -1092,6 +1111,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also report per-asset gamma of the hedged mean "
                          "(likelihood-ratio estimator with its standard "
                          "error; requires --hedge, normal innovations)")
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_greeks)
 
     sp = sub.add_parser("garch-risk",
@@ -1169,6 +1189,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=52)
     sp.add_argument("--alpha", type=float, default=0.9999)
     sp.add_argument("--seed", type=int, default=0)
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_tail_risk)
 
     sp = sub.add_parser("compare-models",
@@ -1270,6 +1291,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-weight", type=float, default=1.0)
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_sim_frontier)
 
     sp = sub.add_parser("dd-frontier", help="max return s.t. a simulated max-drawdown budget")
@@ -1313,6 +1335,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="screening-tier normal draws for screen AND rescore "
                          "(stream-consistent; draw error <=~1.5e-4; gbm "
                          "Pallas path only)")
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_dd_frontier)
 
     sp = sub.add_parser("backtest",
@@ -1370,6 +1393,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="common mean log-jump size for the crash overlay")
     sp.add_argument("--no-crash", action="store_true",
                     help="skip the Merton crash-overlay scenario")
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_stress)
 
     sp = sub.add_parser("forecast", help="ARIMA+GARCH price forecasts")

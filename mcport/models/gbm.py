@@ -37,6 +37,8 @@ from jax import Array
 __all__ = [
     "GBMParams",
     "estimate_gbm",
+    "ledoit_wolf_shrinkage",
+    "ewma_cov",
     "estimate_t_dof",
     "terminal_log_returns_t",
     "simulate_log_paths",
@@ -63,13 +65,72 @@ class GBMParams:
         return self.s0.shape[-1]
 
 
-def estimate_gbm(prices: np.ndarray, jitter: float = 1e-12) -> GBMParams:
+def ledoit_wolf_shrinkage(returns: np.ndarray) -> tuple[np.ndarray, float]:
+    """(shrunk covariance, intensity rho) — Ledoit-Wolf (2004) shrinkage of
+    the sample covariance toward the scaled identity ``m·I``.
+
+    The optimal intensity ``rho = b^2/d^2`` trades the sample estimator's
+    variance (``b^2``, the average squared Frobenius distance of per-row
+    outer products from S) against its dispersion around the target
+    (``d^2 = ||S − m·I||_F^2``). Small T / large A / heavy noise → rho → 1
+    (heavily shrunk, always well-conditioned); long histories → rho → 0
+    (the sample estimator is already fine). Intensity is derived in the
+    canonical 1/T convention and applied to the repo's ddof=1 S so the
+    ``rho = 0`` limit is exactly the reference estimator (app.py:680).
+    """
+    x = np.asarray(returns, np.float64)
+    t, a = x.shape
+    xc = x - x.mean(axis=0)
+    s_mle = xc.T @ xc / t                       # 1/T convention (LW 2004)
+    m = np.trace(s_mle) / a
+    d2 = np.sum((s_mle - m * np.eye(a)) ** 2)
+    b2_sum = 0.0
+    for row in xc:                              # T is small (price history)
+        b2_sum += np.sum((np.outer(row, row) - s_mle) ** 2)
+    b2 = min(b2_sum / t**2, d2)
+    rho = 0.0 if d2 == 0.0 else b2 / d2
+    s = np.atleast_2d(np.cov(x, rowvar=False, ddof=1))
+    return rho * (np.trace(s) / a) * np.eye(a) + (1.0 - rho) * s, float(rho)
+
+
+def ewma_cov(returns: np.ndarray, lam: float = 0.94) -> np.ndarray:
+    """RiskMetrics exponentially-weighted covariance: weight ``lam^s`` on the
+    return ``s`` periods ago (normalized over the finite window), centered on
+    the EW mean — recent shocks dominate, so simulated risk reacts to the
+    CURRENT volatility regime instead of averaging over the whole history."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"ewma lambda must be in (0, 1), got {lam}")
+    x = np.asarray(returns, np.float64)
+    t = x.shape[0]
+    w = lam ** np.arange(t - 1, -1, -1.0)       # oldest → newest
+    w /= w.sum()
+    mu = w @ x
+    xc = x - mu
+    cov = (xc * w[:, None]).T @ xc
+    # ddof-1-style small-sample correction via the effective sample size
+    ess = 1.0 / np.sum(w**2)
+    return np.atleast_2d(cov * ess / max(ess - 1.0, 1e-12))
+
+
+def estimate_gbm(prices: np.ndarray, jitter: float = 1e-12,
+                 estimator: str = "sample",
+                 ewma_lambda: float = 0.94) -> GBMParams:
     """Fit per-step GBM moments from a (T, A) price matrix.
 
-    Log-return mean/cov use the same estimator family as the reference's simple-
-    return moments (mean over T-1 rows, ddof=1 covariance; app.py:679-680), applied
-    to log prices. A tiny diagonal jitter keeps Cholesky PD for near-degenerate
-    universes.
+    ``estimator`` selects the covariance tier (the drift is always the
+    sample mean of log returns — shrinking the mean is a separate modeling
+    decision, covered by Black-Litterman):
+
+    - ``"sample"`` (default) — the reference's estimator family (mean over
+      T-1 rows, ddof=1 covariance; app.py:679-680), applied to log prices.
+    - ``"lw"`` — Ledoit-Wolf shrinkage toward the scaled identity: the
+      short, cross-correlated histories this tool ingests (24-365 rows,
+      up to dozens of assets) make the sample covariance ill-conditioned,
+      which the downstream Cholesky/optimizers amplify.
+    - ``"ewma"`` — RiskMetrics exponentially-weighted covariance
+      (``ewma_lambda``, default 0.94): risk reflects the current regime.
+
+    A tiny diagonal jitter keeps Cholesky PD for near-degenerate universes.
     """
     prices = np.asarray(prices, np.float64)
     if prices.ndim != 2 or prices.shape[0] < 3:
@@ -81,7 +142,15 @@ def estimate_gbm(prices: np.ndarray, jitter: float = 1e-12) -> GBMParams:
         raise ValueError("prices must be strictly positive and finite for GBM estimation")
     logret = np.diff(np.log(prices), axis=0)        # (T-1, A)
     mean_step = logret.mean(axis=0)
-    cov_step = np.cov(logret, rowvar=False, ddof=1)
+    if estimator == "sample":
+        cov_step = np.cov(logret, rowvar=False, ddof=1)
+    elif estimator == "lw":
+        cov_step, _ = ledoit_wolf_shrinkage(logret)
+    elif estimator == "ewma":
+        cov_step = ewma_cov(logret, ewma_lambda)
+    else:
+        raise ValueError(
+            f"estimator must be 'sample', 'lw' or 'ewma', got {estimator!r}")
     cov_step = np.atleast_2d(cov_step)
     a = cov_step.shape[0]
     chol = np.linalg.cholesky(cov_step + jitter * np.eye(a))

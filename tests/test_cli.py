@@ -318,3 +318,17 @@ def test_greeks_command(btc, eth, tmp_path):
     with pytest.raises(SystemExit, match="requires --hedge"):
         run_cli(["greeks", btc, "--period", "W", "--paths", "1024",
                  "--steps", "4", "--gamma"])
+
+
+def test_estimator_tier_flags(btc, eth):
+    base = run_cli(["gbm-risk", btc, eth, "--period", "W", "--paths", "4096",
+                    "--steps", "8", "--no-pallas"])
+    lw = run_cli(["gbm-risk", btc, eth, "--period", "W", "--paths", "4096",
+                  "--steps", "8", "--no-pallas", "--estimator", "lw"])
+    ew = run_cli(["gbm-risk", btc, eth, "--period", "W", "--paths", "4096",
+                  "--steps", "8", "--no-pallas", "--estimator", "ewma",
+                  "--ewma-lambda", "0.9"])
+    # same draws, different covariance tier -> different (finite) tails
+    assert lw["var"] != base["var"] and ew["var"] != base["var"]
+    for out in (base, lw, ew):
+        assert -1.0 <= out["cvar"] <= out["var"] <= 0.5

@@ -254,3 +254,65 @@ def test_polar_t_quantile_parity_vs_rejection_sampler(rng):
         a, b = np.quantile(ours, q), np.quantile(ref, q)
         tol = 0.06 * max(abs(b), 1.0) + 0.02
         assert abs(a - b) < tol, (q, a, b)
+
+
+# ---- estimator tiers: Ledoit-Wolf shrinkage + RiskMetrics EWMA -------------
+
+
+def test_ledoit_wolf_shrinks_toward_identity_and_conditions():
+    from mcport.models.gbm import ledoit_wolf_shrinkage
+
+    rng = np.random.default_rng(3)
+    a, t = 12, 30                      # short history, wide universe
+    true_cov = 0.02**2 * (0.6 * np.eye(a) + 0.4)
+    x = rng.multivariate_normal(np.zeros(a), true_cov, size=t)
+    s = np.cov(x, rowvar=False, ddof=1)
+    lw, rho = ledoit_wolf_shrinkage(x)
+    assert 0.0 < rho < 1.0
+    # shrinkage can only improve conditioning, and here it must (T=30, A=12)
+    assert np.linalg.cond(lw) < np.linalg.cond(s)
+    # rho=0 limit is exactly the reference's ddof=1 estimator
+    np.testing.assert_allclose(
+        lw, rho * np.trace(s) / a * np.eye(a) + (1 - rho) * s)
+    # closer to the truth than the raw sample estimate (the LW point)
+    assert (np.linalg.norm(lw - true_cov) < np.linalg.norm(s - true_cov))
+    # long history → intensity collapses
+    x_long = rng.multivariate_normal(np.zeros(a), true_cov, size=5000)
+    _, rho_long = ledoit_wolf_shrinkage(x_long)
+    assert rho_long < rho / 3
+
+
+def test_ewma_cov_tracks_the_recent_regime():
+    from mcport.models.gbm import ewma_cov
+
+    rng = np.random.default_rng(5)
+    calm = rng.normal(0.0, 0.01, size=(200, 2))
+    stressed = rng.normal(0.0, 0.05, size=(20, 2))
+    x = np.vstack([calm, stressed])
+    s = np.cov(x, rowvar=False, ddof=1)
+    e = ewma_cov(x, 0.94)
+    # the EW estimate lives in the stress regime; the sample average doesn't
+    assert e[0, 0] > 3 * s[0, 0]
+    # lambda -> 1 recovers (approximately) the equal-weight sample estimator
+    e1 = ewma_cov(x, 0.999999)
+    np.testing.assert_allclose(e1, s, rtol=1e-3)
+    with pytest.raises(ValueError, match="lambda"):
+        ewma_cov(x, 1.5)
+
+
+def test_estimate_gbm_estimator_tiers_wire_through():
+    rng = np.random.default_rng(7)
+    t, a = 60, 5
+    prices = 100 * np.exp(np.cumsum(rng.normal(1e-3, 0.02, (t, a)), axis=0))
+    base = estimate_gbm(prices)
+    lw = estimate_gbm(prices, estimator="lw")
+    ew = estimate_gbm(prices, estimator="ewma", ewma_lambda=0.9)
+    # drift is estimator-independent; covariances differ
+    np.testing.assert_array_equal(base.mean_step, lw.mean_step)
+    np.testing.assert_array_equal(base.mean_step, ew.mean_step)
+    assert not np.allclose(base.chol_step, lw.chol_step)
+    assert not np.allclose(base.chol_step, ew.chol_step)
+    cond = lambda p: np.linalg.cond(p.chol_step @ p.chol_step.T)
+    assert cond(lw) < cond(base)
+    with pytest.raises(ValueError, match="estimator"):
+        estimate_gbm(prices, estimator="bogus")
