@@ -242,6 +242,51 @@ def bootstrap_tail_risk(
     )
 
 
+def _family_terminal_simple(data: PriceData, model: str, g, key):
+    """(n_paths, A) terminal SIMPLE returns under ``model`` — the shared lax
+    draw behind :func:`hedged_tail_risk` and the family Greeks tier."""
+    if model == "gbm" or model == "student_t":
+        from mcport.models.gbm import (
+            estimate_t_dof, terminal_log_returns, terminal_log_returns_t,
+        )
+
+        params = estimate_gbm(data.prices)
+        m = jnp.asarray(params.mean_step, jnp.float32)
+        L = jnp.asarray(params.chol_step, jnp.float32)
+        if model == "student_t":
+            term_log = terminal_log_returns_t(
+                key, m, L, estimate_t_dof(data.prices), g.n_paths, g.n_steps)
+        else:
+            term_log = terminal_log_returns(key, m, L, g.n_paths, g.n_steps)
+        return jnp.expm1(term_log)
+    if model == "garch":
+        from mcport.models.garch_mc import estimate_ccc_garch, garch_terminal_returns
+
+        gparams = estimate_ccc_garch(data.port_rets)
+        return garch_terminal_returns(key, gparams, g.n_paths, g.n_steps)
+    if model == "dcc":
+        from mcport.models.dcc import dcc_terminal_returns, estimate_dcc_garch
+
+        return dcc_terminal_returns(key, estimate_dcc_garch(data.port_rets),
+                                    g.n_paths, g.n_steps)
+    if model == "jump":
+        from mcport.models.jump import estimate_merton_common, merton_terminal_returns
+
+        mp = estimate_merton_common(data.prices)
+        term_log = merton_terminal_returns(
+            key, mp.diffusion.mean_step, mp.diffusion.chol_step,
+            mp.jump_rate, mp.jump_mean, mp.jump_vol, g.n_paths, g.n_steps)
+        return jnp.expm1(term_log)
+    if model == "bootstrap":
+        from mcport.models.bootstrap import bootstrap_terminal_returns
+
+        return bootstrap_terminal_returns(
+            key, jnp.asarray(data.port_rets, jnp.float32), g.n_paths, g.n_steps)
+    raise ValueError(
+        f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
+        f"'bootstrap', got {model!r}")
+
+
 def hedged_tail_risk(
     data: PriceData,
     weights: Sequence[float] | np.ndarray | None = None,
@@ -274,47 +319,7 @@ def hedged_tail_risk(
     s0 = np.asarray(data.prices[-1], np.float64)
     key = jax.random.key(g.seed)
 
-    if model == "gbm" or model == "student_t":
-        from mcport.models.gbm import (
-            estimate_t_dof, terminal_log_returns, terminal_log_returns_t,
-        )
-
-        params = estimate_gbm(data.prices)
-        m = jnp.asarray(params.mean_step, jnp.float32)
-        L = jnp.asarray(params.chol_step, jnp.float32)
-        if model == "student_t":
-            term_log = terminal_log_returns_t(
-                key, m, L, estimate_t_dof(data.prices), g.n_paths, g.n_steps)
-        else:
-            term_log = terminal_log_returns(key, m, L, g.n_paths, g.n_steps)
-        simple = jnp.expm1(term_log)
-    elif model == "garch":
-        from mcport.models.garch_mc import estimate_ccc_garch, garch_terminal_returns
-
-        gparams = estimate_ccc_garch(data.port_rets)
-        simple = garch_terminal_returns(key, gparams, g.n_paths, g.n_steps)
-    elif model == "dcc":
-        from mcport.models.dcc import dcc_terminal_returns, estimate_dcc_garch
-
-        simple = dcc_terminal_returns(key, estimate_dcc_garch(data.port_rets),
-                                      g.n_paths, g.n_steps)
-    elif model == "jump":
-        from mcport.models.jump import estimate_merton_common, merton_terminal_returns
-
-        mp = estimate_merton_common(data.prices)
-        term_log = merton_terminal_returns(
-            key, mp.diffusion.mean_step, mp.diffusion.chol_step,
-            mp.jump_rate, mp.jump_mean, mp.jump_vol, g.n_paths, g.n_steps)
-        simple = jnp.expm1(term_log)
-    elif model == "bootstrap":
-        from mcport.models.bootstrap import bootstrap_terminal_returns
-
-        simple = bootstrap_terminal_returns(
-            key, jnp.asarray(data.port_rets, jnp.float32), g.n_paths, g.n_steps)
-    else:
-        raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
-            f"'bootstrap', got {model!r}")
+    simple = _family_terminal_simple(data, model, g, key)
 
     hedged = hedged_from_simple(
         simple, jnp.asarray(s0, simple.dtype), *spec.arrays)
@@ -683,6 +688,7 @@ def sensitivities(
     config: Config = Config(),
     legs_by_asset=None,
     gamma: bool = False,
+    model: str = "gbm",
 ) -> dict:
     """Pathwise Greeks of the simulated terminal portfolio via AD
     (:mod:`mcport.engine.greeks`): per-asset ∂(mean, VaR, CVaR)/∂weight,
@@ -700,12 +706,43 @@ def sensitivities(
     params = estimate_gbm(data.prices)
     hedge = (HedgeSpec.build(legs_by_asset, data.names)
              if legs_by_asset else None)
+    if model != "gbm":
+        # family tier: every model supports the weight (and hedged spot)
+        # gradients — the terminal matrix differentiates in the portfolio
+        # composition and the option settlement even where the fitted model
+        # parameters are not reparameterizable the way GBM's are
+        from mcport.engine.greeks import terminal_sensitivities
+
+        if gamma:
+            raise ValueError("LR gamma needs the Gaussian terminal score; "
+                             "model='gbm' only")
+        simple = _family_terminal_simple(
+            data, model, config.gbm, jax.random.key(config.gbm.seed))
+        fam = terminal_sensitivities(
+            simple, w, alpha=config.simulation.alpha, hedge=hedge,
+            s0=(np.asarray(data.prices[-1], np.float64)
+                if hedge is not None else None))
+        result = {
+            "model": model,
+            "mean": fam.mean, "var": fam.var, "cvar": fam.cvar,
+            "alpha": fam.alpha, "hedged": hedge is not None,
+            "euler_gap_var": fam.euler_gap_var,
+            "euler_gap_cvar": fam.euler_gap_cvar,
+            "d_mean_dw": dict(zip(data.names, fam.d_mean_dw)),
+            "d_var_dw": dict(zip(data.names, fam.d_var_dw)),
+            "d_cvar_dw": dict(zip(data.names, fam.d_cvar_dw)),
+        }
+        if hedge is not None:
+            result["delta_mean"] = dict(zip(data.names, fam.d_mean_ds0))
+            result["delta_cvar"] = dict(zip(data.names, fam.d_cvar_ds0))
+        return result
     out = portfolio_sensitivities(
         params, w, config.gbm, alpha=config.simulation.alpha, hedge=hedge,
         s0=(np.asarray(data.prices[-1], np.float64)
             if hedge is not None else None))
     base = getattr(out, "base", out)
     result = {
+        "model": "gbm",
         "mean": base.mean, "var": base.var, "cvar": base.cvar,
         "alpha": base.alpha, "hedged": hedge is not None,
         "euler_gap_var": base.euler_gap_var,

@@ -264,6 +264,19 @@ def cmd_greeks(args) -> None:
          else np.asarray([float(x) for x in args.weights.split(",")]))
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
+    if args.model != "gbm":
+        # family tier: weight + hedged-spot gradients under any terminal law
+        from mcport.api import sensitivities as api_sensitivities
+
+        if args.gamma:
+            raise SystemExit("--gamma requires --model gbm (Gaussian score)")
+        legs_by_asset, _ = _hedge_from_args(args, d)
+        cfg = Config(gbm=GBMConfig(n_paths=args.paths, n_steps=args.steps,
+                                   seed=args.seed),
+                     simulation=SimulationConfig(alpha=args.alpha))
+        _emit(api_sensitivities(d, w, cfg, legs_by_asset=legs_by_asset,
+                                model=args.model))
+        return
     params = _estimate_from_args(args, d)
     t_dof = 6.0
     if args.innovations == "student_t":
@@ -1103,6 +1116,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--qmc", default="none", choices=["none", "sobol", "halton"],
                     help="low-discrepancy terminal draws — variance-reduced "
                          "gradients (Gaussian terminals only)")
+    sp.add_argument("--model", default="gbm",
+                    choices=["gbm", "student_t", "garch", "dcc", "jump",
+                             "bootstrap"],
+                    help="terminal law; non-gbm families report the weight "
+                         "(and hedged spot) gradient tier — drift/vol "
+                         "sensitivities and gamma are GBM-exact only")
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config (hedged.legs_from_spec schema): "
                          "options settle at intrinsic against simulated "

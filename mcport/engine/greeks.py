@@ -63,6 +63,8 @@ __all__ = [
     "portfolio_sensitivities",
     "hedged_sensitivities",
     "hedged_mean_gamma",
+    "terminal_sensitivities",
+    "TerminalSensitivities",
     "terminal_log_remat",
 ]
 
@@ -268,6 +270,88 @@ def hedged_sensitivities(
                                   hedge=hedge, s0=s0)
     assert isinstance(out, HedgedSensitivities)
     return out
+
+
+# ---------------------------------------------------------------------------
+# family tier: weight (and hedged spot) gradients for ANY terminal law
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TerminalSensitivities:
+    """Weight (and, hedged, spot) gradients of (mean, VaR, CVaR) against a
+    precomputed (N, A) terminal simple-return matrix — the tier every model
+    family supports (GARCH/DCC/jump/bootstrap terminals are not
+    reparameterizable in their fitted parameters the way GBM's are, but the
+    portfolio composition and the option settlement still differentiate)."""
+
+    mean: float
+    var: float
+    cvar: float
+    d_mean_dw: np.ndarray
+    d_var_dw: np.ndarray
+    d_cvar_dw: np.ndarray
+    euler_gap_var: float
+    euler_gap_cvar: float
+    alpha: float
+    n_paths: int
+    d_mean_ds0: np.ndarray | None = None
+    d_var_ds0: np.ndarray | None = None
+    d_cvar_ds0: np.ndarray | None = None
+
+
+@functools.partial(jax.jit, static_argnames=("k", "hedged"))
+def _terminal_grads(simple, w, s0, hedge_arrays, k: int, hedged: bool):
+    def metrics(w, s0):
+        if hedged:
+            from mcport.options.hedged import hedged_from_simple
+
+            gross = hedged_from_simple(simple, s0, *hedge_arrays)
+        else:
+            gross = simple
+        return _metrics(gross @ w, k)
+
+    jac = jax.jacrev(metrics, argnums=(0, 1) if hedged else (0,))(w, s0)
+    return metrics(w, s0), jac
+
+
+def terminal_sensitivities(
+    simple_terminal,
+    weights: np.ndarray,
+    alpha: float = 0.95,
+    hedge=None,
+    s0: np.ndarray | None = None,
+) -> TerminalSensitivities:
+    """Pathwise ∂(mean, VaR, CVaR)/∂weights (+ ∂/∂s0 when hedged) of ANY
+    (N, A) terminal simple-return matrix — GARCH, DCC, Merton-jump,
+    bootstrap, or anything else. The hedged composition settles option legs
+    at intrinsic against ``S_T = s0·(1 + r)`` (the ``hedged_from_simple``
+    convention shared with :func:`mcport.api.hedged_tail_risk`)."""
+    simple = jnp.asarray(simple_terminal, jnp.float32)
+    n, a = simple.shape
+    w = jnp.asarray(weights, jnp.float32)
+    hedged = hedge is not None
+    if hedged and s0 is None:
+        raise ValueError("hedged sensitivities require s0 (asset spot prices)")
+    s0_arr = (jnp.asarray(s0, jnp.float32) if s0 is not None
+              else jnp.ones((a,), jnp.float32))
+    k = _tail_k(n, alpha)
+    vals, jac = _terminal_grads(simple, w, s0_arr,
+                                hedge.arrays if hedged else (), k, hedged)
+    vals = np.asarray(vals, np.float64)
+    d_w = np.asarray(jac[0], np.float64)
+    mean, var, cvar = (float(v) for v in vals)
+    w64 = np.asarray(weights, np.float64)
+    out = dict(
+        mean=mean, var=var, cvar=cvar,
+        d_mean_dw=d_w[0], d_var_dw=d_w[1], d_cvar_dw=d_w[2],
+        euler_gap_var=abs(float(w64 @ d_w[1]) - var),
+        euler_gap_cvar=abs(float(w64 @ d_w[2]) - cvar),
+        alpha=alpha, n_paths=n,
+    )
+    if hedged:
+        d_s0 = np.asarray(jac[1], np.float64)
+        out.update(d_mean_ds0=d_s0[0], d_var_ds0=d_s0[1], d_cvar_ds0=d_s0[2])
+    return TerminalSensitivities(**out)
 
 
 # ---------------------------------------------------------------------------

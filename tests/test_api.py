@@ -110,3 +110,28 @@ def test_sensitivities_api(data):
                                        ("BUY_PUT", 1.0, 0.0, 1.0)]})
     assert hedged["hedged"] and data.names[0] in hedged["delta_mean"]
     assert abs(hedged["delta_cvar"][data.names[1]]) < 1e-6
+
+
+def test_sensitivities_family_tier(data):
+    from mcport.api import sensitivities
+
+    cfg = Config(gbm=GBMConfig(n_paths=4096, n_steps=8, seed=2))
+    w = np.full(2, 0.5)
+    for model in ("garch", "jump", "bootstrap"):
+        out = sensitivities(data, w, config=cfg, model=model)
+        assert out["model"] == model
+        grad = np.array(list(out["d_cvar_dw"].values()))
+        # Euler homogeneity holds under every terminal law
+        assert float(w @ grad) == pytest.approx(out["cvar"], abs=1e-4)
+        assert out["euler_gap_cvar"] < 1e-4
+        assert "d_cvar_dmu" not in out    # param tier is GBM-exact only
+
+    hedged = sensitivities(
+        data, w, config=cfg, model="jump",
+        legs_by_asset={data.names[0]: [("BUY_ASSET", 0, 0, 1.0),
+                                       ("BUY_PUT", 1.0, 0.0, 1.0)]})
+    assert hedged["hedged"] and data.names[0] in hedged["delta_mean"]
+    assert abs(hedged["delta_cvar"][data.names[1]]) < 1e-6
+
+    with pytest.raises(ValueError, match="gbm"):
+        sensitivities(data, w, config=cfg, model="garch", gamma=True)
