@@ -613,7 +613,8 @@ def cmd_backtest(args) -> None:
     res = walk_forward(
         d.port_rets, window=args.window, horizon=args.horizon, rules=rules,
         risk_free=args.risk_free, ann_factor=d.ann_factor, alpha=args.alpha,
-        cost_bps=args.cost_bps,
+        cost_bps=args.cost_bps, estimator=args.estimator,
+        ewma_lambda=args.ewma_lambda,
     )
     _emit({
         "engine": "walk-forward",
@@ -1373,6 +1374,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cost-bps", type=float, default=0.0,
                     help="proportional switching cost in basis points of "
                          "traded wealth (half-L1 of the weight change)")
+    _estimator_flags(sp)
     sp.set_defaults(fn=cmd_backtest)
 
     sp = sub.add_parser("bl-frontier",

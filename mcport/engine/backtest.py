@@ -44,29 +44,51 @@ def _rule_equal(r: np.ndarray) -> np.ndarray:
     return np.full(a, 1.0 / a)
 
 
+def _window_cov(r: np.ndarray, estimator: str = "sample",
+                ewma_lambda: float = 0.94) -> np.ndarray:
+    """Window covariance under the selected estimator tier (the same tiers
+    as ``estimate_gbm``): reference sample ddof=1 | Ledoit-Wolf shrinkage |
+    RiskMetrics EWMA. Rolling fit windows are exactly where the sample
+    estimator is weakest (short, wide), so the tier choice is OOS-testable
+    here."""
+    if estimator == "sample":
+        return np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    if estimator == "lw":
+        from mcport.models.gbm import ledoit_wolf_shrinkage
+
+        return ledoit_wolf_shrinkage(r)[0]
+    if estimator == "ewma":
+        from mcport.models.gbm import ewma_cov
+
+        return ewma_cov(r, ewma_lambda)
+    raise ValueError(f"estimator must be 'sample', 'lw' or 'ewma', got {estimator!r}")
+
+
 def _rule_inverse_vol(r: np.ndarray) -> np.ndarray:
     sd = r.std(axis=0, ddof=1)
     inv = 1.0 / np.maximum(sd, 1e-12)
     return inv / inv.sum()
 
 
-def _rule_min_var(r: np.ndarray) -> np.ndarray:
+def _rule_min_var(r: np.ndarray, estimator: str = "sample",
+                  ewma_lambda: float = 0.94) -> np.ndarray:
     from mcport.engine.frontier_opt import exact_frontier, min_variance_exact
 
     a = r.shape[1]
     mean = r.mean(axis=0)
-    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    cov = _window_cov(r, estimator, ewma_lambda)
     fr = exact_frontier(mean, cov, np.zeros(a), np.ones(a), n_lambda=2)
     return min_variance_exact(fr)[0]
 
 
 def _rule_max_sharpe(r: np.ndarray, risk_free: float = 0.0,
-                     ann_factor: int = 52) -> np.ndarray:
+                     ann_factor: int = 52, estimator: str = "sample",
+                     ewma_lambda: float = 0.94) -> np.ndarray:
     from mcport.engine.frontier_opt import exact_frontier, max_sharpe_exact
 
     a = r.shape[1]
     mean = r.mean(axis=0) * ann_factor
-    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1)) * ann_factor
+    cov = _window_cov(r, estimator, ewma_lambda) * ann_factor
     fr = exact_frontier(mean, cov, np.zeros(a), np.ones(a), n_lambda=33,
                         risk_free=risk_free)
     return max_sharpe_exact(fr)[0]
@@ -88,7 +110,8 @@ def _rule_min_cdar(r: np.ndarray, alpha: float = 0.95) -> np.ndarray:
 
 def _rule_dd_budget(r: np.ndarray, dd_budget: float = 0.30,
                     alpha: float = 0.95, n_steps: int = 13,
-                    n_candidates: int = 2048, n_paths: int = 2048
+                    n_candidates: int = 2048, n_paths: int = 2048,
+                    estimator: str = "sample", ewma_lambda: float = 0.94,
                     ) -> np.ndarray:
     """Max simulated return s.t. a p95 max-drawdown budget over the NEXT
     horizon: fit per-step GBM moments to the window's log returns, run the
@@ -105,7 +128,7 @@ def _rule_dd_budget(r: np.ndarray, dd_budget: float = 0.30,
 
     a = r.shape[1]
     lr = np.log1p(np.clip(np.asarray(r, np.float64), -0.9999, None))
-    cov = np.atleast_2d(np.cov(lr, rowvar=False, ddof=1))
+    cov = _window_cov(lr, estimator, ewma_lambda)
     params = GBMParams(
         s0=np.ones(a), mean_step=lr.mean(axis=0),
         chol_step=np.linalg.cholesky(cov + 1e-10 * np.eye(a)))
@@ -118,17 +141,19 @@ def _rule_dd_budget(r: np.ndarray, dd_budget: float = 0.30,
     return np.asarray(res.opt_weights, np.float64)
 
 
-def _rule_erc(r: np.ndarray) -> np.ndarray:
+def _rule_erc(r: np.ndarray, estimator: str = "sample",
+              ewma_lambda: float = 0.94) -> np.ndarray:
     from mcport.engine.risk_parity import risk_parity
 
-    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    cov = _window_cov(r, estimator, ewma_lambda)
     return risk_parity(cov)
 
 
-def _rule_hrp(r: np.ndarray) -> np.ndarray:
+def _rule_hrp(r: np.ndarray, estimator: str = "sample",
+              ewma_lambda: float = 0.94) -> np.ndarray:
     from mcport.engine.risk_parity import hierarchical_risk_parity
 
-    cov = np.atleast_2d(np.cov(r, rowvar=False, ddof=1))
+    cov = _window_cov(r, estimator, ewma_lambda)
     return hierarchical_risk_parity(cov)
 
 
@@ -148,19 +173,30 @@ BUILTIN_RULES: Mapping[str, Callable[[np.ndarray], np.ndarray]] = {
 def make_rules(names: Sequence[str], risk_free: float = 0.0,
                ann_factor: int = 52, alpha: float = 0.95,
                dd_budget: float = 0.30, horizon: int = 13,
+               estimator: str = "sample", ewma_lambda: float = 0.94,
                ) -> dict[str, Callable[[np.ndarray], np.ndarray]]:
-    """Resolve rule names to callables, binding shared parameters."""
+    """Resolve rule names to callables, binding shared parameters
+    (``estimator`` selects the window-covariance tier for every
+    covariance-consuming rule — sample | lw | ewma)."""
     out: dict[str, Callable[[np.ndarray], np.ndarray]] = {}
+    est, lam = estimator, ewma_lambda
     for name in names:
         if name == "max_sharpe":
-            out[name] = lambda r, rf=risk_free, af=ann_factor: _rule_max_sharpe(r, rf, af)
+            out[name] = lambda r, rf=risk_free, af=ann_factor: (
+                _rule_max_sharpe(r, rf, af, est, lam))
+        elif name == "min_var":
+            out[name] = lambda r: _rule_min_var(r, est, lam)
+        elif name == "erc":
+            out[name] = lambda r: _rule_erc(r, est, lam)
+        elif name == "hrp":
+            out[name] = lambda r: _rule_hrp(r, est, lam)
         elif name == "min_cvar":
             out[name] = lambda r, al=alpha: _rule_min_cvar(r, al)
         elif name == "min_cdar":
             out[name] = lambda r, al=alpha: _rule_min_cdar(r, al)
         elif name == "dd_budget":
             out[name] = lambda r, b=dd_budget, al=alpha, h=horizon: (
-                _rule_dd_budget(r, b, al, h))
+                _rule_dd_budget(r, b, al, h, estimator=est, ewma_lambda=lam))
         elif name in BUILTIN_RULES:
             out[name] = BUILTIN_RULES[name]
         else:
@@ -242,6 +278,8 @@ def walk_forward(
     ann_factor: int = 52,
     alpha: float = 0.95,
     cost_bps: float = 0.0,
+    estimator: str = "sample",
+    ewma_lambda: float = 0.94,
 ) -> BacktestResult:
     """Walk-forward OOS backtest over a (T, A) per-period return matrix.
 
@@ -271,10 +309,12 @@ def walk_forward(
         # orders of magnitude more than the closed-form default rules
         default = tuple(n for n in BUILTIN_RULES if n != "dd_budget")
         rules = make_rules(default, risk_free, ann_factor, alpha,
-                           horizon=horizon)
+                           horizon=horizon, estimator=estimator,
+                           ewma_lambda=ewma_lambda)
     elif not isinstance(rules, Mapping):
         rules = make_rules(tuple(rules), risk_free, ann_factor, alpha,
-                           horizon=horizon)
+                           horizon=horizon, estimator=estimator,
+                           ewma_lambda=ewma_lambda)
 
     rebal = np.arange(window, t_len - horizon + 1, horizon)
     names = tuple(rules)

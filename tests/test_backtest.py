@@ -171,3 +171,28 @@ def test_dd_budget_rule_in_walk_forward():
 
     w_eq = _rule_dd_budget(rets[:52], dd_budget=1e-6, n_steps=13)
     np.testing.assert_allclose(w_eq, np.full(3, 1 / 3))
+
+
+def test_estimator_tier_threads_into_cov_rules():
+    """walk_forward(estimator=) must change the weights of every
+    covariance-consuming rule (min_var/max_sharpe/erc/hrp) while leaving
+    covariance-free rules (equal, min_cvar — scenario-based) untouched."""
+    rng = np.random.default_rng(11)
+    t, a = 140, 4
+    cov = 0.02**2 * (0.5 * np.eye(a) + 0.5)
+    r = rng.multivariate_normal(np.full(a, 1e-3), cov, size=t)
+    kw = dict(window=60, horizon=40, ann_factor=52)
+    base = walk_forward(r, rules=("min_var", "erc", "equal", "min_cvar"), **kw)
+    lw = walk_forward(r, rules=("min_var", "erc", "equal", "min_cvar"),
+                      estimator="lw", **kw)
+    names = base.rule_names
+    i = {n: k for k, n in enumerate(names)}
+    assert not np.allclose(base.weights[i["min_var"]], lw.weights[i["min_var"]])
+    assert not np.allclose(base.weights[i["erc"]], lw.weights[i["erc"]])
+    np.testing.assert_array_equal(base.weights[i["equal"]],
+                                  lw.weights[i["equal"]])
+    np.testing.assert_allclose(base.weights[i["min_cvar"]],
+                               lw.weights[i["min_cvar"]])
+    ew = walk_forward(r, rules=("min_var",), estimator="ewma",
+                      ewma_lambda=0.9, **kw)
+    assert not np.allclose(base.weights[i["min_var"]], ew.weights[0])
