@@ -703,9 +703,11 @@ def sensitivities(
 
     a = len(data.names)
     w = np.full(a, 1.0 / a) if weights is None else np.asarray(weights, np.float64)
-    params = estimate_gbm(data.prices)
     hedge = (HedgeSpec.build(legs_by_asset, data.names)
              if legs_by_asset else None)
+    if gamma and hedge is None:
+        raise ValueError("gamma=True requires legs_by_asset (the gamma of an "
+                         "unhedged asset's mean return is structurally 0)")
     if model != "gbm":
         # family tier: every model supports the weight (and hedged spot)
         # gradients — the terminal matrix differentiates in the portfolio
@@ -736,6 +738,7 @@ def sensitivities(
             result["delta_mean"] = dict(zip(data.names, fam.d_mean_ds0))
             result["delta_cvar"] = dict(zip(data.names, fam.d_cvar_ds0))
         return result
+    params = estimate_gbm(data.prices)
     out = portfolio_sensitivities(
         params, w, config.gbm, alpha=config.simulation.alpha, hedge=hedge,
         s0=(np.asarray(data.prices[-1], np.float64)

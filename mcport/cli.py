@@ -256,7 +256,6 @@ def cmd_greeks(args) -> None:
     simulation (mcport.engine.greeks) — weight gradients, drift/vol
     sensitivities, and per-asset spot deltas of a hedged book."""
     from mcport.engine.greeks import portfolio_sensitivities
-    from mcport.models.gbm import estimate_gbm
 
     d = _universe(args)
     a = d.n_assets
@@ -265,17 +264,49 @@ def cmd_greeks(args) -> None:
     if w.shape[0] != a:
         raise SystemExit(f"--weights needs {a} entries")
     if args.model != "gbm":
-        # family tier: weight + hedged-spot gradients under any terminal law
-        from mcport.api import sensitivities as api_sensitivities
-
+        # family tier: weight + hedged-spot gradients under any terminal law.
+        # GBM-path-only flags must not be silently dropped — reject loudly.
         if args.gamma:
             raise SystemExit("--gamma requires --model gbm (Gaussian score)")
+        for flag, default, name in ((args.qmc, "none", "--qmc"),
+                                    (args.antithetic, False, "--antithetic"),
+                                    (args.estimator, "sample", "--estimator"),
+                                    (args.innovations, "normal",
+                                     "--innovations")):
+            if flag != default:
+                raise SystemExit(
+                    f"{name} applies to --model gbm only (the {args.model} "
+                    "family draws with its own fitted sampler)")
+        from mcport.api import sensitivities as api_sensitivities
+
         legs_by_asset, _ = _hedge_from_args(args, d)
         cfg = Config(gbm=GBMConfig(n_paths=args.paths, n_steps=args.steps,
                                    seed=args.seed),
                      simulation=SimulationConfig(alpha=args.alpha))
-        _emit(api_sensitivities(d, w, cfg, legs_by_asset=legs_by_asset,
-                                model=args.model))
+        fam = api_sensitivities(d, w, cfg, legs_by_asset=legs_by_asset,
+                                model=args.model)
+        # same per_asset schema as the gbm branch (one consumer contract);
+        # the family tier has no drift/vol gradients, so those keys are absent
+        per_asset = {
+            name: {"weight": float(w[i]),
+                   "d_mean_dw": fam["d_mean_dw"][name],
+                   "d_var_dw": fam["d_var_dw"][name],
+                   "d_cvar_dw": fam["d_cvar_dw"][name]}
+            for i, name in enumerate(d.names)
+        }
+        if fam["hedged"]:
+            for name in d.names:
+                per_asset[name]["delta_mean"] = fam["delta_mean"][name]
+                per_asset[name]["delta_cvar"] = fam["delta_cvar"][name]
+        _emit({
+            "model": args.model,
+            "alpha": args.alpha, "paths": args.paths, "steps": args.steps,
+            "hedged": fam["hedged"],
+            "mean": fam["mean"], "var": fam["var"], "cvar": fam["cvar"],
+            "euler_gap_var": fam["euler_gap_var"],
+            "euler_gap_cvar": fam["euler_gap_cvar"],
+            "per_asset": per_asset,
+        })
         return
     params = _estimate_from_args(args, d)
     t_dof = 6.0
@@ -318,6 +349,7 @@ def cmd_greeks(args) -> None:
                 per_asset[name]["gamma_mean"] = float(gam[i])
                 per_asset[name]["gamma_se"] = float(gse[i])
     _emit({
+        "model": "gbm",
         "alpha": args.alpha, "paths": base.n_paths, "steps": args.steps,
         "hedged": hedge is not None,
         "mean": base.mean, "var": base.var, "cvar": base.cvar,

@@ -181,11 +181,23 @@ def _terminal_log(config: GBMConfig, mu: Array, chol: Array) -> Array:
                               antithetic=config.antithetic, t_df=t_df)
 
 
+def _value_and_jac(metrics, *args):
+    """(values, per-arg jacobians) in ONE forward pass: jax.vjp gives the
+    primal and the pullback together (jacrev followed by a separate value
+    call would rely on XLA CSE deduplicating the whole remat'd scan — a
+    known blind spot — to avoid paying a second simulation)."""
+    vals, pullback = jax.vjp(metrics, *args)
+    eye = jnp.eye(vals.shape[0], dtype=vals.dtype)
+    rows = [pullback(eye[i]) for i in range(vals.shape[0])]
+    jac = tuple(jnp.stack([r[k] for r in rows]) for k in range(len(args)))
+    return vals, jac
+
+
 @functools.partial(jax.jit, static_argnames=("config", "k", "hedged"))
 def _all_grads(w, mu, chol, vol_scale, s0, hedge_arrays, config: GBMConfig,
                k: int, hedged: bool):
-    """Jacobian of [mean, VaR, CVaR] w.r.t. (w, mu, vol_scale[, s0]) in one
-    jacrev (3 reverse passes through the shared simulation graph)."""
+    """Values + Jacobian of [mean, VaR, CVaR] w.r.t. (w, mu, vol_scale, s0)
+    — one forward, three reverse passes through the shared graph."""
 
     def metrics(w, mu, vol_scale, s0):
         term_log = _terminal_log(config, mu, vol_scale[:, None] * chol)
@@ -197,9 +209,7 @@ def _all_grads(w, mu, chol, vol_scale, s0, hedge_arrays, config: GBMConfig,
             gross = jnp.exp(term_log) - 1.0
         return _metrics(gross @ w, k)
 
-    argnums = (0, 1, 2, 3) if hedged else (0, 1, 2)
-    jac = jax.jacrev(metrics, argnums=argnums)(w, mu, vol_scale, s0)
-    return metrics(w, mu, vol_scale, s0), jac
+    return _value_and_jac(metrics, w, mu, vol_scale, s0)
 
 
 def portfolio_sensitivities(
@@ -237,6 +247,15 @@ def portfolio_sensitivities(
 
     vals, jac = _all_grads(w, mu, chol, vol_scale, s0_arr, hedge_arrays,
                            config, k, hedged)
+    return pack_sensitivities(vals, jac, weights, alpha, config.n_paths,
+                              hedged)
+
+
+def pack_sensitivities(vals, jac, weights, alpha: float, n_paths: int,
+                       hedged: bool) -> PortfolioSensitivities | HedgedSensitivities:
+    """Assemble the result dataclasses from (values, (d_w, d_mu, d_vol[, d_s0]))
+    — shared by the single-chip and mesh (parallel.sharded_greeks) tiers so
+    the Euler-gap convention and field layout cannot diverge."""
     vals = np.asarray(vals, np.float64)
     d_w, d_mu, d_vol = (np.asarray(jac[i], np.float64) for i in range(3))
     mean, var, cvar = (float(v) for v in vals)
@@ -248,7 +267,7 @@ def portfolio_sensitivities(
         d_mean_dvol=d_vol[0], d_var_dvol=d_vol[1], d_cvar_dvol=d_vol[2],
         euler_gap_var=abs(float(w64 @ d_w[1]) - var),
         euler_gap_cvar=abs(float(w64 @ d_w[2]) - cvar),
-        alpha=alpha, n_paths=config.n_paths,
+        alpha=alpha, n_paths=n_paths,
     )
     if not hedged:
         return base
@@ -310,8 +329,7 @@ def _terminal_grads(simple, w, s0, hedge_arrays, k: int, hedged: bool):
             gross = simple
         return _metrics(gross @ w, k)
 
-    jac = jax.jacrev(metrics, argnums=(0, 1) if hedged else (0,))(w, s0)
-    return metrics(w, s0), jac
+    return _value_and_jac(metrics, w, s0)
 
 
 def terminal_sensitivities(
@@ -359,7 +377,7 @@ def terminal_sensitivities(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _lr_gamma_core(mu, chol, s0, w, hedge_arrays, config: GBMConfig):
+def _lr_gamma_core(mu, chol, s0, hedge_arrays, config: GBMConfig):
     from mcport.options.hedged import hedged_terminal_returns
 
     x = _terminal_log(config, mu, chol)                  # (N, A)
@@ -372,10 +390,20 @@ def _lr_gamma_core(mu, chol, s0, w, hedge_arrays, config: GBMConfig):
     vinv_diag = jnp.diagonal(
         jax.scipy.linalg.cho_solve((lfac, True), jnp.eye(mu.shape[-1],
                                                          dtype=mu.dtype)))
-    t = g * g - vinv_diag - 3.0 * g + 2.0
-    core = jnp.mean((r - u) * t, axis=0)                 # (A,) E[(r-u)·t]
-    # per-sample spread of the estimator, for the reported standard error
-    se = jnp.std((r - u) * t, axis=0, ddof=1) / jnp.sqrt(r.shape[0])
+    samples = (r - u) * (g * g - vinv_diag - 3.0 * g + 2.0)    # (N, A)
+    core = jnp.mean(samples, axis=0)                     # (A,) E[(r-u)·t]
+    # standard error over the INDEPENDENT units: antithetic rows are N/2
+    # correlated pairs (row i mirrors row N/2+i in terminal_log_remat's
+    # [z, -z] layout), so the se averages each pair first; QMC points are
+    # not iid at all — no meaningful se exists (NaN, documented).
+    if config.qmc != "none":
+        se = jnp.full(core.shape, jnp.nan, core.dtype)
+    elif config.antithetic:
+        half = samples.shape[0] // 2
+        pair = 0.5 * (samples[:half] + samples[half:])
+        se = jnp.std(pair, axis=0, ddof=1) / jnp.sqrt(half)
+    else:
+        se = jnp.std(samples, axis=0, ddof=1) / jnp.sqrt(samples.shape[0])
     return core, se
 
 
@@ -418,7 +446,6 @@ def hedged_mean_gamma(
     s0_np = np.asarray(s0, np.float64)
 
     core, se = _lr_gamma_core(mu, chol, jnp.asarray(s0, jnp.float32),
-                              jnp.asarray(weights, jnp.float32),
                               hedge.arrays, config)
     type_id, qty = np.asarray(hedge.type_id), np.asarray(hedge.qty)
     beta = (qty * np.isin(type_id, (1, 6)) - qty * (type_id == 0)).sum(axis=1)

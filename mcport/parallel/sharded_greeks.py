@@ -23,7 +23,6 @@ single-chip stream; exact host replay is pinned in tests/test_greeks.py.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -33,7 +32,8 @@ from jax import Array, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mcport.engine.greeks import (
-    HedgedSensitivities, PortfolioSensitivities, _metrics, terminal_log_remat,
+    HedgedSensitivities, PortfolioSensitivities, _metrics, _tail_k,
+    _value_and_jac, pack_sensitivities, terminal_log_remat,
 )
 from mcport.seeding import SEED_STRIDE
 
@@ -70,9 +70,7 @@ def _sharded_grads(seed, w, mu, chol, vol_scale, s0, hedge_arrays,
     def metrics(w, mu, vol_scale, s0):
         return fn(seed, w, mu, vol_scale, s0, hedge_arrays)
 
-    argnums = (0, 1, 2, 3) if hedged else (0, 1, 2)
-    jac = jax.jacrev(metrics, argnums=argnums)(w, mu, vol_scale, s0)
-    return metrics(w, mu, vol_scale, s0), jac
+    return _value_and_jac(metrics, w, mu, vol_scale, s0)
 
 
 def sharded_sensitivities(
@@ -109,27 +107,10 @@ def sharded_sensitivities(
               else jnp.ones((a,), jnp.float32))
     hedge_arrays = hedge.arrays if hedged else ()
     vol_scale = jnp.ones((a,), jnp.float32)
-    k = max(1, math.ceil((1.0 - alpha) * n_paths))
+    k = _tail_k(n_paths, alpha)
 
     vals, jac = _sharded_grads(
         jnp.asarray(seed, jnp.int32), w, mu, chol, vol_scale, s0_arr,
         hedge_arrays, n_paths // n_dev, n_steps, mesh, axis, k, hedged,
         antithetic, t_df)
-    vals = np.asarray(vals, np.float64)
-    d_w, d_mu, d_vol = (np.asarray(jac[i], np.float64) for i in range(3))
-    mean, var, cvar = (float(v) for v in vals)
-    w64 = np.asarray(weights, np.float64)
-    base = PortfolioSensitivities(
-        mean=mean, var=var, cvar=cvar,
-        d_mean_dw=d_w[0], d_var_dw=d_w[1], d_cvar_dw=d_w[2],
-        d_mean_dmu=d_mu[0], d_var_dmu=d_mu[1], d_cvar_dmu=d_mu[2],
-        d_mean_dvol=d_vol[0], d_var_dvol=d_vol[1], d_cvar_dvol=d_vol[2],
-        euler_gap_var=abs(float(w64 @ d_w[1]) - var),
-        euler_gap_cvar=abs(float(w64 @ d_w[2]) - cvar),
-        alpha=alpha, n_paths=n_paths,
-    )
-    if not hedged:
-        return base
-    d_s0 = np.asarray(jac[3], np.float64)
-    return HedgedSensitivities(
-        base=base, d_mean_ds0=d_s0[0], d_var_ds0=d_s0[1], d_cvar_ds0=d_s0[2])
+    return pack_sensitivities(vals, jac, weights, alpha, n_paths, hedged)

@@ -133,5 +133,9 @@ def test_sensitivities_family_tier(data):
     assert hedged["hedged"] and data.names[0] in hedged["delta_mean"]
     assert abs(hedged["delta_cvar"][data.names[1]]) < 1e-6
 
+    with pytest.raises(ValueError, match="legs_by_asset"):
+        sensitivities(data, w, config=cfg, gamma=True)  # gamma needs a hedge
     with pytest.raises(ValueError, match="gbm"):
-        sensitivities(data, w, config=cfg, model="garch", gamma=True)
+        sensitivities(data, w, config=cfg, model="garch", gamma=True,
+                      legs_by_asset={data.names[0]: [("BUY_PUT", 1.0, 0.0,
+                                                      1.0)]})

@@ -332,3 +332,22 @@ def test_estimator_tier_flags(btc, eth):
     assert lw["var"] != base["var"] and ew["var"] != base["var"]
     for out in (base, lw, ew):
         assert -1.0 <= out["cvar"] <= out["var"] <= 0.5
+
+
+def test_greeks_family_schema_matches_gbm_schema(btc, eth):
+    gbm = run_cli(["greeks", btc, eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8"])
+    fam = run_cli(["greeks", btc, eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8", "--model", "bootstrap"])
+    # one consumer contract: same top-level keys, same per_asset core keys
+    assert set(fam) == set(gbm)
+    for v in fam["per_asset"].values():
+        assert {"weight", "d_mean_dw", "d_var_dw", "d_cvar_dw"} <= set(v)
+        assert "d_cvar_dmu" not in v       # family tier: no param gradients
+    assert fam["model"] == "bootstrap" and gbm["model"] == "gbm"
+    # GBM-path-only flags are rejected loudly, not silently dropped
+    for bad in (["--qmc", "sobol"], ["--antithetic"], ["--estimator", "lw"],
+                ["--innovations", "student_t"]):
+        with pytest.raises(SystemExit, match="gbm only"):
+            run_cli(["greeks", btc, "--period", "W", "--paths", "1024",
+                     "--steps", "4", "--model", "garch", *bad])
