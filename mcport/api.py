@@ -460,6 +460,8 @@ def path_tail_risk(
     }
     if resumable:
         out["done"] = done
+    if rep.tail_ci is not None:
+        out["tail_ci"] = rep.tail_ci
     if model == "student_t":
         out["t_dof"] = g.t_dof
     if spec is not None:

@@ -172,7 +172,8 @@ def cmd_gbm_risk(args) -> None:
                     antithetic=args.antithetic, path_block=block,
                     use_pallas=not args.no_pallas,
                     innovations=args.innovations, t_dof=t_dof,
-                    bm=args.fast_normal and "poly_fast" or "poly")
+                    bm=args.fast_normal and "poly_fast" or "poly",
+                    ci_boot=args.ci)
     ck = load_checkpoint(args.checkpoint) if args.resume else None
     _, hedge = _hedge_from_args(args, d)
     report, ck_out = run_resumable_mc(
@@ -191,6 +192,8 @@ def cmd_gbm_risk(args) -> None:
         "terminal_log_mean": report.mean.tolist(),
         "done": ck_out.done,
     }
+    if report.tail_ci is not None:
+        out["tail_ci"] = report.tail_ci
     if hedge is not None:
         out["hedged_assets"] = [
             n for n, m_ in zip(d.names, hedge.hedged_mask) if m_]
@@ -829,7 +832,8 @@ def cmd_path_risk(args) -> None:
     n_paths = _round_paths(args.paths, block)
     cfg = Config(gbm=GBMConfig(n_paths=n_paths, n_steps=args.steps,
                                seed=args.seed, path_block=block,
-                               bm="poly_fast" if args.fast_normal else "poly"),
+                               bm="poly_fast" if args.fast_normal else "poly",
+                               ci_boot=args.ci),
                  simulation=SimulationConfig(alpha=args.alpha))
     rebalance = not args.buy_and_hold
     models = args.models.split(",")
@@ -1131,6 +1135,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: {asset: {strategy, params} | {legs}} — option legs settle against simulated prices (see mcport.options.hedged.legs_from_spec)")
     _estimator_flags(sp)
+    sp.add_argument("--ci", type=int, nargs="?", const=200, default=0,
+                    metavar="B",
+                    help="bootstrap error bars on the reported tail metrics "
+                         "(B multinomial resamples of the sketch, default "
+                         "200; pure post-processing, streams unchanged)")
     sp.set_defaults(fn=cmd_gbm_risk)
 
     sp = sub.add_parser(
@@ -1327,6 +1336,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "Box-Muller, draw error <=~1.5e-4; gbm Pallas path "
                          "only — student_t innovations and other families "
                          "have their own samplers and ignore it)")
+    sp.add_argument("--ci", type=int, nargs="?", const=200, default=0,
+                    metavar="B",
+                    help="bootstrap error bars on the reported tail metrics "
+                         "(B multinomial resamples of the sketch, default "
+                         "200; pure post-processing, streams unchanged)")
     sp.set_defaults(fn=cmd_path_risk)
 
     sp = sub.add_parser("sim-frontier", help="weight search against simulated GBM paths")

@@ -115,6 +115,12 @@ class GBMConfig:
                                        # fused kernel draws polar-t on TPU)
     t_dof: float = 6.0                 # Student-t degrees of freedom (see
                                        # models.gbm.estimate_t_dof)
+    ci_boot: int = 0                   # >0: bootstrap-the-sketch error bars on
+                                       # the reported VaR/CVaR (and drawdown
+                                       # quantiles where present) with this
+                                       # many multinomial replicates; pure
+                                       # post-processing — never touches the
+                                       # draw streams or checkpoint digests
     bm: str = "poly"                   # kernel normal tier: "poly" (exact-f32
                                        # default) | "poly_fast" (degree-5
                                        # screening fits, ~+30% terminal

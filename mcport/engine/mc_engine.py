@@ -36,6 +36,7 @@ from mcport.ops.quantile import (
     finalize_moments,
     histogram,
     sketch_var_cvar,
+    sketch_var_cvar_ci,
     update_moments,
 )
 from mcport.seeding import SEED_STRIDE
@@ -159,6 +160,8 @@ class RiskReport:
     cvar: float
     port_mean: float
     n_paths: int
+    tail_ci: dict | None = None   # config.ci_boot > 0: bootstrap error bars
+                                  # {var_lo/hi/se, cvar_lo/hi/se} (floats)
 
 
 @partial(
@@ -395,6 +398,12 @@ def run_resumable_mc(
     n_done = int(ck.count) if int(ck.count) else 1
     mean, cov = finalize_moments(moments, shift=shift)
     v, c = sketch_var_cvar(hist, alpha, sketch)
+    tail_ci = None
+    if getattr(config, "ci_boot", 0) > 0:
+        ci = sketch_var_cvar_ci(hist, alpha, sketch,
+                                n_boot=int(config.ci_boot), seed=config.seed)
+        tail_ci = {k: float(x) for k, x in ci.items()
+                   if k not in ("var", "cvar")}
     report = RiskReport(
         mean=np.asarray(mean),
         cov=np.asarray(cov),
@@ -402,6 +411,7 @@ def run_resumable_mc(
         cvar=float(c),
         port_mean=float(port_sum) / n_done,
         n_paths=int(ck.count),
+        tail_ci=tail_ci,
     )
     return report, ck
 

@@ -41,6 +41,27 @@ class PathRiskReport:
     dd_p95: float         # 95th-percentile worst drawdown (5% of paths are worse)
     dd_median: float
     n_paths: int
+    tail_ci: dict | None = None   # config.ci_boot > 0: bootstrap error bars
+                                  # {var_lo/hi/se, cvar_lo/hi/se,
+                                  #  dd_p95_lo/hi/se} (floats)
+
+
+def _path_tail_ci(h_port, h_dd, alpha, sketch, dd_sketch, config) -> dict | None:
+    """Bootstrap error bars for the sketched terminal VaR/CVaR and dd p95
+    (config.ci_boot replicates; None when 0 — pure post-processing)."""
+    n_boot = int(getattr(config, "ci_boot", 0))
+    if n_boot <= 0:
+        return None
+    from mcport.ops.quantile import sketch_quantile_ci, sketch_var_cvar_ci
+
+    ci = sketch_var_cvar_ci(h_port, alpha, sketch, n_boot=n_boot,
+                            seed=config.seed)
+    out = {k: float(x) for k, x in ci.items() if k not in ("var", "cvar")}
+    dd = sketch_quantile_ci(h_dd, 1.0 - alpha, dd_sketch, n_boot=n_boot,
+                            seed=config.seed + 1)
+    out.update(dd_p95_lo=float(dd["lo"]), dd_p95_hi=float(dd["hi"]),
+               dd_p95_se=float(dd["se"]))
+    return out
 
 
 def _stats_from_log_paths(paths, weights, rebalance: bool):
@@ -243,6 +264,8 @@ def run_path_risk(
             var=float(v), cvar=float(c),
             port_mean=float(s_port) / n, dd_mean=float(s_dd) / n,
             dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n,
+            tail_ci=_path_tail_ci(h_port, h_dd, alpha, sketch, dd_sketch,
+                                  config),
         )
 
     h_port, h_dd, s_port, s_dd = _accumulate(
@@ -267,6 +290,7 @@ def run_path_risk(
         dd_mean=float(s_dd) / n,
         dd_p95=float(dd_p95), dd_median=float(dd_med),
         n_paths=n,
+        tail_ci=_path_tail_ci(h_port, h_dd, alpha, sketch, dd_sketch, config),
     )
 
 
@@ -306,6 +330,7 @@ def _reduce_family_blocks(block_fn, config: GBMConfig, sketch: SketchConfig,
         dd_mean=float(s_dd) / n,
         dd_p95=float(dd_p95), dd_median=float(dd_med),
         n_paths=n,
+        tail_ci=_path_tail_ci(h_port, h_dd, alpha, sketch, dd_sketch, config),
     )
 
 
@@ -840,6 +865,8 @@ def run_resumable_path_risk(
         port_mean=float(s_port) / max(n_done, 1),
         dd_mean=float(s_dd) / max(n_done, 1),
         dd_p95=float(dd_p95), dd_median=float(dd_med), n_paths=n_done,
+        tail_ci=(_path_tail_ci(h_port, h_dd, alpha, sketch, dd_sketch, config)
+                 if ck.done else None),
     ), ck
 
 

@@ -31,6 +31,7 @@ Both are pure jnp and work unchanged inside ``shard_map`` (see
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -51,6 +52,8 @@ __all__ = [
     "sketch_quantile",
     "sketch_tail_mean",
     "sketch_var_cvar",
+    "sketch_var_cvar_ci",
+    "sketch_quantile_ci",
 ]
 
 
@@ -296,3 +299,80 @@ def sketch_var_cvar(
     v = sketch_quantile(counts, 1.0 - alpha, config)
     c = sketch_tail_mean(counts, v, config)
     return v, c
+
+
+@partial(jax.jit, static_argnames=("alpha", "config", "n_boot", "level"))
+def sketch_var_cvar_ci(
+    counts: Array,
+    alpha: float = 0.95,
+    config: SketchConfig = SketchConfig(),
+    n_boot: int = 200,
+    seed: int = 0,
+    level: float = 0.95,
+) -> dict:
+    """Bootstrap confidence intervals for the sketched VaR/CVaR — every
+    production risk number should carry its Monte-Carlo error bar.
+
+    The engines never materialize the N per-path returns (that is the point
+    of the sketch), so the resampling happens on the HISTOGRAM: each
+    replicate draws ``counts_b ~ Multinomial(N, counts/N)`` — exactly the
+    nonparametric bootstrap of the binned sample, with bin-resolution error
+    already bounded by the sketch design (≤ one bin, ~1e-6 of the range).
+    Multinomial draws factorize into a chain of binomials over bins
+    (vmapped over replicates); quantile/tail-mean per replicate reuse the
+    sketch machinery unchanged.
+
+    Returns ``{"var", "cvar", "var_lo", "var_hi", "cvar_lo", "cvar_hi",
+    "var_se", "cvar_se"}`` where lo/hi is the percentile-bootstrap
+    ``level``-CI and se the replicate standard deviation. Resampling error
+    of the CI itself shrinks as 1/sqrt(n_boot).
+    """
+    counts = jnp.asarray(counts, jnp.float32)
+    v, c = sketch_var_cvar(counts, alpha, config)
+    n = counts.sum()
+    keys = jax.random.split(jax.random.key(seed), n_boot)
+
+    def one(k):
+        cb = jax.random.multinomial(k, n, counts / n).astype(jnp.float32)
+        vb = sketch_quantile(cb, 1.0 - alpha, config)
+        return vb, sketch_tail_mean(cb, vb, config)
+
+    vs, cs = jax.vmap(one)(keys)
+    lo_q, hi_q = (1.0 - level) / 2.0, 1.0 - (1.0 - level) / 2.0
+    qs = jnp.array([lo_q, hi_q], jnp.float32)
+    v_ci = jnp.quantile(vs, qs)
+    c_ci = jnp.quantile(cs, qs)
+    return {
+        "var": v, "cvar": c,
+        "var_lo": v_ci[0], "var_hi": v_ci[1],
+        "cvar_lo": c_ci[0], "cvar_hi": c_ci[1],
+        "var_se": jnp.std(vs, ddof=1), "cvar_se": jnp.std(cs, ddof=1),
+    }
+
+
+@partial(jax.jit, static_argnames=("q", "config", "n_boot", "level"))
+def sketch_quantile_ci(
+    counts: Array,
+    q: float,
+    config: SketchConfig = SketchConfig(),
+    n_boot: int = 200,
+    seed: int = 0,
+    level: float = 0.95,
+) -> dict:
+    """Bootstrap CI for one sketched quantile (same multinomial-on-counts
+    resampling as :func:`sketch_var_cvar_ci`); returns
+    ``{"value", "lo", "hi", "se"}``."""
+    counts = jnp.asarray(counts, jnp.float32)
+    val = sketch_quantile(counts, q, config)
+    n = counts.sum()
+    keys = jax.random.split(jax.random.key(seed), n_boot)
+
+    def one(k):
+        cb = jax.random.multinomial(k, n, counts / n).astype(jnp.float32)
+        return sketch_quantile(cb, q, config)
+
+    qs_b = jax.vmap(one)(keys)
+    lo_q, hi_q = (1.0 - level) / 2.0, 1.0 - (1.0 - level) / 2.0
+    ci = jnp.quantile(qs_b, jnp.array([lo_q, hi_q], jnp.float32))
+    return {"value": val, "lo": ci[0], "hi": ci[1],
+            "se": jnp.std(qs_b, ddof=1)}

@@ -351,3 +351,22 @@ def test_greeks_family_schema_matches_gbm_schema(btc, eth):
         with pytest.raises(SystemExit, match="gbm only"):
             run_cli(["greeks", btc, "--period", "W", "--paths", "1024",
                      "--steps", "4", "--model", "garch", *bad])
+
+
+def test_ci_flags_emit_tail_error_bars(eth):
+    base = run_cli(["gbm-risk", eth, "--period", "W", "--paths", "4096",
+                    "--steps", "8", "--no-pallas"])
+    assert "tail_ci" not in base                 # opt-in post-processing
+    out = run_cli(["gbm-risk", eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8", "--no-pallas", "--ci"])
+    ci = out["tail_ci"]
+    assert ci["var_lo"] <= out["var"] <= ci["var_hi"]
+    assert ci["cvar_lo"] <= out["cvar"] <= ci["cvar_hi"]
+    assert ci["var_se"] > 0
+    # identical point estimates: CI never perturbs the draw streams
+    assert out["var"] == base["var"] and out["cvar"] == base["cvar"]
+
+    pr = run_cli(["path-risk", eth, "--period", "W", "--paths", "4096",
+                  "--steps", "8", "--models", "garch", "--ci", "100"])
+    ci = pr["garch"]["tail_ci"]
+    assert ci["dd_p95_lo"] <= pr["garch"]["dd_p95"] <= ci["dd_p95_hi"]

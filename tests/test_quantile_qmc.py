@@ -211,3 +211,45 @@ def test_qmc_normals_moments():
     assert z.shape == (4096, 4)
     np.testing.assert_allclose(z.mean(0), 0.0, atol=0.02)
     np.testing.assert_allclose(z.std(0), 1.0, atol=0.02)
+
+
+# ---- bootstrap error bars on sketched tail metrics (round 4) ---------------
+
+
+def test_sketch_ci_matches_asymptotic_quantile_theory():
+    """Multinomial-on-counts bootstrap se of the sketched VaR must match the
+    asymptotic order-statistic se sqrt(a(1-a)/N)/f(q) for a normal sample."""
+    from scipy.stats import norm
+
+    from mcport.ops.quantile import histogram, sketch_var_cvar_ci
+
+    rng = np.random.default_rng(0)
+    n = 131_072
+    x = rng.normal(0.05, 0.2, n).astype(np.float32)
+    cfg = SketchConfig(n_bins=8192, lo=-1.0, hi=1.5, space="linear")
+    counts = histogram(jnp.asarray(x), cfg)
+    out = sketch_var_cvar_ci(counts, alpha=0.95, config=cfg, n_boot=200)
+    true_var = 0.05 + 0.2 * norm.ppf(0.05)
+    se_theory = np.sqrt(0.05 * 0.95 / n) / (norm.pdf(norm.ppf(0.05)) / 0.2)
+    assert float(out["var_lo"]) <= float(out["var"]) <= float(out["var_hi"])
+    assert float(out["var_lo"]) <= true_var <= float(out["var_hi"])
+    np.testing.assert_allclose(float(out["var_se"]), se_theory, rtol=0.25)
+    assert float(out["cvar_se"]) > 0
+    # 4x the sample → half the se (1/sqrt(N) scaling through the bootstrap)
+    x4 = rng.normal(0.05, 0.2, 4 * n).astype(np.float32)
+    out4 = sketch_var_cvar_ci(histogram(jnp.asarray(x4), cfg), alpha=0.95,
+                              config=cfg, n_boot=200)
+    np.testing.assert_allclose(float(out["var_se"]) / float(out4["var_se"]),
+                               2.0, rtol=0.35)
+
+
+def test_sketch_quantile_ci_basic():
+    from mcport.ops.quantile import histogram, sketch_quantile_ci
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(-0.3, 0.1, 65_536).astype(np.float32)
+    cfg = SketchConfig(n_bins=4096, lo=-1.0, hi=0.5, space="linear")
+    out = sketch_quantile_ci(histogram(jnp.asarray(x), cfg), 0.05, cfg,
+                             n_boot=150, seed=3)
+    assert float(out["lo"]) <= float(out["value"]) <= float(out["hi"])
+    assert 0 < float(out["se"]) < 0.01
