@@ -98,3 +98,40 @@ def test_family_path_engines_clean_under_debug_nans():
             np.zeros((a, a), np.float32), 0.0, np.full(a, -0.5, np.float32),
             np.zeros(a, np.float32), w, 64, 4)
         np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-7)
+
+
+def test_greeks_and_ci_clean_under_debug_nans():
+    """The AD tier (jacobians, LR gamma) and the bootstrap CI raise nothing
+    under jax_debug_nans — no hidden NaN/Inf in forward OR reverse passes
+    (reverse-mode through top_k and cho_solve are the risky spots)."""
+    jax.config.update("jax_debug_nans", True)
+    try:
+        from mcport.config import GBMConfig, SketchConfig
+        from mcport.engine.greeks import (
+            hedged_mean_gamma, hedged_sensitivities, portfolio_sensitivities,
+        )
+        from mcport.models.gbm import GBMParams
+        from mcport.ops.quantile import sketch_var_cvar_ci
+        from mcport.options.hedged import HedgeSpec
+
+        chol = np.linalg.cholesky(0.0004 * (0.6 * np.eye(3) + 0.4))
+        params = GBMParams(mean_step=np.full(3, 1e-3), chol_step=chol,
+                           s0=np.full(3, 100.0))
+        w = np.full(3, 1 / 3)
+        cfg = GBMConfig(n_paths=1024, n_steps=4)
+        out = portfolio_sensitivities(params, w, cfg)
+        assert np.isfinite(out.d_cvar_dw).all()
+        spec = HedgeSpec.build({0: [("buy_put", 95.0, 1.0, 1.0)]},
+                               names=["a", "b", "c"])
+        s0 = np.full(3, 100.0)
+        h = hedged_sensitivities(params, w, spec, s0, cfg)
+        assert np.isfinite(h.d_cvar_ds0).all()
+        gam, se = hedged_mean_gamma(params, w, spec, s0, cfg)
+        assert np.isfinite(gam).all() and np.isfinite(se).all()
+
+        counts = histogram(jnp.asarray(np.linspace(-0.5, 0.5, 4096)),
+                           SketchConfig())
+        ci = sketch_var_cvar_ci(counts, n_boot=50)
+        jax.block_until_ready(ci["var_se"])
+    finally:
+        jax.config.update("jax_debug_nans", False)
