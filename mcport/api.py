@@ -328,7 +328,7 @@ def hedged_tail_risk(
 
     k = max(1, _math.ceil((1.0 - alpha) * g.n_paths))
     worst, _ = jax.lax.top_k(-port, k)
-    return {
+    out = {
         "var": float(-worst[-1]),
         "cvar": float(-worst.mean()),
         "port_mean": float(port.mean()),
@@ -336,6 +336,15 @@ def hedged_tail_risk(
         "n_paths": g.n_paths,
         "hedged_assets": [n for n, m_ in zip(data.names, spec.hedged_mask) if m_],
     }
+    if getattr(g, "ci_boot", 0) > 0:
+        # exact-tier error bars: the terminals ARE materialized here, so the
+        # bootstrap resamples paths directly (top_k per replicate, unbinned)
+        from mcport.ops.quantile import sample_var_cvar_ci
+
+        ci = sample_var_cvar_ci(port, alpha, n_boot=int(g.ci_boot), seed=g.seed)
+        out["tail_ci"] = {kk: float(x) for kk, x in ci.items()
+                         if kk not in ("var", "cvar")}
+    return out
 
 
 def path_tail_risk(

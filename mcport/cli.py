@@ -810,7 +810,7 @@ def cmd_hedged_risk(args) -> None:
     if legs_by_asset is None:
         raise SystemExit("hedged-risk requires --hedge FILE")
     cfg = Config(gbm=GBMConfig(n_paths=args.paths, n_steps=args.steps,
-                               seed=args.seed),
+                               seed=args.seed, ci_boot=args.ci),
                  simulation=SimulationConfig(alpha=args.alpha))
     out = {"weights": dict(zip(d.names, map(float, w)))}
     for model in args.models.split(","):
@@ -1303,6 +1303,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=52)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--alpha", type=float, default=0.95)
+    sp.add_argument("--ci", type=int, nargs="?", const=200, default=0,
+                    metavar="B",
+                    help="bootstrap error bars on var/cvar (B exact path "
+                         "resamples; pure post-processing)")
     sp.set_defaults(fn=cmd_hedged_risk)
 
     sp = sub.add_parser("path-risk",

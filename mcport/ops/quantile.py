@@ -54,6 +54,7 @@ __all__ = [
     "sketch_var_cvar",
     "sketch_var_cvar_ci",
     "sketch_quantile_ci",
+    "sample_var_cvar_ci",
 ]
 
 
@@ -336,6 +337,47 @@ def sketch_var_cvar_ci(
         cb = jax.random.multinomial(k, n, counts / n).astype(jnp.float32)
         vb = sketch_quantile(cb, 1.0 - alpha, config)
         return vb, sketch_tail_mean(cb, vb, config)
+
+    vs, cs = jax.vmap(one)(keys)
+    lo_q, hi_q = (1.0 - level) / 2.0, 1.0 - (1.0 - level) / 2.0
+    qs = jnp.array([lo_q, hi_q], jnp.float32)
+    v_ci = jnp.quantile(vs, qs)
+    c_ci = jnp.quantile(cs, qs)
+    return {
+        "var": v, "cvar": c,
+        "var_lo": v_ci[0], "var_hi": v_ci[1],
+        "cvar_lo": c_ci[0], "cvar_hi": c_ci[1],
+        "var_se": jnp.std(vs, ddof=1), "cvar_se": jnp.std(cs, ddof=1),
+    }
+
+
+@partial(jax.jit, static_argnames=("alpha", "n_boot", "level"))
+def sample_var_cvar_ci(
+    port: Array,
+    alpha: float = 0.95,
+    n_boot: int = 200,
+    seed: int = 0,
+    level: float = 0.95,
+) -> dict:
+    """Exact nonparametric bootstrap CI for the k-worst tail metrics of a
+    MATERIALIZED (N,) portfolio-return sample (the exact-tier engines:
+    hedged_tail_risk / compare_tail_risk) — resampled indices + top_k per
+    replicate, the repo's ``k = ceil((1-alpha)N)`` convention
+    (cvar_opt.exact_tail_metrics). Returns the same keys as
+    :func:`sketch_var_cvar_ci`."""
+    import math
+
+    port = jnp.asarray(port, jnp.float32).reshape(-1)
+    n = port.shape[0]
+    k = max(1, math.ceil((1.0 - alpha) * n))
+    worst, _ = jax.lax.top_k(-port, k)
+    v, c = -worst[k - 1], -worst.mean()
+    keys = jax.random.split(jax.random.key(seed), n_boot)
+
+    def one(key):
+        idx = jax.random.randint(key, (n,), 0, n)
+        wb, _ = jax.lax.top_k(-port[idx], k)
+        return -wb[k - 1], -wb.mean()
 
     vs, cs = jax.vmap(one)(keys)
     lo_q, hi_q = (1.0 - level) / 2.0, 1.0 - (1.0 - level) / 2.0

@@ -370,3 +370,16 @@ def test_ci_flags_emit_tail_error_bars(eth):
                   "--steps", "8", "--models", "garch", "--ci", "100"])
     ci = pr["garch"]["tail_ci"]
     assert ci["dd_p95_lo"] <= pr["garch"]["dd_p95"] <= ci["dd_p95_hi"]
+
+
+def test_hedged_risk_ci_flag(eth, tmp_path):
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(json.dumps({
+        "ETH_USD 7 Years Weekly": {"strategy": "Covered Call",
+                                   "params": {"premium_call": 5.0}}}))
+    out = run_cli(["hedged-risk", eth, "--period", "W", "--paths", "4096",
+                   "--steps", "8", "--hedge", str(hedge), "--models", "gbm",
+                   "--ci", "100"])
+    ci = out["gbm"]["tail_ci"]
+    assert ci["var_lo"] <= out["gbm"]["var"] <= ci["var_hi"]
+    assert ci["cvar_se"] > 0

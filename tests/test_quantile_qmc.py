@@ -253,3 +253,25 @@ def test_sketch_quantile_ci_basic():
                              n_boot=150, seed=3)
     assert float(out["lo"]) <= float(out["value"]) <= float(out["hi"])
     assert 0 < float(out["se"]) < 0.01
+
+
+def test_sample_ci_agrees_with_sketch_ci():
+    """The exact (resampled top-k) and sketched (multinomial-on-counts)
+    bootstraps estimate the same sampling distribution — their standard
+    errors must agree within bootstrap noise."""
+    from mcport.ops.quantile import (
+        histogram, sample_var_cvar_ci, sketch_var_cvar_ci,
+    )
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(0.02, 0.15, 65_536).astype(np.float32)
+    exact = sample_var_cvar_ci(jnp.asarray(x), alpha=0.95, n_boot=200, seed=1)
+    cfg = SketchConfig(n_bins=8192, lo=-1.0, hi=1.0, space="linear")
+    sk = sketch_var_cvar_ci(histogram(jnp.asarray(x), cfg), alpha=0.95,
+                            config=cfg, n_boot=200, seed=1)
+    np.testing.assert_allclose(float(exact["var"]), float(sk["var"]), atol=1e-3)
+    np.testing.assert_allclose(float(exact["var_se"]), float(sk["var_se"]),
+                               rtol=0.35)
+    np.testing.assert_allclose(float(exact["cvar_se"]), float(sk["cvar_se"]),
+                               rtol=0.35)
+    assert float(exact["var_lo"]) <= float(exact["var"]) <= float(exact["var_hi"])
