@@ -339,11 +339,10 @@ def hedged_tail_risk(
     if getattr(g, "ci_boot", 0) > 0:
         # exact-tier error bars: the terminals ARE materialized here, so the
         # bootstrap resamples paths directly (top_k per replicate, unbinned)
-        from mcport.ops.quantile import sample_var_cvar_ci
+        from mcport.ops.quantile import sample_var_cvar_ci, tail_ci_fields
 
-        ci = sample_var_cvar_ci(port, alpha, n_boot=int(g.ci_boot), seed=g.seed)
-        out["tail_ci"] = {kk: float(x) for kk, x in ci.items()
-                         if kk not in ("var", "cvar")}
+        out["tail_ci"] = tail_ci_fields(sample_var_cvar_ci(
+            port, alpha, n_boot=int(g.ci_boot), seed=g.seed))
     return out
 
 

@@ -400,10 +400,11 @@ def run_resumable_mc(
     v, c = sketch_var_cvar(hist, alpha, sketch)
     tail_ci = None
     if getattr(config, "ci_boot", 0) > 0:
-        ci = sketch_var_cvar_ci(hist, alpha, sketch,
-                                n_boot=int(config.ci_boot), seed=config.seed)
-        tail_ci = {k: float(x) for k, x in ci.items()
-                   if k not in ("var", "cvar")}
+        from mcport.ops.quantile import tail_ci_fields
+
+        tail_ci = tail_ci_fields(sketch_var_cvar_ci(
+            hist, alpha, sketch, n_boot=int(config.ci_boot),
+            seed=config.seed))
     report = RiskReport(
         mean=np.asarray(mean),
         cov=np.asarray(cov),

@@ -52,11 +52,12 @@ def _path_tail_ci(h_port, h_dd, alpha, sketch, dd_sketch, config) -> dict | None
     n_boot = int(getattr(config, "ci_boot", 0))
     if n_boot <= 0:
         return None
-    from mcport.ops.quantile import sketch_quantile_ci, sketch_var_cvar_ci
+    from mcport.ops.quantile import (
+        sketch_quantile_ci, sketch_var_cvar_ci, tail_ci_fields,
+    )
 
-    ci = sketch_var_cvar_ci(h_port, alpha, sketch, n_boot=n_boot,
-                            seed=config.seed)
-    out = {k: float(x) for k, x in ci.items() if k not in ("var", "cvar")}
+    out = tail_ci_fields(sketch_var_cvar_ci(h_port, alpha, sketch,
+                                            n_boot=n_boot, seed=config.seed))
     dd = sketch_quantile_ci(h_dd, 1.0 - alpha, dd_sketch, n_boot=n_boot,
                             seed=config.seed + 1)
     out.update(dd_p95_lo=float(dd["lo"]), dd_p95_hi=float(dd["hi"]),

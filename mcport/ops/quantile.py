@@ -55,6 +55,7 @@ __all__ = [
     "sketch_var_cvar_ci",
     "sketch_quantile_ci",
     "sample_var_cvar_ci",
+    "tail_ci_fields",
 ]
 
 
@@ -302,6 +303,26 @@ def sketch_var_cvar(
     return v, c
 
 
+# Domain separation for bootstrap keys: simulation streams derive step/block
+# keys via fold_in(key(seed), small_int) (and split(key, n)[i] == fold_in(key,
+# i) in this JAX), so splitting the raw key(seed) would hand the first
+# replicates exactly the keys that generated the sample's own draws. One
+# fold_in with a large constant tag puts all bootstrap keys in a disjoint
+# domain for any caller seed.
+_CI_KEY_TAG = 0x63692D62  # "ci-b"
+
+
+def _ci_keys(seed, n_boot: int):
+    return jax.random.split(
+        jax.random.fold_in(jax.random.key(seed), _CI_KEY_TAG), n_boot)
+
+
+def tail_ci_fields(ci: dict) -> dict:
+    """The error-bar fields of a *_ci result as plain floats (drops the point
+    estimates — callers report those from their own exact computation)."""
+    return {k: float(x) for k, x in ci.items() if k not in ("var", "cvar")}
+
+
 @partial(jax.jit, static_argnames=("alpha", "config", "n_boot", "level"))
 def sketch_var_cvar_ci(
     counts: Array,
@@ -331,7 +352,7 @@ def sketch_var_cvar_ci(
     counts = jnp.asarray(counts, jnp.float32)
     v, c = sketch_var_cvar(counts, alpha, config)
     n = counts.sum()
-    keys = jax.random.split(jax.random.key(seed), n_boot)
+    keys = _ci_keys(seed, n_boot)
 
     def one(k):
         cb = jax.random.multinomial(k, n, counts / n).astype(jnp.float32)
@@ -372,14 +393,16 @@ def sample_var_cvar_ci(
     k = max(1, math.ceil((1.0 - alpha) * n))
     worst, _ = jax.lax.top_k(-port, k)
     v, c = -worst[k - 1], -worst.mean()
-    keys = jax.random.split(jax.random.key(seed), n_boot)
+    keys = _ci_keys(seed, n_boot)
 
     def one(key):
         idx = jax.random.randint(key, (n,), 0, n)
         wb, _ = jax.lax.top_k(-port[idx], k)
         return -wb[k - 1], -wb.mean()
 
-    vs, cs = jax.vmap(one)(keys)
+    # sequential map, not vmap: vmap would materialize an (n_boot, n)
+    # gathered copy (~13 GB at 16.7M paths x 200) for pure post-processing
+    vs, cs = jax.lax.map(one, keys)
     lo_q, hi_q = (1.0 - level) / 2.0, 1.0 - (1.0 - level) / 2.0
     qs = jnp.array([lo_q, hi_q], jnp.float32)
     v_ci = jnp.quantile(vs, qs)
@@ -407,7 +430,7 @@ def sketch_quantile_ci(
     counts = jnp.asarray(counts, jnp.float32)
     val = sketch_quantile(counts, q, config)
     n = counts.sum()
-    keys = jax.random.split(jax.random.key(seed), n_boot)
+    keys = _ci_keys(seed, n_boot)
 
     def one(k):
         cb = jax.random.multinomial(k, n, counts / n).astype(jnp.float32)
