@@ -14,6 +14,7 @@ Protocol (deliberately the thinnest possible veneer over the tested CLI):
 
 - ``GET  /health``        → ``{"status": "ok", "backend": ..., "commands": N}``
 - ``GET  /v1/commands``   → the command names `POST /v1/<command>` accepts
+- ``GET  /metrics``       → per-command request/error counts and wall times
 - ``POST /v1/<command>``  → body ``{"args": [...], "options": {...}}``;
   positional ``args`` and ``options`` translate 1:1 to the CLI surface
   (``{"paths": 4096}`` → ``--paths 4096``; ``True`` → bare flag; a list →
@@ -31,6 +32,8 @@ from __future__ import annotations
 import contextlib
 import io
 import json
+import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -123,13 +126,24 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         if self.path == "/health":
-            import jax
+            def probe():
+                import jax
 
-            body = {"status": "ok", "backend": jax.default_backend(),
+                return jax.default_backend()
+
+            # JAX touches stay on the single engine thread (consistent with
+            # do_POST — backend init from an arbitrary handler thread is the
+            # crash class the executor exists to prevent)
+            backend = self.server.engine.submit(probe).result()
+            body = {"status": "ok", "backend": backend,
                     "commands": len(self.server.commands)}
             self._reply(200, json.dumps(body).encode())
         elif self.path == "/v1/commands":
             self._reply(200, json.dumps(self.server.commands).encode())
+        elif self.path == "/metrics":
+            with self.server.metrics_lock:
+                body = json.dumps(self.server.metrics).encode()
+            self._reply(200, body)
         else:
             self._reply(404, b'{"error": "not found"}')
 
@@ -160,8 +174,24 @@ class _Handler(BaseHTTPRequestHandler):
         # connection handlers are per-thread (keep-alive), but JAX dispatch
         # and the compile caches live on a single dedicated worker so engine
         # state never hops threads.
+        t0 = time.perf_counter()
         status, body = self.server.engine.submit(run_command, argv).result()
+        self._record(command, status, time.perf_counter() - t0)
         self._reply(status, body)
+
+    def _record(self, command: str, status: int, wall_s: float) -> None:
+        """Per-command observability counters behind GET /metrics
+        (SURVEY.md §5 metrics/logging — the serving layer's structured
+        counterpart of utils.logging's JSONL)."""
+        with self.server.metrics_lock:
+            m = self.server.metrics["commands"].setdefault(
+                command, {"count": 0, "errors": 0, "total_wall_s": 0.0,
+                          "last_wall_s": 0.0})
+            m["count"] += 1
+            m["errors"] += status >= 400
+            m["total_wall_s"] += wall_s
+            m["last_wall_s"] = wall_s
+            self.server.metrics["requests"] += 1
 
 
 def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
@@ -179,6 +209,8 @@ def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     server.commands = _commands()
     server.engine = ThreadPoolExecutor(
         max_workers=1, thread_name_prefix="mcport-engine")
+    server.metrics = {"requests": 0, "commands": {}}
+    server.metrics_lock = threading.Lock()
     return server
 
 

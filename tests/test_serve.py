@@ -165,3 +165,14 @@ def test_non_object_body_400(server_url):
     except urllib.error.HTTPError as err:
         status = err.code
     assert status == 400
+
+
+def test_metrics_endpoint_counts_requests(server_url, fixtures_dir):
+    csv = str(fixtures_dir / "ETH_USD 7 Years Weekly.csv")
+    _post(server_url + "/v1/stats", {"args": [csv], "options": {"period": "W"}})
+    _post(server_url + "/v1/stats", {"options": {}})       # 400: missing csv
+    status, m = _get(server_url + "/metrics")
+    assert status == 200 and m["requests"] >= 2
+    stats_m = m["commands"]["stats"]
+    assert stats_m["count"] >= 2 and stats_m["errors"] >= 1
+    assert stats_m["total_wall_s"] >= stats_m["last_wall_s"] >= 0.0
