@@ -113,6 +113,17 @@ def cmd_stats(args) -> None:
         name: {k: float(stats[k][i]) for k in STAT_COLUMNS}
         for i, name in enumerate(d.names)
     }
+    if args.ci:
+        # error bars on the reference's own headline numbers: stationary
+        # block bootstrap of each asset's historical return series (short
+        # crypto histories are exactly where sampling error dominates)
+        from mcport.stats import historical_stat_cis
+
+        for i, name in enumerate(d.names):
+            table[name]["ci"] = historical_stat_cis(
+                d.stats_rets[:, i], risk_free=args.risk_free,
+                ann_factor=d.ann_factor, n_boot=args.ci,
+                p_restart=args.ci_block_restart)
     _emit({"period": args.period, "ann_factor": d.ann_factor, "stats": table})
 
 
@@ -1080,6 +1091,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("stats", help="per-asset statistics table")
     common(sp)
+    sp.add_argument("--ci", type=int, nargs="?", const=500, default=0,
+                    metavar="B",
+                    help="stationary-block-bootstrap error bars per stat "
+                         "(B replicates, default 500)")
+    sp.add_argument("--ci-block-restart", type=float, default=0.1,
+                    help="bootstrap block restart probability (expected "
+                         "block length 1/p; 1.0 = iid bootstrap)")
     sp.set_defaults(fn=cmd_stats)
 
     sp = sub.add_parser("report", help="static HTML report (stats + "

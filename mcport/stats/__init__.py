@@ -1,4 +1,5 @@
 from mcport.stats.asset_stats import DISPLAY_COLUMNS, STAT_COLUMNS, asset_stats, asset_stats_batch
+from mcport.stats.ci import historical_stat_cis, stationary_bootstrap_indices
 from mcport.stats.risk import (
     annual_return,
     annual_volatility,
@@ -23,4 +24,6 @@ __all__ = [
     "asset_stats_batch",
     "STAT_COLUMNS",
     "DISPLAY_COLUMNS",
+    "historical_stat_cis",
+    "stationary_bootstrap_indices",
 ]

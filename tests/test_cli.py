@@ -383,3 +383,15 @@ def test_hedged_risk_ci_flag(eth, tmp_path):
     ci = out["gbm"]["tail_ci"]
     assert ci["var_lo"] <= out["gbm"]["var"] <= ci["var_hi"]
     assert ci["cvar_se"] > 0
+
+
+def test_stats_ci_flag(eth):
+    base = run_cli(["stats", eth, "--period", "W"])
+    out = run_cli(["stats", eth, "--period", "W", "--ci", "200"])
+    row = out["stats"]["ETH_USD 7 Years Weekly"]
+    ci = row["ci"]
+    for k in ("sharpe", "var_95", "cvar_95", "max_drawdown"):
+        assert ci[k]["lo"] <= ci[k]["hi"] and ci[k]["se"] > 0
+    # point estimates untouched by the error bars
+    for k, v in base["stats"]["ETH_USD 7 Years Weekly"].items():
+        assert row[k] == v
