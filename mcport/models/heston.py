@@ -1,0 +1,314 @@
+"""Heston stochastic-volatility model family — pure ``jax.lax`` reference tier.
+
+Reference anchor: the reference's tail estimator is the historical percentile
+of realized returns (/root/reference/app.py:258-263) and its "Monte Carlo"
+never simulates paths (SURVEY.md §2 "GBM is implied, not implemented"). This
+module extends the BASELINE.json:5 correlated-path mandate with the seventh
+model family: continuous-time stochastic volatility. Where CCC/DCC-GARCH make
+variance a deterministic function of past shocks, Heston gives variance its
+OWN diffusion with mean reversion and a leverage correlation — the standard
+continuous-time description of volatility risk (Heston 1993), discretized per
+analysis period like every other family so it plugs into the same path tier.
+
+Per-asset square-root (CIR) variance with cross-asset correlated return
+shocks, full-truncation Euler (dt = 1 analysis period):
+
+    x_{t,a}   = (mu_a - v+_{t,a}/2) + sqrt(v+_{t,a}) zc_{t,a}    (log return)
+    v_{t+1,a} = v_{t,a} + kappa_a (theta_a - v+_{t,a})
+                + xi_a sqrt(v+_{t,a}) zv_{t,a}
+    zc = L_R z,  zv_a = rho_a zc_a + sqrt(1 - rho_a^2) w_a
+
+with z, w ~ N(0, I) and v+ = max(v, 0) (full truncation — the standard
+bias-minimal Euler scheme for CIR; Lord, Koekkoek & van Dijk 2010). ``rho_a``
+correlates each asset's return shock with its OWN variance shock (leverage:
+crashes raise vol), and L_R correlates return shocks across assets.
+
+With xi = 0 and v0 = theta the variance is frozen and the model reduces
+exactly to the GBM family's per-step law (mu - theta/2 drift, sqrt(theta)
+vol) — the reduction is pinned by tests.
+
+Calibration (``estimate_heston``) is moment-matching on squared demeaned
+returns (exact MLE of a latent-variance diffusion needs a particle filter —
+out of scope and unnecessary for risk simulation):
+
+- theta  = Var(r)                     (stationary E[v]; ddof=1, app.py:679-680
+                                       estimator semantics)
+- phi    = acf_2(r^2) / acf_1(r^2)    (the measurement-noise-cancelling AR(1)
+                                       ratio; kappa = 1 - phi)
+- Var(v) = E[r^4]/3 - theta^2         (Gaussian conditional kurtosis)
+- xi     = sqrt(2 kappa Var(v) / theta), capped at the Feller bound
+           sqrt(2 kappa theta)
+- rho    = Cov(r_t, r_{t+1}^2) / (xi theta)   (leverage moment), clipped
+- R      = corr of EWMA-standardized returns (RiskMetrics lambda = 0.94)
+- v0     = last EWMA variance (today's vol state, not the long-run mean)
+
+TPU mapping: the fused kernel lives in :mod:`mcport.ops.pallas_heston`
+(two hardware-PRNG normal draws per step feed the return and variance shocks;
+asset-major VMEM state like the GARCH kernel). Everything here is the lax
+reference the kernel is law-tested against.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+__all__ = [
+    "HestonParams",
+    "estimate_heston",
+    "simulate_heston_returns",
+    "heston_terminal_returns",
+    "heston_path_stats",
+    "EWMA_LAMBDA",
+]
+
+EWMA_LAMBDA = 0.94   # RiskMetrics decay for the variance proxy / v0
+
+
+@dataclass(frozen=True)
+class HestonParams:
+    """Per-asset CIR variance + leverage, cross-asset shock correlation.
+
+    All rate parameters are per analysis step (dt = 1 period), matching the
+    per-step convention of every other family (GBMParams.mean_step etc.).
+    """
+
+    mu: np.ndarray          # (A,) per-step log drift (Ito-complete: E[x] = mu - v/2)
+    kappa: np.ndarray       # (A,) variance mean-reversion speed per step
+    theta: np.ndarray       # (A,) long-run variance per step
+    xi: np.ndarray          # (A,) vol-of-vol per step
+    rho: np.ndarray         # (A,) leverage corr(return shock, variance shock)
+    v0: np.ndarray          # (A,) initial variance (today's state)
+    corr_chol: np.ndarray   # (A, A) Cholesky of the cross-asset shock corr R
+    s0: np.ndarray          # (A,) spot prices
+
+    @property
+    def n_assets(self) -> int:
+        return self.mu.shape[-1]
+
+
+def _ewma_variance(logret: np.ndarray, lam: float = EWMA_LAMBDA) -> np.ndarray:
+    """(T, A) EWMA variance proxy, seeded at the sample variance."""
+    eps = logret - logret.mean(axis=0)
+    v = np.empty_like(eps)
+    v[0] = eps.var(axis=0)
+    for t in range(1, eps.shape[0]):
+        v[t] = lam * v[t - 1] + (1.0 - lam) * eps[t - 1] ** 2
+    return v
+
+
+def estimate_heston(prices: np.ndarray, jitter: float = 1e-10) -> HestonParams:
+    """Moment-matched Heston calibration from a (T, A) price matrix.
+
+    See the module docstring for the moment conditions. The acf-ratio kappa
+    estimator is noisy on short histories; estimates are clipped to sane
+    ranges (kappa in [1e-3, 1.5], xi at the Feller bound, |rho| <= 0.95) so
+    the simulation never leaves the regime the full-truncation scheme
+    handles gracefully. Degenerate series (no excess kurtosis) degrade
+    toward xi ~ 0, i.e. plain GBM.
+    """
+    prices = np.asarray(prices, np.float64)
+    if prices.ndim != 2 or prices.shape[0] < 20:
+        raise ValueError("estimate_heston needs a (T>=20, A) price matrix")
+    logret = np.diff(np.log(prices), axis=0)            # (T-1, A)
+    t_len, a = logret.shape
+    eps = logret - logret.mean(axis=0)
+
+    theta = logret.var(axis=0, ddof=1)
+    theta = np.maximum(theta, 1e-12)
+
+    # kappa from the noise-cancelling acf ratio of squared returns
+    sq = eps**2
+    sqc = sq - sq.mean(axis=0)
+
+    def autocov(lag: int) -> np.ndarray:
+        return (sqc[:-lag] * sqc[lag:]).mean(axis=0)
+
+    c1, c2 = autocov(1), autocov(2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(c1 > 0, c2 / np.maximum(c1, 1e-300), 0.5)
+    phi = np.clip(np.nan_to_num(phi, nan=0.5), 0.0, 0.999)
+    kappa = np.clip(1.0 - phi, 1e-3, 1.5)
+
+    # vol-of-vol from conditional-Gaussian kurtosis, Feller-capped
+    var_v = np.maximum((eps**4).mean(axis=0) / 3.0 - theta**2, 0.0)
+    xi = np.sqrt(2.0 * kappa * var_v / theta)
+    xi = np.minimum(xi, np.sqrt(2.0 * kappa * theta))   # Feller: 2 k th >= xi^2
+
+    # leverage from the lagged return/squared-return cross moment
+    lev = (eps[:-1] * sq[1:]).mean(axis=0) - eps[:-1].mean(axis=0) * sq.mean(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = np.where(xi > 1e-12, lev / np.maximum(xi * theta, 1e-300), 0.0)
+    rho = np.clip(np.nan_to_num(rho), -0.95, 0.95)
+
+    v_proxy = _ewma_variance(logret)
+    z = eps / np.sqrt(np.maximum(v_proxy, 1e-12))
+    corr = np.atleast_2d(np.corrcoef(z, rowvar=False))
+    chol = np.linalg.cholesky(corr + jitter * np.eye(a))
+
+    v0 = np.maximum(
+        EWMA_LAMBDA * v_proxy[-1] + (1.0 - EWMA_LAMBDA) * eps[-1] ** 2, 1e-12)
+    mu = logret.mean(axis=0) + theta / 2.0
+    return HestonParams(
+        mu=mu, kappa=kappa, theta=theta, xi=xi, rho=rho, v0=v0,
+        corr_chol=chol, s0=prices[-1].copy(),
+    )
+
+
+def _draw_shocks(key, t, n_paths: int, a: int, corr_chol_t, rho, dtype):
+    """Per-step (zc, zv) shocks: zc cross-asset correlated, zv leveraged."""
+    kt = jax.random.fold_in(key, t)
+    k_z, k_w = jax.random.split(kt)
+    zc = jax.random.normal(k_z, (n_paths, a), dtype) @ corr_chol_t
+    w = jax.random.normal(k_w, (n_paths, a), dtype)
+    zv = rho * zc + jnp.sqrt(1.0 - rho * rho) * w
+    return zc, zv
+
+
+def _heston_step(v, zc, zv, mu, kappa, theta, xi):
+    """(log increment x, next variance) under full-truncation Euler."""
+    vp = jnp.maximum(v, 0.0)
+    sv = jnp.sqrt(vp)
+    x = (mu - 0.5 * vp) + sv * zc
+    v_next = v + kappa * (theta - vp) + xi * sv * zv
+    return x, v_next
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "full_paths", "dtype"))
+def _simulate(
+    key, mu, kappa, theta, xi, rho, v0, corr_chol_t,
+    n_paths: int, n_steps: int, full_paths: bool, dtype=jnp.float32,
+):
+    a = mu.shape[-1]
+
+    def step(carry, t):
+        v, acc = carry
+        zc, zv = _draw_shocks(key, t, n_paths, a, corr_chol_t, rho, dtype)
+        x, v = _heston_step(v, zc, zv, mu, kappa, theta, xi)
+        acc = acc + x
+        out = x if full_paths else jnp.zeros((0,), dtype)
+        return (v, acc), out
+
+    init = (jnp.broadcast_to(v0, (n_paths, a)).astype(dtype),
+            jnp.zeros((n_paths, a), dtype))
+    (v, acc), outs = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return jnp.expm1(acc), (jnp.moveaxis(outs, 0, 1) if full_paths else None)
+
+
+def simulate_heston_returns(
+    key: Array,
+    params: HestonParams,
+    n_paths: int,
+    n_steps: int,
+    full_paths: bool = False,
+    dtype=jnp.float32,
+):
+    """Simulate Heston returns.
+
+    Returns ``(terminal (n_paths, A), log_increments (n_paths, n_steps, A) |
+    None)`` where terminal is the compounded simple return exp(sum x) - 1
+    over the horizon — the :func:`mcport.models.garch_mc
+    .simulate_garch_returns` contract under the stochastic-volatility law.
+    """
+    return _simulate(
+        key,
+        jnp.asarray(params.mu, dtype), jnp.asarray(params.kappa, dtype),
+        jnp.asarray(params.theta, dtype), jnp.asarray(params.xi, dtype),
+        jnp.asarray(params.rho, dtype), jnp.asarray(params.v0, dtype),
+        jnp.asarray(params.corr_chol, dtype).T,
+        n_paths, n_steps, full_paths, dtype,
+    )
+
+
+def heston_terminal_returns(
+    key: Array, params: HestonParams, n_paths: int, n_steps: int,
+    dtype=jnp.float32,
+) -> Array:
+    """(n_paths, A) terminal compounded SIMPLE returns — the tail-risk
+    workhorse (plugs into the family terminal matrix: hedged_tail_risk,
+    compare_tail_risk, family Greeks)."""
+    term, _ = simulate_heston_returns(key, params, n_paths, n_steps, False,
+                                      dtype)
+    return term
+
+
+@partial(jax.jit, static_argnames=("n_paths", "n_steps", "dtype"))
+def _path_stats(
+    key, mu, kappa, theta, xi, rho, v0, corr_chol_t, w_t,
+    n_paths: int, n_steps: int, dtype, hedge_args=None,
+):
+    a = mu.shape[-1]
+    hedged = hedge_args is not None
+    if hedged:
+        s0, ht, hk, hp, hq = hedge_args
+        p0 = jnp.broadcast_to(jnp.asarray(s0, dtype), (n_paths, a))
+    else:
+        p0 = jnp.ones((n_paths, a), dtype)
+    n_cand = w_t.shape[-1]
+
+    def step(carry, t):
+        v_var, p, v, peak, dd = carry
+        zc, zv = _draw_shocks(key, t, n_paths, a, corr_chol_t, rho, dtype)
+        x, v_var = _heston_step(v_var, zc, zv, mu, kappa, theta, xi)
+        g = jnp.exp(x)                                      # (n, A) gross
+        if hedged:
+            from mcport.options.hedged import hedged_step_returns
+
+            p_new = p * g
+            f = 1.0 + hedged_step_returns(p, p_new, ht, hk, hp, hq) @ w_t
+            p = p_new
+        else:
+            f = g @ w_t                                     # (n, W) w'exp(x)
+        v = v * f
+        peak = jnp.maximum(peak, v)
+        dd = jnp.minimum(dd, v / peak - 1.0)
+        return (v_var, p, v, peak, dd), None
+
+    init = (
+        jnp.broadcast_to(v0, (n_paths, a)).astype(dtype),
+        p0,
+        jnp.ones((n_paths, n_cand), dtype),
+        jnp.ones((n_paths, n_cand), dtype),
+        jnp.zeros((n_paths, n_cand), dtype),
+    )
+    (_, _, v, _, dd), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return (v - 1.0).T, dd.T
+
+
+def heston_path_stats(
+    key: Array,
+    params: HestonParams,
+    weights,
+    n_paths: int,
+    n_steps: int,
+    dtype=jnp.float32,
+    hedge_args: tuple | None = None,
+) -> tuple[Array, Array]:
+    """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) of W
+    candidate portfolios over Heston stochastic-volatility paths — the lax
+    reference for :func:`mcport.ops.pallas_heston.pallas_heston_path_stats`
+    (same model, independent stream).
+
+    Candidates compound the per-period rebalanced wealth recursion
+    ``V_{t+1} = V_t · (w'exp(x_t))`` (the reference's historical R·w
+    semantics, app.py:710, applied to simulated stochastic-vol log
+    increments). ``hedge_args = (s0, type_id, strike, premium, qty)``
+    switches to hedged per-period settlement against the simulated price
+    path ``p_{t+1} = p_t exp(x_t)``
+    (:func:`mcport.options.hedged.hedged_step_returns`)."""
+    w = jnp.asarray(weights, dtype)
+    if w.ndim == 1:
+        w = w[None, :]
+    return _path_stats(
+        key,
+        jnp.asarray(params.mu, dtype), jnp.asarray(params.kappa, dtype),
+        jnp.asarray(params.theta, dtype), jnp.asarray(params.xi, dtype),
+        jnp.asarray(params.rho, dtype), jnp.asarray(params.v0, dtype),
+        jnp.asarray(params.corr_chol, dtype).T,
+        w.T, n_paths, n_steps, dtype, hedge_args,
+    )
