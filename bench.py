@@ -307,6 +307,41 @@ def fleet(mean, chol):
     _emit("dcc_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (DCC-GARCH, 256 cand, 131072 paths, 52 steps)")
 
+    # -- Heston stochastic-vol kernels (round 4: seventh family — two normal
+    # fields per step, so the PRNG draw rate per path-step is 2x GBM's)
+    from mcport.models.heston import HestonParams
+    from mcport.ops.pallas_heston import (
+        pallas_heston_path_stats, pallas_heston_terminal_returns,
+    )
+
+    hp = HestonParams(
+        mu=np.asarray(mean, np.float64), kappa=np.full(N_ASSETS, 0.15),
+        theta=np.full(N_ASSETS, 4e-4), xi=np.full(N_ASSETS, 3e-3),
+        rho=np.full(N_ASSETS, -0.5), v0=np.full(N_ASSETS, 4e-4),
+        corr_chol=np.linalg.cholesky(0.5 * np.eye(N_ASSETS) + 0.5),
+        s0=np.full(N_ASSETS, 100.0))
+
+    @jax.jit
+    def heston(seed):
+        return pallas_heston_terminal_returns(
+            seed, hp, N_PATHS, N_STEPS).sum() * 1e-9
+
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(heston), k=3)
+    _emit("heston_path_steps_per_sec", rate,
+          "path-steps/s (Heston stochastic vol, 15 assets, 252 steps, "
+          "2 normal fields/step)",
+          rate / BASELINE_PATH_STEPS_PER_SEC)
+
+    @jax.jit
+    def heston_dd(seed):
+        term, dd = pallas_heston_path_stats(
+            seed, hp, cand, dd_paths, N_STEPS)
+        return (term.sum() + dd.sum()) * 1e-9
+
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(heston_dd), k=3)
+    _emit("heston_multi_dd_cand_path_steps_per_sec", rate,
+          "cand-path-steps/s (Heston, 256 cand, 131072 paths, 252 steps)")
+
     # -- pathwise Greeks (round 4): warm wall of the full jacrev — 1 forward
     # + 3 reverse passes of the remat'd 131072x252 simulation per call
     import time as _time

@@ -3,9 +3,10 @@
 A ground-up JAX/XLA/Pallas rebuild of the capabilities of
 ``mohammadmarghzari/monte-carlo-portfolio`` (a Streamlit portfolio simulator):
 data ingestion, risk statistics, option-hedging strategies, random-weight +
-exact (PGD QP) portfolio optimization, six tail-risk model families (GBM with
+exact (PGD QP) portfolio optimization, seven tail-risk model families (GBM with
 normal or Student-t innovations, CCC-GARCH(+t), DCC-GARCH, Merton systemic
-jumps, stationary block bootstrap) on fused TPU kernels, mesh-sharded reductions with
+jumps, Heston stochastic volatility, stationary block bootstrap) on fused TPU
+kernels, mesh-sharded reductions with
 bit-exact checkpoint/resume and elastic recovery, ARIMA (exact Kalman MLE) +
 GARCH forecasting, and a UI parity layer.
 

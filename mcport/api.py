@@ -277,14 +277,19 @@ def _family_terminal_simple(data: PriceData, model: str, g, key):
             key, mp.diffusion.mean_step, mp.diffusion.chol_step,
             mp.jump_rate, mp.jump_mean, mp.jump_vol, g.n_paths, g.n_steps)
         return jnp.expm1(term_log)
+    if model == "heston":
+        from mcport.models.heston import estimate_heston, heston_terminal_returns
+
+        return heston_terminal_returns(key, estimate_heston(data.prices),
+                                       g.n_paths, g.n_steps)
     if model == "bootstrap":
         from mcport.models.bootstrap import bootstrap_terminal_returns
 
         return bootstrap_terminal_returns(
             key, jnp.asarray(data.port_rets, jnp.float32), g.n_paths, g.n_steps)
     raise ValueError(
-        f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
-        f"'bootstrap', got {model!r}")
+        f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump', 'heston' "
+        f"or 'bootstrap', got {model!r}")
 
 
 def hedged_tail_risk(
@@ -297,7 +302,8 @@ def hedged_tail_risk(
     """Hedged portfolio tail risk under any terminal model family.
 
     Draws (n_paths, A) terminal simple returns from ``model`` ("gbm",
-    "student_t", "garch", "dcc", "jump", "bootstrap"), settles each asset's
+    "student_t", "garch", "dcc", "jump", "heston", "bootstrap"), settles
+    each asset's
     option legs at
     intrinsic value against the implied terminal price (terminal composition
     of app.py:164-180; see :mod:`mcport.options.hedged`), and reports exact
@@ -372,7 +378,9 @@ def path_tail_risk(
     moment-fitted dof — fat tails), "garch" (CCC-GARCH(1,1), volatility
     clustering), "dcc" (DCC-GARCH: correlations that RISE in stress), "jump"
     (common-jump Merton: systemic crashes hit every asset at once,
-    threshold-calibrated) or "bootstrap" (stationary block bootstrap of the
+    threshold-calibrated), "heston" (stochastic volatility: per-asset CIR
+    variance diffusions with leverage correlation, moment-matched) or
+    "bootstrap" (stationary block bootstrap of the
     history, distribution-free). The reference
     computes drawdown only on historical returns (app.py:252-256); this is
     its forward-looking simulated extension.
@@ -421,12 +429,16 @@ def path_tail_risk(
         from mcport.models.jump import estimate_merton_common
 
         model_params = estimate_merton_common(data.prices)
+    elif model == "heston":
+        from mcport.models.heston import estimate_heston
+
+        model_params = estimate_heston(data.prices)
     elif model == "bootstrap":
         model_params = data.port_rets
     else:
         raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
-            f"'bootstrap', got {model!r}")
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump', "
+            f"'heston' or 'bootstrap', got {model!r}")
 
     resumable = (checkpoint is not None or checkpoint_path is not None
                  or max_blocks is not None)
@@ -456,6 +468,10 @@ def path_tail_risk(
         from mcport.engine.path_risk import run_merton_path_risk
 
         rep = run_merton_path_risk(model_params, w, g, alpha=alpha, hedge=spec)
+    elif model == "heston":
+        from mcport.engine.path_risk import run_heston_path_risk
+
+        rep = run_heston_path_risk(model_params, w, g, alpha=alpha, hedge=spec)
     else:
         rep = run_bootstrap_path_risk(data.port_rets, w, g,
                                       p_restart=p_restart, alpha=alpha,
@@ -620,7 +636,8 @@ def compare_tail_risk(
     Runs GBM (normal), GBM (student-t, moment-fitted dof), CCC-GARCH,
     DCC-GARCH (fused Pallas kernel on TPU — ~1.4 s Mosaic compile, 6.8x the
     lax scan; see ops/pallas_dcc.py), Merton systemic jumps
-    (threshold-calibrated), and the stationary block bootstrap on the same
+    (threshold-calibrated), Heston stochastic volatility (moment-matched
+    CIR variance with leverage), and the stationary block bootstrap on the same
     universe/weights/config — the risk-model sensitivity view no single
     engine gives. All engines share the path count/horizon from
     ``config.gbm`` and alpha from ``config.simulation``.
@@ -684,6 +701,21 @@ def compare_tail_risk(
                      n_paths=g.n_paths, n_steps=g.n_steps, alpha=alpha)
     out["merton_jump"] = pack(jr.var, jr.cvar, jr.port_mean)
     out["merton_jump"]["jump_rate_per_step"] = jparams.jump_rate
+
+    try:
+        from mcport.models.heston import estimate_heston, heston_terminal_returns
+
+        hp = estimate_heston(data.prices)
+        term = heston_terminal_returns(_jax.random.key(g.seed), hp,
+                                       g.n_paths, g.n_steps)
+        port = term @ jnp.asarray(w, term.dtype)
+        from mcport.config import COVERING_LOG1P_SKETCH as hsk
+        v, c = _svc(_hist(port, hsk), alpha, hsk)
+        out["heston"] = pack(v, c, port.mean())
+        out["heston"]["mean_kappa"] = float(np.mean(hp.kappa))
+        out["heston"]["mean_xi"] = float(np.mean(hp.xi))
+    except Exception as e:  # degenerate series; keep going like the GARCHes
+        out["heston"] = {"error": str(e)}
 
     br = bootstrap_risk(_jax.random.key(g.seed), data.port_rets, w,
                         n_paths=g.n_paths, n_steps=g.n_steps, alpha=alpha,

@@ -969,6 +969,10 @@ def cmd_dd_frontier(args) -> None:
             from mcport.models.jump import estimate_merton_common
 
             model_params = estimate_merton_common(d.prices)
+        elif args.model == "heston":
+            from mcport.models.heston import estimate_heston
+
+            model_params = estimate_heston(d.prices)
         else:
             model_params = d.port_rets
         r = family_drawdown_frontier_search(
@@ -1178,7 +1182,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "gradients (Gaussian terminals only)")
     sp.add_argument("--model", default="gbm",
                     choices=["gbm", "student_t", "garch", "dcc", "jump",
-                             "bootstrap"],
+                             "heston", "bootstrap"],
                     help="terminal law; non-gbm families report the weight "
                          "(and hedged spot) gradient tier — drift/vol "
                          "sensitivities and gamma are GBM-exact only")
@@ -1313,8 +1317,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config (required): {asset: {strategy, "
                          "params} | {legs}}")
-    sp.add_argument("--models", default="gbm,student_t,garch,dcc,jump,bootstrap",
-                    help="comma list of gbm,student_t,garch,dcc,jump,"
+    sp.add_argument("--models", default="gbm,student_t,garch,dcc,jump,heston,bootstrap",
+                    help="comma list of gbm,student_t,garch,dcc,jump,heston,"
                          "bootstrap")
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--paths", type=int, default=100_000)
@@ -1333,8 +1337,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--hedge", default=None, metavar="FILE",
                     help="JSON hedge config: per-period option settlement")
-    sp.add_argument("--models", default="gbm,student_t,garch,dcc,jump,bootstrap",
-                    help="comma list of gbm,student_t,garch,dcc,jump,"
+    sp.add_argument("--models", default="gbm,student_t,garch,dcc,jump,heston,bootstrap",
+                    help="comma list of gbm,student_t,garch,dcc,jump,heston,"
                          "bootstrap")
     sp.add_argument("--weights", default=None, help="comma list; default equal")
     sp.add_argument("--paths", type=int, default=65_536)
@@ -1404,11 +1408,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="rebalance candidates to target weights every period "
                          "(reference historical semantics) instead of buy-and-hold")
     sp.add_argument("--model",
-                    choices=["gbm", "garch", "dcc", "jump", "bootstrap"],
+                    choices=["gbm", "garch", "dcc", "jump", "heston",
+                             "bootstrap"],
                     default="gbm",
                     help="path family: garch = volatility-clustered frontier, "
                          "dcc = dynamic-correlation frontier, jump = "
-                         "systemic-crash (Merton) frontier, bootstrap = "
+                         "systemic-crash (Merton) frontier, heston = "
+                         "stochastic-volatility frontier, bootstrap = "
                          "distribution-free resampled frontier (all "
                          "per-period rebalanced; --score-dtype/--rebalance "
                          "apply to gbm only)")

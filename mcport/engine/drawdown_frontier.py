@@ -351,7 +351,9 @@ def family_drawdown_frontier_search(
     frontier), "dcc" (``model_params`` a
     :class:`mcport.models.dcc.DCCGarchParams` — dynamic-correlation
     frontier), "jump" (``model_params`` a
-    :class:`mcport.models.jump.MertonParams` — systemic-crash frontier) or
+    :class:`mcport.models.jump.MertonParams` — systemic-crash frontier),
+    "heston" (``model_params`` a :class:`mcport.models.heston.HestonParams`
+    — stochastic-volatility frontier) or
     "bootstrap" (``model_params`` the (T, A) historical return matrix —
     distribution-free frontier; ``p_restart`` sets the expected block
     length).
@@ -368,9 +370,9 @@ def family_drawdown_frontier_search(
     candidate to hedged per-period option settlement against the simulated
     price path.
     """
-    if model not in ("garch", "dcc", "jump", "bootstrap"):
+    if model not in ("garch", "dcc", "jump", "heston", "bootstrap"):
         raise ValueError(
-            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"model must be 'garch', 'dcc', 'jump', 'heston' or 'bootstrap', "
             f"got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family frontier requires s0 (asset prices)")
@@ -380,7 +382,7 @@ def family_drawdown_frontier_search(
         a = model_params.mu.shape[-1]
     elif model == "dcc":
         a = model_params.base.mu.shape[-1]
-    elif model == "jump":
+    elif model in ("jump", "heston"):
         a = model_params.n_assets
     else:
         history = jnp.asarray(model_params, jnp.float32)
@@ -442,6 +444,19 @@ def family_drawdown_frontier_search(
                     path_key, mp.diffusion.mean_step, mp.diffusion.chol_step,
                     mp.jump_rate, mp.jump_mean, mp.jump_vol, w_blk,
                     n_paths, n_steps, hedge_args=hedge_args)
+        elif model == "heston":
+            if use_pallas:
+                from mcport.ops.pallas_heston import pallas_heston_path_stats
+
+                term, dd = pallas_heston_path_stats(
+                    seed, model_params, w_blk, n_paths, n_steps,
+                    interpret=interpret, hedge_args=hedge_args)
+            else:
+                from mcport.models.heston import heston_path_stats
+
+                term, dd = heston_path_stats(
+                    path_key, model_params, w_blk, n_paths, n_steps,
+                    hedge_args=hedge_args)
         else:
             if use_pallas:
                 from mcport.ops.pallas_bootstrap import (

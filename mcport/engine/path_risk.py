@@ -24,7 +24,8 @@ from mcport.seeding import SEED_STRIDE
 
 __all__ = ["PathRiskReport", "run_path_risk", "run_garch_path_risk",
            "run_bootstrap_path_risk", "run_merton_path_risk",
-           "run_dcc_path_risk", "run_resumable_path_risk",
+           "run_dcc_path_risk", "run_heston_path_risk",
+           "run_resumable_path_risk",
            "run_resumable_path_risk_with_recovery",
            "PathRiskCheckpoint", "load_path_risk_checkpoint", "DD_SKETCH"]
 
@@ -425,6 +426,30 @@ def run_dcc_path_risk(
     return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
 
 
+def run_heston_path_risk(
+    params,
+    weights: np.ndarray,
+    config: GBMConfig = GBMConfig(),
+    sketch: SketchConfig = SketchConfig(),
+    dd_sketch: SketchConfig = DD_SKETCH,
+    alpha: float = 0.95,
+    hedge=None,
+    s0: np.ndarray | None = None,
+) -> PathRiskReport:
+    """Simulated path risk under Heston stochastic-volatility paths: terminal
+    VaR/CVaR plus the max-drawdown distribution of one portfolio — variance
+    as its OWN mean-reverting diffusion with leverage correlation (crashes
+    raise vol exactly where drawdowns deepen). ``params`` is a
+    :class:`mcport.models.heston.HestonParams`; hedged settlement defaults
+    ``s0`` to its spot prices. TPU runs the fused two-shock kernel
+    (:func:`mcport.ops.pallas_heston.pallas_heston_path_stats`)."""
+    if hedge is not None and s0 is None:
+        s0 = np.asarray(params.s0, np.float64)
+    block_fn, _ = _block_fn_for("heston", params, weights, config, hedge, s0,
+                                0.2, True)
+    return _reduce_family_blocks(block_fn, config, sketch, dd_sketch, alpha)
+
+
 def run_bootstrap_path_risk(
     returns: np.ndarray,
     weights: np.ndarray,
@@ -495,6 +520,8 @@ def _kernel_block_default(model: str) -> int:
         from mcport.ops.pallas_dcc import pallas_dcc_path_stats as fn
     elif model == "jump":
         from mcport.ops.pallas_jump import pallas_merton_path_stats as fn
+    elif model == "heston":
+        from mcport.ops.pallas_heston import pallas_heston_path_stats as fn
     else:
         from mcport.ops.pallas_bootstrap import pallas_bootstrap_path_stats as fn
     return int(inspect.signature(fn).parameters["block"].default)
@@ -535,6 +562,9 @@ def _model_digest(model, model_params, weights, config: GBMConfig, hedge,
         p = model_params
         arrs(p.diffusion.mean_step, p.diffusion.chol_step, [p.jump_rate],
              p.jump_mean, p.jump_vol)
+    elif model == "heston":
+        p = model_params
+        arrs(p.mu, p.kappa, p.theta, p.xi, p.rho, p.v0, p.corr_chol, p.s0)
     else:  # bootstrap
         arrs(model_params, [p_restart])
     arrs(weights)
@@ -718,6 +748,19 @@ def _block_fn_for(model, model_params, weights, config: GBMConfig, hedge,
                 key, m, chol, p.jump_rate, muj, sigj, w1,
                 config.path_block, config.n_steps, hedge_args=hedge_args)
 
+    elif model == "heston":
+        from mcport.models.heston import heston_path_stats
+        from mcport.ops.pallas_heston import pallas_heston_path_stats
+
+        def block_fn(_b, block_seed):
+            if use_pallas:
+                return pallas_heston_path_stats(
+                    block_seed, model_params, w1, config.path_block,
+                    config.n_steps, hedge_args=hedge_args)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), block_seed)
+            return heston_path_stats(key, model_params, w1, config.path_block,
+                                     config.n_steps, hedge_args=hedge_args)
+
     elif model == "bootstrap":
         from mcport.models.bootstrap import (
             _auto_sketch_from_history, bootstrap_path_stats,
@@ -741,8 +784,8 @@ def _block_fn_for(model, model_params, weights, config: GBMConfig, hedge,
 
     else:
         raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
-            f"'bootstrap', got {model!r}")
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump', "
+            f"'heston' or 'bootstrap', got {model!r}")
 
     return block_fn, default_sketch
 
@@ -767,25 +810,27 @@ def run_resumable_path_risk(
     form of the run_*_path_risk engines (block-cursor resume; streams are
     counter-addressed so a resumed run is BIT-IDENTICAL to an unsplit one).
 
-    ``model`` is gbm / student_t / garch / dcc / jump / bootstrap with the
-    same ``model_params`` conventions as the one-shot engines (GBMParams /
-    CCCGarchParams / DCCGarchParams / MertonParams / (T, A) history).
+    ``model`` is gbm / student_t / garch / dcc / jump / heston / bootstrap
+    with the same ``model_params`` conventions as the one-shot engines
+    (GBMParams / CCCGarchParams / DCCGarchParams / MertonParams /
+    HestonParams / (T, A) history).
     Returns ``(report, checkpoint)``; the report reflects accumulation so
     far (partial when ``max_blocks`` cut the run short — check
     ``checkpoint.done``). ``checkpoint_path`` persists the state after every
     block; the digest binds the checkpoint to the exact computation and a
     mismatched resume raises."""
-    if model not in ("gbm", "student_t", "garch", "dcc", "jump", "bootstrap"):
+    if model not in ("gbm", "student_t", "garch", "dcc", "jump", "heston",
+                     "bootstrap"):
         raise ValueError(
-            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump' or "
-            f"'bootstrap', got {model!r}")
+            f"model must be 'gbm', 'student_t', 'garch', 'dcc', 'jump', "
+            f"'heston' or 'bootstrap', got {model!r}")
     if config.qmc != "none":
         raise ValueError(
             "the resumable path-risk driver draws counter-addressed "
             "pseudo-random block streams; qmc is one-shot only "
             "(run_path_risk)")
     if hedge is not None and s0 is None:
-        if model in ("gbm", "student_t"):
+        if model in ("gbm", "student_t", "heston"):
             s0 = np.asarray(model_params.s0, np.float64)
         elif model == "jump":
             s0 = np.asarray(model_params.diffusion.s0, np.float64)

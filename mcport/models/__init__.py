@@ -39,6 +39,12 @@ from mcport.models.garch_mc import (
     garch_terminal_returns,
     simulate_garch_returns,
 )
+from mcport.models.heston import (
+    HestonParams,
+    estimate_heston,
+    heston_terminal_returns,
+    simulate_heston_returns,
+)
 from mcport.models.qmc import halton, qmc_normals, sobol
 
 __all__ = [
@@ -82,4 +88,8 @@ __all__ = [
     "estimate_dcc_garch",
     "dcc_terminal_returns",
     "dcc_risk",
+    "HestonParams",
+    "estimate_heston",
+    "simulate_heston_returns",
+    "heston_terminal_returns",
 ]

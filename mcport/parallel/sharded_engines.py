@@ -180,6 +180,10 @@ def _family_model_args(model: str, model_params) -> tuple:
         return tuple(jnp.asarray(x, jnp.float32) for x in (
             p.diffusion.mean_step, p.diffusion.chol_step,
             np.float32(p.jump_rate), p.jump_mean, p.jump_vol))
+    if model == "heston":
+        p = model_params
+        return tuple(jnp.asarray(x, jnp.float32) for x in (
+            p.mu, p.kappa, p.theta, p.xi, p.rho, p.v0, p.corr_chol))
     return (jnp.asarray(model_params, jnp.float32),)
 
 
@@ -210,6 +214,12 @@ def _family_chunk_stats(model, model_args, h_args, key, w_blk, n_paths,
         return merton_path_stats(key, mean_step, chol_step, rate, mu_j,
                                  sig_j, w_blk, n_paths, n_steps,
                                  hedge_args=h_args)
+    if model == "heston":
+        from mcport.models.heston import _path_stats
+
+        (mu, kappa, theta, xi, rho, v0, corr_chol) = model_args
+        return _path_stats(key, mu, kappa, theta, xi, rho, v0, corr_chol.T,
+                           w_blk.T, n_paths, n_steps, jnp.float32, h_args)
     from mcport.models.bootstrap import bootstrap_path_stats
 
     (history,) = model_args
@@ -235,7 +245,8 @@ def sharded_family_path_risk(
 ) -> PathRiskReport:
     """Mesh-sharded model-family path risk: terminal VaR/CVaR + max-drawdown
     distribution under CCC-GARCH ("garch"), DCC-GARCH ("dcc"), common-jump
-    Merton ("jump"), or stationary-bootstrap ("bootstrap") paths — the
+    Merton ("jump"), Heston stochastic-volatility ("heston"), or
+    stationary-bootstrap ("bootstrap") paths — the
     family counterpart of
     :func:`sharded_path_risk`, same communication shape (each device evolves
     its own counter-seeded path slice through the lax path-stats engines and
@@ -245,9 +256,9 @@ def sharded_family_path_risk(
     :class:`mcport.engine.path_risk.PathRiskReport`."""
     from mcport.models.bootstrap import _auto_sketch_from_history
 
-    if model not in ("garch", "dcc", "jump", "bootstrap"):
+    if model not in ("garch", "dcc", "jump", "heston", "bootstrap"):
         raise ValueError(
-            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"model must be 'garch', 'dcc', 'jump', 'heston' or 'bootstrap', "
             f"got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family path risk requires s0 (asset prices)")
@@ -665,7 +676,7 @@ def sharded_family_drawdown_frontier(
     """Candidate-sharded FAMILY drawdown frontier: the mesh form of
     :func:`mcport.engine.drawdown_frontier.family_drawdown_frontier_search`
     (max expected simulated return s.t. the p95-worst max drawdown budget,
-    under "garch" / "dcc" / "jump" / "bootstrap" paths).
+    under "garch" / "dcc" / "jump" / "heston" / "bootstrap" paths).
 
     Same communication shape as :func:`sharded_drawdown_frontier`: every
     device scores its own candidate shard against an IDENTICAL path set
@@ -675,9 +686,9 @@ def sharded_family_drawdown_frontier(
     option settlement. Returns
     ``(best_weights, best_ret, best_dd_p95, n_feasible)`` (weights NaN when
     nothing is feasible)."""
-    if model not in ("garch", "dcc", "jump", "bootstrap"):
+    if model not in ("garch", "dcc", "jump", "heston", "bootstrap"):
         raise ValueError(
-            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"model must be 'garch', 'dcc', 'jump', 'heston' or 'bootstrap', "
             f"got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family frontier requires s0 (asset prices)")
@@ -763,7 +774,7 @@ def sharded_family_drawdown_frontier_2d(
     The 1-D form (:func:`sharded_family_drawdown_frontier`) replicates the
     whole path set on every device; here paths shard too — each device
     evolves only its (paths-shard x candidate-shard) tile of family paths
-    ("garch"/"dcc"/"jump"/"bootstrap"). Per-candidate expected returns
+    ("garch"/"dcc"/"jump"/"heston"/"bootstrap"). Per-candidate expected returns
     reduce exactly (psum of sums over the paths axis); per-candidate
     drawdown p95 reduces as per-candidate DD histogram sketches
     (B_local x n_bins, psum over paths — one-bin-width quantile accuracy,
@@ -775,9 +786,9 @@ def sharded_family_drawdown_frontier_2d(
     Returns ``(best_weights, best_ret, best_dd_p95, n_feasible)`` — weights
     NaN when nothing is feasible.
     """
-    if model not in ("garch", "dcc", "jump", "bootstrap"):
+    if model not in ("garch", "dcc", "jump", "heston", "bootstrap"):
         raise ValueError(
-            f"model must be 'garch', 'dcc', 'jump' or 'bootstrap', "
+            f"model must be 'garch', 'dcc', 'jump', 'heston' or 'bootstrap', "
             f"got {model!r}")
     if hedge is not None and s0 is None:
         raise ValueError("hedged family frontier requires s0 (asset prices)")

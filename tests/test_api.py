@@ -78,18 +78,20 @@ def test_gbm_risk_mesh_checkpoint_composition(tmp_path):
 
 
 def test_compare_tail_risk_all_models(data):
-    """All five model families produce coherent tail estimates on one universe."""
+    """All seven model families produce coherent tail estimates on one universe."""
     cfg = Config(gbm=GBMConfig(n_paths=16_384, n_steps=8, path_block=4_096,
                                use_pallas=False))
     out = compare_tail_risk(data, config=cfg)
     assert set(out) == {"gbm_normal", "gbm_student_t", "ccc_garch",
-                        "dcc_garch", "merton_jump", "block_bootstrap"}
+                        "dcc_garch", "merton_jump", "heston",
+                        "block_bootstrap"}
     for name, m in out.items():
         assert "error" not in m, (name, m)
         assert m["cvar"] <= m["var"] < m["portfolio_mean"], name
         assert -1.0 < m["cvar"] < 0.0, name
     assert out["gbm_student_t"]["t_dof"] > 4.0
     assert out["merton_jump"]["jump_rate_per_step"] >= 0.0
+    assert out["heston"]["mean_xi"] >= 0.0
 
 
 def test_sensitivities_api(data):

@@ -275,3 +275,89 @@ def test_kernel_candidate_chunking():
     w_dup = np.vstack([w_many[:260], w_many[:1]])
     t2, _ = pallas_heston_path_stats(11, PARAMS, w_dup, 128, 5, **KW)
     np.testing.assert_array_equal(np.asarray(t2[-1]), np.asarray(t2[0]))
+
+
+# ---- engine / API / frontier wiring (the full family matrix) ----------------
+
+
+def test_engine_resumable_and_family_frontier(tmp_path):
+    """The seventh family rides the whole path tier: one-shot engine
+    determinism, resumable bit-exact split (digest-bound), family frontier
+    candidate-chunk equality, hedged settlement with s0 auto-derived from
+    the fitted spot prices."""
+    from mcport.config import GBMConfig
+    from mcport.engine.drawdown_frontier import family_drawdown_frontier_search
+    from mcport.engine.path_risk import (
+        load_path_risk_checkpoint, run_heston_path_risk,
+        run_resumable_path_risk,
+    )
+
+    w = np.array([0.5, 0.5])
+    c = GBMConfig(n_paths=4096, path_block=1024, n_steps=8, use_pallas=False)
+    r = run_heston_path_risk(PARAMS, w, c)
+    assert r.cvar <= r.var and -1.0 <= r.dd_p95 <= r.dd_median <= 0.0
+    assert r == run_heston_path_risk(PARAMS, w, c)
+
+    # hedged settlement: identity legs ~= the unhedged rebalanced recursion
+    hid = run_heston_path_risk(PARAMS, w, c, hedge=IDENTITY)
+    assert abs(hid.port_mean - r.port_mean) < 5e-3
+    assert abs(hid.dd_median - r.dd_median) < 5e-3
+    hp = run_heston_path_risk(PARAMS, w, c, hedge=_protective_put(PARAMS.s0))
+    assert hp.dd_mean > r.dd_mean        # puts cut drawdowns
+
+    # resumable driver: equals the one-shot engine, split is bit-exact
+    full, ck_full = run_resumable_path_risk("heston", PARAMS, w, c)
+    assert ck_full.done and full == r
+    part, ck1 = run_resumable_path_risk("heston", PARAMS, w, c, max_blocks=2)
+    assert not ck1.done and part.n_paths == 2048
+    path = tmp_path / "heston.npz"
+    ck1.save(path)
+    resumed, ck2 = run_resumable_path_risk(
+        "heston", PARAMS, w, c, checkpoint=load_path_risk_checkpoint(path))
+    assert ck2.done and resumed == full
+    # digest binds to the parameters: a different xi is a different run
+    other = dataclasses.replace(PARAMS, xi=PARAMS.xi * 2.0)
+    with pytest.raises(ValueError, match="digest"):
+        run_resumable_path_risk("heston", other, w, c, checkpoint=ck1)
+
+    fr = family_drawdown_frontier_search(
+        jax.random.key(0), "heston", PARAMS, dd_budget=0.8, n_candidates=64,
+        n_paths=512, n_steps=8, use_pallas=False)
+    assert fr.opt_idx >= 0
+    fr2 = family_drawdown_frontier_search(
+        jax.random.key(0), "heston", PARAMS, dd_budget=0.8, n_candidates=64,
+        n_paths=512, n_steps=8, use_pallas=False, w_block=32)
+    np.testing.assert_array_equal(fr.ret, fr2.ret)
+
+
+def test_api_tier_path_hedged_and_greeks(fixtures_dir):
+    """model="heston" through the public API: path_tail_risk,
+    hedged_tail_risk, and the family Greeks tier (Euler homogeneity of the
+    weight gradient holds under the stochastic-vol terminal law)."""
+    from mcport.api import hedged_tail_risk, path_tail_risk, sensitivities
+    from mcport.config import Config, DataConfig, GBMConfig
+    from mcport.data.pipeline import load_universe
+
+    data = load_universe(
+        paths=[fixtures_dir / "BTC_USD 7 Years Weekly.csv",
+               fixtures_dir / "ETH_USD 7 Years Weekly.csv"],
+        config=DataConfig(period="W"),
+    )
+    cfg = Config(gbm=GBMConfig(n_paths=4096, path_block=4096, n_steps=13,
+                               use_pallas=False, seed=2))
+    out = path_tail_risk(data, None, cfg, model="heston")
+    assert out["model"] == "heston" and out["cvar"] <= out["var"]
+    assert -1.0 <= out["dd_p95"] <= out["dd_median"] <= 0.0
+
+    legs = {data.names[0]: [("BUY_ASSET", 0.0, 0.0, 1.0),
+                            ("BUY_PUT", float(data.prices[-1, 0]) * 0.95,
+                             0.0, 1.0)]}
+    h = hedged_tail_risk(data, None, cfg, legs, model="heston")
+    assert h["model"] == "heston" and h["cvar"] <= h["var"]
+    assert h["hedged_assets"] == [data.names[0]]
+
+    w = np.full(2, 0.5)
+    sens = sensitivities(data, w, config=cfg, model="heston")
+    grad = np.array(list(sens["d_cvar_dw"].values()))
+    assert float(w @ grad) == pytest.approx(sens["cvar"], abs=1e-4)
+    assert sens["euler_gap_cvar"] < 1e-4

@@ -381,6 +381,7 @@ def test_sharded_family_path_risk_replay_exact(mesh):
     from mcport.models.bootstrap import bootstrap_path_stats
     from mcport.models.garch_mc import estimate_ccc_garch, garch_path_stats
     from mcport.models.dcc import DCCGarchParams, dcc_path_stats
+    from mcport.models.heston import HestonParams, heston_path_stats
     from mcport.models.jump import MertonParams, merton_path_stats
     from mcport.models.gbm import GBMParams
     from mcport.ops.quantile import histogram, sketch_quantile, sketch_var_cvar
@@ -400,6 +401,11 @@ def test_sharded_family_path_risk_replay_exact(mesh):
                          q0=np.asarray(gp.corr_chol @ gp.corr_chol.T,
                                        np.float64),
                          e0=np.zeros(A))
+    hsp = HestonParams(
+        mu=np.full(A, 8e-4), kappa=np.full(A, 0.15), theta=np.full(A, 4e-4),
+        xi=np.full(A, 3e-3), rho=np.full(A, -0.5), v0=np.full(A, 4e-4),
+        corr_chol=np.linalg.cholesky(0.5 * np.eye(A) + 0.5),
+        s0=np.ones(A) * 100)
     n_paths, steps, seed = 4_096, 8, 7
     n_local = n_paths // 8
 
@@ -413,6 +419,8 @@ def test_sharded_family_path_risk_replay_exact(mesh):
              np.float32(mp.diffusion.chol_step), mp.jump_rate,
              np.float32(mp.jump_mean), np.float32(mp.jump_vol), w,
              n_local, steps)),
+        ("heston", hsp,
+         lambda k, w: heston_path_stats(k, hsp, w, n_local, steps)),
         ("bootstrap", h,
          lambda k, w: bootstrap_path_stats(k, h, w, n_local, steps)),
     ):
