@@ -1012,9 +1012,19 @@ def cmd_report(args) -> None:
     from mcport.models import forecast_prices
     from mcport.stats import DISPLAY_COLUMNS, asset_stats_batch
     from mcport.ui.static import render_report
-    from mcport.ui.view import forecast_view, frontier_view
+    from mcport.ui.view import forecast_view, frontier_view, payoff_view
 
     d = _universe(args)
+    # tab 1 (app.py:585-653): payoff chart + analysis per hedged asset;
+    # purchase price defaults to spot and qty to 1.0 (the app's widget
+    # defaults, mcport/ui/app.py)
+    legs_by_asset, _ = _hedge_from_args(args, d)
+    pviews = {}
+    if legs_by_asset:
+        for name, legs in legs_by_asset.items():
+            spot = float(d.prices[-1, list(d.names).index(name)])
+            pviews[name] = payoff_view(legs, purchase_price=spot,
+                                       qty_asset=1.0, spot=spot)
     stats = asset_stats_batch(d.stats_rets.T, d.ann_factor, args.risk_free)
     stats_df = pd.DataFrame(
         {k: np.asarray(stats[k]) for k in DISPLAY_COLUMNS}, index=list(d.names))
@@ -1039,12 +1049,13 @@ def cmd_report(args) -> None:
         fc_views[name] = forecast_view(float(d.prices[-1, i]), f)
 
     html_doc = render_report(
-        stats_df, fviews, fc_views, period_label=args.period,
-        investment=args.investment)
+        stats_df, fviews, fc_views, payoff_views=pviews,
+        period_label=args.period, investment=args.investment)
     with open(args.out, "w", encoding="utf-8") as fh:
         fh.write(html_doc)
     _emit({"report": args.out, "bytes": len(html_doc),
-           "methods": list(fviews), "assets": list(d.names)})
+           "methods": list(fviews), "assets": list(d.names),
+           "hedged_assets": list(pviews)})
 
 
 def cmd_serve(args) -> None:
@@ -1114,6 +1125,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--methods", default=None, help="comma list (default: all six)")
     sp.add_argument("--horizons", default="1,3,6",
                     help="forecast horizons, comma list of periods")
+    sp.add_argument("--hedge",
+                    help="JSON hedge config: {asset: {strategy, params} | "
+                         "{legs}} — renders the tab-1 payoff chart + "
+                         "analysis per hedged asset (app.py:585-653)")
     sp.set_defaults(fn=cmd_report)
 
     sp = sub.add_parser("simulate", help="random-weight portfolio search")

@@ -22,7 +22,8 @@ from typing import Mapping, Sequence
 
 import numpy as np
 
-__all__ = ["render_report", "svg_scatter", "svg_donut", "svg_forecast"]
+__all__ = ["render_report", "svg_scatter", "svg_donut", "svg_forecast",
+           "svg_payoff"]
 
 _BG = "#1e1e1e"
 _PANEL = "#2e2e2e"
@@ -151,6 +152,59 @@ def svg_scatter(view, width: int = 560, height: int = 380) -> str:
     return s.done()
 
 
+def svg_payoff(view, width: int = 560, height: int = 360) -> str:
+    """Strategy payoff chart (tab 1, app.py:598-650 semantics).
+
+    Mirrors the reference figure structure: the payoff curve fills to zero in
+    the base color (green iff the LAST grid payoff is >= 0, app.py:603-608);
+    every adjacent pair straddling zero gets a two-point overlay segment
+    colored by the sign of the right point (app.py:610-621); dashed vlines at
+    the breakeven (blue) and current price (gray) span [min, max] payoff
+    (app.py:622-635). The analysis text (breakeven, max profit/loss in $ and
+    % of invested capital, app.py:645-650) renders below the chart from the
+    view's pre-formatted lines.
+    """
+    grid = np.asarray(view.grid, float)
+    pay = np.asarray(view.payoffs, float)
+    if grid.size == 0:
+        return "<p>no payoff data</p>"
+    xlo, xhi, xt = _axis(float(grid.min()), float(grid.max()))
+    ylo, yhi, yt = _axis(float(min(pay.min(), 0.0)), float(max(pay.max(), 0.0)))
+    s = _SVG(width, height, xlo, xhi, ylo, yhi)
+    s.axes(xt, yt)
+
+    # fill-to-zero polygon in the base color (plotly fill='tozeroy')
+    y0 = s.py(0.0)
+    pts = " ".join(f"{s.px(x):.1f},{s.py(y):.1f}" for x, y in zip(grid, pay))
+    first_x, last_x = s.px(float(grid[0])), s.px(float(grid[-1]))
+    s.parts.append(f'<polygon points="{first_x:.1f},{y0:.1f} {pts} '
+                   f'{last_x:.1f},{y0:.1f}" fill="{view.base_color}" '
+                   f'fill-opacity="0.22" class="payoff-fill"/>')
+    s.parts.append(f'<polyline points="{pts}" fill="none" '
+                   f'stroke="{view.base_color}" stroke-width="2"/>')
+
+    # zero-crossing overlay segments (sign of the RIGHT point)
+    for x0, x1, ya, yb, color in view.segments:
+        s.parts.append(f'<line x1="{s.px(x0):.1f}" y1="{s.py(ya):.1f}" '
+                       f'x2="{s.px(x1):.1f}" y2="{s.py(yb):.1f}" '
+                       f'stroke="{color}" stroke-width="3" '
+                       f'class="payoff-cross"/>')
+
+    # dashed vlines spanning [min, max] payoff: breakeven (blue) + spot (gray)
+    lo_px, hi_px = s.py(float(pay.min())), s.py(float(pay.max()))
+    for x, color, label_key in view.vlines:
+        if not (xlo <= x <= xhi):
+            continue
+        xp = s.px(float(x))
+        s.parts.append(f'<line x1="{xp:.1f}" y1="{lo_px:.1f}" x2="{xp:.1f}" '
+                       f'y2="{hi_px:.1f}" stroke="{color}" stroke-width="1.5" '
+                       f'stroke-dasharray="6 4" class="payoff-vline"/>')
+        s.parts.append(f'<text x="{xp + 4:.1f}" y="{s.m + 12}" fill="{color}" '
+                       f'font-size="10">{html.escape(label_key)}</text>')
+    s.labels("terminal price", "payoff ($)")
+    return s.done()
+
+
 def svg_donut(values: Sequence[float], names: Sequence[str],
               width: int = 380, height: int = 300) -> str:
     """Dollar-allocation donut with a legend (app.py:770-783)."""
@@ -250,6 +304,7 @@ def render_report(
     frontier_views: Mapping[str, object],
     forecast_views: Mapping[str, object],
     *,
+    payoff_views: Mapping[str, object] | None = None,
     period_label: str = "",
     investment: float = 10_000.0,
     title: str = "mcport portfolio report",
@@ -259,6 +314,9 @@ def render_report(
     ``stats_df``: per-asset stats DataFrame (index = asset names).
     ``frontier_views``: method -> FrontierView (or None for no-valid).
     ``forecast_views``: asset name -> ForecastView.
+    ``payoff_views``: asset name -> PayoffView for hedged assets (tab 1,
+    app.py:585-653); omitted when no strategies are configured, matching the
+    reference's empty tab.
     """
     out = io.StringIO()
     out.write(f"""<!doctype html><html><head><meta charset="utf-8">
@@ -281,6 +339,23 @@ th {{ color:{_ACCENT}; }}
 """)
     out.write('<h2><span class="fa">📊 آمار دارایی‌ها</span> — asset statistics</h2>')
     out.write(_stats_table(stats_df))
+
+    if payoff_views:
+        out.write('<h2><span class="fa">🛡️ استراتژی‌های هجینگ</span>'
+                  " — hedging strategy payoffs</h2>")
+        for name, pv in payoff_views.items():
+            out.write(f"<h3>{html.escape(str(name))}</h3>")
+            out.write('<div class="row">')
+            out.write(svg_payoff(pv))
+            # analysis text (app.py:645-650): breakeven, max profit/loss
+            out.write('<div class="cards payoff-analysis">')
+            out.write(f'<div class="card">نقطه سر به سر (breakeven)<br>'
+                      f"<b>{html.escape(pv.analysis['breakeven'])}</b></div>")
+            out.write(f'<div class="card">حداکثر سود (max profit)<br>'
+                      f"<b>{html.escape(pv.analysis['max_profit'])}</b></div>")
+            out.write(f'<div class="card">حداکثر ضرر (max loss)<br>'
+                      f"<b>{html.escape(pv.analysis['max_loss'])}</b></div>")
+            out.write("</div></div>")
 
     out.write('<h2><span class="fa">📈 شبیه‌سازی پرتفوی</span> — simulated frontier</h2>')
     for method, view in frontier_views.items():
