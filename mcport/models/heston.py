@@ -27,9 +27,13 @@ With xi = 0 and v0 = theta the variance is frozen and the model reduces
 exactly to the GBM family's per-step law (mu - theta/2 drift, sqrt(theta)
 vol) — the reduction is pinned by tests.
 
-Calibration (``estimate_heston``) is moment-matching on squared demeaned
-returns (exact MLE of a latent-variance diffusion needs a particle filter —
-out of scope and unnecessary for risk simulation):
+Calibration (``estimate_heston``) is a two-stage estimator (round 5): a
+moment match on squared demeaned returns provides the init, then the
+leverage-filter QMLE (:func:`fit_heston_qmle`) refines (mu, kappa, theta,
+xi*rho) — exact MLE of a latent-variance diffusion needs a particle filter
+(out of scope); the filtered quasi-likelihood is the standard return-only
+middle ground and is recovery-tested at n=300/1000 with documented
+small-sample bias (tests/test_heston_recovery.py). The moment stage:
 
 - theta  = Var(r)                     (stationary E[v]; ddof=1, app.py:679-680
                                        estimator semantics)
@@ -61,6 +65,7 @@ from jax import Array
 __all__ = [
     "HestonParams",
     "estimate_heston",
+    "fit_heston_qmle",
     "simulate_heston_returns",
     "heston_terminal_returns",
     "heston_path_stats",
@@ -102,16 +107,29 @@ def _ewma_variance(logret: np.ndarray, lam: float = EWMA_LAMBDA) -> np.ndarray:
     return v
 
 
-def estimate_heston(prices: np.ndarray, jitter: float = 1e-10) -> HestonParams:
-    """Moment-matched Heston calibration from a (T, A) price matrix.
+def estimate_heston(
+    prices: np.ndarray, jitter: float = 1e-10, method: str = "qmle",
+) -> HestonParams:
+    """Heston calibration from a (T, A) price matrix.
 
-    See the module docstring for the moment conditions. The acf-ratio kappa
+    ``method="qmle"`` (production default, round 5) runs the moment match
+    below and then refines (mu, kappa, theta, xi*rho) by the leverage-filter
+    quasi-likelihood (:func:`fit_heston_qmle`) — measured to cut the kappa
+    median error ~10x and recover the leverage sign on every seed at
+    n=300/1000 (tests/test_heston_recovery.py). ``method="moment"`` is the
+    raw moment match (kept as the init/fallback tier).
+
+    Moment conditions (see the module docstring): the acf-ratio kappa
     estimator is noisy on short histories; estimates are clipped to sane
     ranges (kappa in [1e-3, 1.5], xi at the Feller bound, |rho| <= 0.95) so
     the simulation never leaves the regime the full-truncation scheme
     handles gracefully. Degenerate series (no excess kurtosis) degrade
     toward xi ~ 0, i.e. plain GBM.
     """
+    if method not in ("qmle", "moment"):
+        raise ValueError(f"method must be 'qmle' or 'moment', got {method!r}")
+    if method == "qmle":
+        return fit_heston_qmle(prices, jitter=jitter)
     prices = np.asarray(prices, np.float64)
     if prices.ndim != 2 or prices.shape[0] < 20:
         raise ValueError("estimate_heston needs a (T>=20, A) price matrix")
@@ -157,6 +175,178 @@ def estimate_heston(prices: np.ndarray, jitter: float = 1e-10) -> HestonParams:
     return HestonParams(
         mu=mu, kappa=kappa, theta=theta, xi=xi, rho=rho, v0=v0,
         corr_chol=chol, s0=prices[-1].copy(),
+    )
+
+
+# ---- filtered quasi-likelihood refinement (round 5) ------------------------
+#
+# The moment matcher above is consistent but noisy on short histories (kappa
+# from an acf ratio, xi from a 4th moment). ``fit_heston_qmle`` refines
+# (mu, kappa, theta, c = xi*rho) by maximizing the Gaussian quasi-likelihood
+# of returns under the LEVERAGE FILTER: the latent variance is propagated by
+# its conditional expectation given the observed return shock,
+#
+#     vhat_{t+1} = vhat_t + kappa (theta - vhat_t) + c sqrt(vhat_t) z_t,
+#     z_t = (r_t - mu + vhat_t/2) / sqrt(vhat_t),
+#
+# i.e. E[v_{t+1} | v_t, zc_t] with the unobserved orthogonal variance shock
+# integrated out (E[zv | zc] = rho zc). This is the observation-driven
+# approximation standard for return-only SV estimation (the same structure as
+# Heston-Nandi GARCH): it turns the latent diffusion into a GARCH-like
+# recursion whose likelihood identifies mu, kappa, theta and the leverage
+# slope c = xi*rho. xi alone is NOT identified by the filter (only the
+# product c enters), so xi is re-derived from the conditional-kurtosis moment
+# at the refined (kappa, theta) and rho = c/xi. The filter ignores the
+# orthogonal dispersion of v, so it is a QUASI-likelihood; small-sample bias
+# is measured and documented in tests/test_heston_recovery.py.
+
+
+def _qmle_nll(params: Array, r: Array, sd: Array) -> Array:
+    """Negative Gaussian quasi-log-likelihood on STANDARDIZED returns.
+
+    ``params = (mu, kappa, theta, c)`` on the standardized scale
+    (r' = r / sd, so theta' ~ 1, c' = xi*rho/sd). The Ito drift correction
+    does NOT rescale with the returns: r' = (mu' - v' sd / 2) + sqrt(v') z,
+    hence the ``0.5 * vp * sd`` term. Filter initialized at the sample
+    variance of r' (= 1), full truncation inside the recursion.
+    """
+    mu, kappa, theta, c = params[0], params[1], params[2], params[3]
+
+    def step(v, r_t):
+        vp = jnp.maximum(v, 1e-8)
+        resid = r_t - mu + 0.5 * vp * sd
+        ll = -0.5 * (jnp.log(2.0 * jnp.pi * vp) + resid * resid / vp)
+        z = resid / jnp.sqrt(vp)
+        v_next = vp + kappa * (theta - vp) + c * jnp.sqrt(vp) * z
+        return v_next, ll
+
+    v0 = jnp.var(r)
+    _, lls = jax.lax.scan(step, v0, r)
+    return -jnp.sum(lls)
+
+
+_qmle_nll_grad = jax.jit(jax.value_and_grad(_qmle_nll))
+
+
+def _qmle_filter(params: np.ndarray, r: np.ndarray, sd: float):
+    """(standardized residuals z_t, filter end state vhat_{T+1})."""
+    mu, kappa, theta, c = params
+    v = float(np.var(r))
+    z = np.empty_like(r)
+    for t, r_t in enumerate(r):
+        vp = max(v, 1e-8)
+        z[t] = (r_t - mu + 0.5 * vp * sd) / np.sqrt(vp)
+        v = vp + kappa * (theta - vp) + c * np.sqrt(vp) * z[t]
+    return z, max(v, 1e-8)
+
+
+def fit_heston_qmle(
+    prices: np.ndarray, init: HestonParams | None = None, jitter: float = 1e-10,
+) -> HestonParams:
+    """Leverage-filter QMLE refinement of the moment-matched calibration.
+
+    Per asset, maximizes the filtered Gaussian quasi-likelihood over
+    (mu, kappa, theta, c = xi*rho) with scipy L-BFGS-B (jax gradients),
+    started from the moment match (plus two spread starts — the likelihood
+    can have a flat kappa ridge on short histories). Post-fit, xi comes from
+    the conditional-kurtosis moment at the refined (kappa, theta), Feller-
+    capped and floored at |c| / 0.95 so rho = c/xi stays in [-0.95, 0.95];
+    v0 is the filter END state (today's conditional variance given the whole
+    history — sharper than the EWMA proxy). The cross-asset shock correlation
+    R is re-estimated from filter-standardized residuals.
+
+    Falls back to the moment match per asset when the optimizer fails to
+    improve the quasi-likelihood at the moment-matched point.
+    """
+    from scipy.optimize import minimize
+
+    prices = np.asarray(prices, np.float64)
+    if init is None:
+        init = estimate_heston(prices, jitter=jitter, method="moment")
+    logret = np.diff(np.log(prices), axis=0)
+    t_len, a = logret.shape
+    sd = logret.std(axis=0, ddof=1)
+    sd = np.maximum(sd, 1e-12)
+
+    mu = np.array(init.mu, np.float64)
+    kappa = np.array(init.kappa, np.float64)
+    theta = np.array(init.theta, np.float64)
+    xi = np.array(init.xi, np.float64)
+    rho = np.array(init.rho, np.float64)
+    v0 = np.array(init.v0, np.float64)
+    z_resid = np.empty_like(logret)
+
+    for i in range(a):
+        s = sd[i]
+        r = logret[:, i] / s
+        rj = jnp.asarray(r)
+        vbar = float(np.var(r))
+
+        def fun(p):
+            val, g = _qmle_nll_grad(jnp.asarray(p), rj, float(s))
+            return float(val), np.asarray(g, np.float64)
+
+        bounds = [(None, None), (1e-3, 1.5), (1e-6, 10.0 * vbar + 1e-6),
+                  (-0.9, 0.9)]
+        p_mm = np.array([mu[i] / s, kappa[i], theta[i] / (s * s),
+                         np.clip(xi[i] * rho[i] / s, -0.85, 0.85)])
+        nll_mm = fun(p_mm)[0]
+        best = None
+        for k0, c0 in ((None, None), (0.10, -0.10), (0.50, 0.0)):
+            p0 = p_mm.copy()
+            if k0 is not None:
+                p0[1], p0[3] = k0, c0
+            try:
+                res = minimize(fun, p0, jac=True, method="L-BFGS-B",
+                               bounds=bounds)
+            except Exception:
+                continue
+            if np.isfinite(res.fun) and (best is None or res.fun < best.fun):
+                best = res
+        degenerate = best is not None and (
+            best.x[1] <= 1.5e-3       # kappa pinned: no reversion identified,
+            or best.x[2] <= 2e-6      # theta rides an unidentified ridge
+        )
+        if best is None or best.fun > nll_mm + 1e-9 or degenerate:
+            # keep the moment match; still need standardized residuals for R
+            p_use = p_mm
+        else:
+            p_use = np.asarray(best.x, np.float64)
+            mu_q, kappa_q, theta_q, c_q = p_use
+            mu[i] = mu_q * s
+            kappa[i] = kappa_q
+            theta[i] = max(theta_q * s * s, 1e-12)
+            c_abs = c_q * s                       # xi*rho on the return scale
+            # xi from Var(v) at the refined (kappa, theta): the larger of the
+            # conditional-kurtosis moment (E[eps^4]/3 - theta^2) and the
+            # lag-1 autocovariance of squared residuals (c1 = (1-k) Var(v)) —
+            # both unbiased, both noisy at stationary scale; taking the max
+            # counters the downward median bias each shows alone
+            eps = logret[:, i] - logret[:, i].mean()
+            sq = eps**2
+            sqc = sq - sq.mean()
+            c1 = float((sqc[:-1] * sqc[1:]).mean())
+            var_v = max(float((eps**4).mean()) / 3.0 - theta[i] ** 2,
+                        c1 / max(1.0 - kappa[i], 1e-3), 0.0)
+            xi_q = np.sqrt(2.0 * kappa[i] * var_v / theta[i])
+            xi_q = max(xi_q, abs(c_abs) / 0.95)   # |rho| <= 0.95 floor ...
+            # ... but Feller wins when the two conflict (|c| too large to
+            # decompose): xi stays simulable, rho clips, xi*rho != c
+            xi_q = min(xi_q, np.sqrt(2.0 * kappa[i] * theta[i]))
+            xi[i] = xi_q
+            rho[i] = float(np.clip(c_abs / xi_q, -0.95, 0.95)) if xi_q > 1e-12 else 0.0
+
+        # filter-standardized residuals for the cross-asset correlation +
+        # today's variance state (filter end state)
+        z_resid[:, i], v_end = _qmle_filter(p_use, r, s)
+        if p_use is not p_mm:
+            v0[i] = v_end * s * s
+
+    corr = np.atleast_2d(np.corrcoef(z_resid, rowvar=False))
+    chol = np.linalg.cholesky(corr + jitter * np.eye(a))
+    return HestonParams(
+        mu=mu, kappa=kappa, theta=theta, xi=xi, rho=rho,
+        v0=np.maximum(v0, 1e-12), corr_chol=chol, s0=prices[-1].copy(),
     )
 
 

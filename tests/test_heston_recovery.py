@@ -1,0 +1,134 @@
+"""Heston calibration recovery evidence (VERDICT r4 item 2).
+
+Mirrors tests/test_forecast_recovery.py for ARIMA/GARCH: on seeded synthetic
+full-truncation-Euler Heston paths with KNOWN parameters, the leverage-filter
+QMLE (models/heston.py::fit_heston_qmle, the estimate_heston production
+default) must recover kappa/theta/xi/rho within bounds calibrated from the
+estimator's measured sampling distribution (3 independent seed bases, 8 seeds
+each — bounds carry ~2x margin over the worst observed median).
+
+Ground truth for what "good" means here: the latent-variance process is never
+observed, so xi (vol-of-vol) and the (xi, rho) split are intrinsically weakly
+identified from returns at these horizons — the filter identifies the
+leverage slope c = xi*rho sharply, while xi alone comes from 4th-moment /
+squared-residual-autocovariance information whose signal (Var(v) ~ 7% of
+theta^2 at these parameters) sits at the noise floor below n ~ 10^3. The
+bounds below encode that honestly: kappa/theta are tight, xi is a factor
+bound, rho is sign + coarse magnitude.
+
+Small-sample bias at FIXTURE scale (the bundled CSVs are 24-365 rows,
+/root/reference/data/*.csv): measured at n=60 over 16 seeds, theta is
+unbiased within ~15% sampling noise, kappa's median is roughly centered but
+individual fits span the full clip range [1e-3, 1.5], xi is unbiased in
+median but spans 0.5x-2.5x, and the leverage SIGN is recovered in ~3/4 of
+seeds (vs a coin flip for the raw moment matcher). Monthly-scale histories
+(24 rows) are below the filter's working range — estimates there degrade
+toward the moment match and should be treated as priors, not calibration.
+"""
+
+import numpy as np
+import pytest
+
+from mcport.models.heston import estimate_heston, fit_heston_qmle
+
+MU, KAPPA, THETA, XI, RHO = 5e-4, 0.15, 6e-4, 3.5e-3, -0.6
+K = 8
+
+
+def _sim(rng, n, mu=MU, kappa=KAPPA, theta=THETA, xi=XI, rho=RHO):
+    """Plain-numpy single-asset full-truncation Euler — the ground truth."""
+    r = np.empty(n)
+    v = theta
+    for t in range(n):
+        z = rng.standard_normal()
+        w = rng.standard_normal()
+        zv = rho * z + np.sqrt(1.0 - rho * rho) * w
+        vp = max(v, 0.0)
+        r[t] = (mu - 0.5 * vp) + np.sqrt(vp) * z
+        v = v + kappa * (theta - vp) + xi * np.sqrt(vp) * zv
+    return 100.0 * np.exp(np.concatenate([[0.0], np.cumsum(r)]))[:, None]
+
+
+def _fit_errors(n, base, method="qmle"):
+    errs = {k: [] for k in ("kappa", "theta", "xi", "rho")}
+    rho_neg = 0
+    for s in range(K):
+        p = estimate_heston(_sim(np.random.default_rng(base + s), n),
+                            method=method)
+        errs["kappa"].append(abs(float(p.kappa[0]) - KAPPA))
+        errs["theta"].append(abs(float(p.theta[0]) - THETA))
+        errs["xi"].append(abs(float(p.xi[0]) - XI))
+        errs["rho"].append(abs(float(p.rho[0]) - RHO))
+        rho_neg += float(p.rho[0]) < 0
+    return {k: float(np.median(v)) for k, v in errs.items()}, rho_neg
+
+
+@pytest.mark.parametrize("n,bounds", [
+    (300, dict(kappa=0.25, theta_rel=0.20, xi_fac=0.65, rho=0.45)),
+    (1000, dict(kappa=0.18, theta_rel=0.12, xi_fac=0.65, rho=0.45)),
+])
+def test_qmle_recovery_bounds(n, bounds):
+    """kappa/theta/xi/rho recovery at n=300/1000 (median over 8 seeds)."""
+    med, rho_neg = _fit_errors(n, base=500)
+    assert med["kappa"] < bounds["kappa"], med
+    assert med["theta"] < bounds["theta_rel"] * THETA, med
+    assert med["xi"] < bounds["xi_fac"] * XI, med
+    assert med["rho"] < bounds["rho"], med
+    # leverage sign is recovered essentially always at these n
+    assert rho_neg >= 7, f"rho sign recovered in only {rho_neg}/{K} seeds"
+
+
+def test_qmle_beats_moment_match_on_kappa():
+    """The refinement motivation (VERDICT r4 weak #1): the raw acf-ratio
+    kappa pins at its clip bounds on short histories (median error ~3x the
+    truth); the filtered likelihood identifies it directly."""
+    med_q, _ = _fit_errors(300, base=9000, method="qmle")
+    med_m, _ = _fit_errors(300, base=9000, method="moment")
+    assert med_q["kappa"] < 0.6 * med_m["kappa"], (med_q, med_m)
+
+
+def test_qmle_errors_shrink_with_sample_size():
+    """Consistency: aggregate kappa+theta error at n=1200 below n=150's."""
+    errs = {}
+    for n in (150, 1200):
+        e = []
+        for s in range(6):
+            p = estimate_heston(_sim(np.random.default_rng(3000 + s), n))
+            e.append(abs(float(p.kappa[0]) - KAPPA) / KAPPA
+                     + abs(float(p.theta[0]) - THETA) / THETA)
+        errs[n] = float(np.median(e))
+    assert errs[1200] < errs[150], errs
+
+
+def test_fixture_scale_bias_documented():
+    """n=60 (the bundled weekly/daily CSV scale): the documented small-sample
+    statement — theta unbiased within sampling noise, xi within a factor
+    band, leverage sign better than a coin flip. These are the bounds users
+    of fixture-length histories should expect (module docstring)."""
+    thetas, xis, rho_neg = [], [], 0
+    for s in range(12):
+        p = estimate_heston(_sim(np.random.default_rng(700 + s), 60))
+        thetas.append(float(p.theta[0]))
+        xis.append(float(p.xi[0]))
+        rho_neg += float(p.rho[0]) < 0
+    assert abs(np.median(thetas) - THETA) < 0.35 * THETA
+    assert 0.3 * XI < np.median(xis) < 3.0 * XI
+    assert rho_neg >= 7  # ~3/4 of seeds; a coin flip would be ~6
+
+
+def test_qmle_fallback_and_moment_method():
+    """method='moment' returns the raw match; the QMLE keeps the Feller
+    bound and the |rho| <= 0.95 clip on every asset."""
+    prices = _sim(np.random.default_rng(42), 400)
+    mm = estimate_heston(prices, method="moment")
+    qm = estimate_heston(prices, method="qmle")
+    for p in (mm, qm):
+        assert np.all(p.xi**2 <= 2.0 * p.kappa * p.theta + 1e-12)
+        assert np.all(np.abs(p.rho) <= 0.95)
+        assert np.all(p.theta > 0) and np.all(p.v0 > 0)
+    with pytest.raises(ValueError, match="method"):
+        estimate_heston(prices, method="mle")
+    # explicit init path == default path
+    qm2 = fit_heston_qmle(prices, init=mm)
+    np.testing.assert_allclose(qm.kappa, qm2.kappa)
+    np.testing.assert_allclose(qm.rho, qm2.rho)
