@@ -21,13 +21,23 @@ egress is available, with the jax/jaxlib versions printed below.
 STATUS (round 4, 2026-08-18): NOT yet minimized. Both modes survive on the
 failing machine — 600 tiny distinct compiles (default mode) and 500
 scan+cholesky+while_loop compiles (--suite-like) ran clean, so accumulated
-compile COUNT alone is not the trigger. The crash remains reproducible only
-under the full single-process pytest run (~390 compiles deep, with pallas
-interpret-mode tests and hundreds of MB of live test arrays in the mix).
-Next minimization candidates: pallas interpret-mode calls interleaved with
-XLA:CPU compiles; allocator pressure (large live buffers during compile);
-pytest's assertion-rewriting import hooks. Until minimized, the suite pins
-``-n 4`` xdist workers (pyproject addopts) as the mitigation.
+compile COUNT alone is not the trigger.
+
+STATUS (round 5, 2026-08-19): both remaining suspects ELIMINATED, singly and
+combined: ``--suite-like --pallas --pressure-mb 600`` (450 suite-like
+compiles interleaved 1-in-3 with pallas interpret-mode kernel calls while
+holding ~600 MB of live host+device buffers) survives, and the same
+combination run INSIDE pytest (assertion-rewriting import hooks active,
+fresh test module) also survives. Everything this harness can isolate is
+clean; the crash reproduces only in the full single-process suite, which
+additionally differs by: hundreds of DISTINCT compiled executables held
+live (not just compile count — module teardown frees ours each iteration),
+cross-test thread hops (see mcport/serve.py note in CLAUDE.md — XLA:CPU is
+known to crash on many-thread work migration in this build), and the
+fixture/module import graph. Those require bisecting the real suite, which
+costs hours per run at -n 0; with the -n 4 cage in place and zero user
+impact, further minimization is parked until the bug can be filed upstream
+(needs egress) with this harness attached as the "what it is NOT" half.
 """
 
 import faulthandler
@@ -41,13 +51,42 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def main(n: int = 600, suite_like: bool = False) -> None:
+def main(n: int = 600, suite_like: bool = False, pallas: bool = False,
+         pressure_mb: int = 0) -> None:
     print(f"jax {jax.__version__} on {jax.default_backend()} "
-          f"(python {sys.version.split()[0]}, suite_like={suite_like})",
-          flush=True)
+          f"(python {sys.version.split()[0]}, suite_like={suite_like}, "
+          f"pallas={pallas}, pressure_mb={pressure_mb})", flush=True)
+    ballast = []
+    if pressure_mb:
+        import numpy as np
+
+        # live host + device buffers held across every compile (allocator-
+        # pressure suspect): half numpy, half committed jax arrays
+        per = max(pressure_mb // 20, 1)
+        for j in range(10):
+            ballast.append(np.ones((per * 1024 * 1024 // 4,), np.float32))
+            ballast.append(jnp.ones((per * 1024 * 1024 // 4,), jnp.float32))
+        jax.block_until_ready(ballast[-1])
+        print(f"  holding ~{pressure_mb} MB live across compiles", flush=True)
     for i in range(n):
         # distinct shape + distinct constant => a genuinely fresh compile
         k = 8 + i
+
+        if pallas and i % 3 == 2:
+            # pallas interpret-mode call interleaved with the XLA compiles
+            # (the suite runs hundreds of these; interpret mode stacks the
+            # Threefry bit source + pure_callback machinery on the same
+            # process): distinct (n_paths, steps) => fresh interpret trace
+            from mcport.ops.pallas_gbm import pallas_terminal_log_returns
+
+            import numpy as np
+
+            chol = np.eye(2, dtype=np.float32) * 0.02
+            term = pallas_terminal_log_returns(
+                jnp.int32(i), np.zeros(2, np.float32), chol,
+                128 + 8 * (i % 7), 2 + i % 5, block=128, interpret=True)
+            float(term.sum())
+            continue
 
         if suite_like:
             # the shapes this repo's suite compiles by the hundred: scans
@@ -80,5 +119,17 @@ def main(n: int = 600, suite_like: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--suite-like"]
-    main(int(args[0]) if args else 600, suite_like="--suite-like" in sys.argv)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", nargs="?", type=int, default=600)
+    ap.add_argument("--suite-like", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="interleave pallas interpret-mode kernel calls "
+                         "(suspect: interpret machinery x XLA compiles)")
+    ap.add_argument("--pressure-mb", type=int, default=0,
+                    help="hold this many MB of live host+device buffers "
+                         "across every compile (suspect: allocator pressure)")
+    a = ap.parse_args()
+    main(a.n, suite_like=a.suite_like, pallas=a.pallas,
+         pressure_mb=a.pressure_mb)
