@@ -23,9 +23,17 @@ BENCH_r{N}.json instead of RESULTS.md prose (VERDICT r2 item 3):
 Timing: every throughput uses the same-process K-vs-2K difference protocol
 with data-chained reps and a scalar VALUE fetch (utils.profiling.diff_timed);
 block_until_ready alone is untrustworthy through the axon tunnel and
-between-process comparisons exceed 20% noise (benchmarks/RESULTS.md).
-Each fleet entry is fail-isolated: an error prints an "error" line and the
-headline still runs.
+between-process comparisons exceed 20% noise (benchmarks/RESULTS.md). Round 5
+(VERDICT r4 weak #2): every kernel line now times at the repo's own k=16 +
+best-of-3 protocol — the earlier k=2..5 windows carried enough noise that a
+70.5-vs-73e9 round-over-round delta was unreadable.
+
+vs_baseline semantics per line: path-steps/s lines quote the ratio vs the
+BASELINE.json 1e9/chip target; cand-path-steps/s and wall/seconds lines have
+no driver target, so they quote the ratio vs the ROUND-4 anchor
+(BENCH_r04.json), oriented so >1.0 is always BETTER (value/anchor for
+throughputs, anchor/value for walls). Each fleet entry is fail-isolated: an
+error prints an "error" line and the headline still runs.
 """
 
 import json
@@ -42,8 +50,36 @@ N_ASSETS = 15
 N_STEPS = 252
 N_PATHS = 1_048_576
 
+# Timing window (VERDICT r4 weak #2): k reps per difference window, best of
+# TRIALS trials — the repo's documented protocol for trustworthy deltas.
+K = 16
+TRIALS = 3
+
+# Round-4 anchors (BENCH_r04.json) for lines without a BASELINE target;
+# vs_baseline = value/anchor for throughputs, anchor/value for walls (>1.0 is
+# always better).
+ANCHORS = {
+    "multi_dd_f32_cand_path_steps_per_sec": 89.0e9,
+    "multi_dd_tf32_cand_path_steps_per_sec": 129.0e9,
+    "multi_dd_bf16_cand_path_steps_per_sec": 190.0e9,
+    "garch_multi_dd_cand_path_steps_per_sec": 111.5e9,
+    "bootstrap_multi_dd_cand_path_steps_per_sec": 88.3e9,
+    "jump_multi_dd_cand_path_steps_per_sec": 99.6e9,
+    "dcc_multi_dd_cand_path_steps_per_sec": 70.5e9,
+    "heston_multi_dd_cand_path_steps_per_sec": 88.5e9,
+    "dd_frontier_auto_speedup": 1.35,
+    "greeks_jacrev_warm_wall_s": 0.218,
+    "config3_streaming_1m_constrained_cold_s": 16.5,
+    "config3_streaming_1m_constrained_warm_s": 7.8,
+    "config4_16m_tail_wall_s": 20.7,
+}
+_WALL_METRICS = frozenset(m for m in ANCHORS if m.endswith("_s"))
+
 
 def _emit(metric, value, unit, vs_baseline=None):
+    if vs_baseline is None and metric in ANCHORS:
+        vs_baseline = (ANCHORS[metric] / value if metric in _WALL_METRICS
+                       else value / ANCHORS[metric])
     print(json.dumps({
         "metric": metric, "value": round(value, 4), "unit": unit,
         "vs_baseline": None if vs_baseline is None else round(vs_baseline, 4),
@@ -110,8 +146,8 @@ def fleet(mean, chol):
         term = pallas_terminal_log_returns(seed, mean, chol, N_PATHS, N_STEPS)
         return (hedged_terminal_returns(term, s0, *harr) @ w).sum() * 1e-9
 
-    t_plain = diff_timed(_chain(plain), k=5)
-    t_hedged = diff_timed(_chain(hedged), k=5)
+    t_plain = diff_timed(_chain(plain), k=K, trials=TRIALS)
+    t_hedged = diff_timed(_chain(hedged), k=K, trials=TRIALS)
     rate_h = N_PATHS * N_STEPS / t_hedged
     _emit("gbm_terminal_hedged_path_steps_per_sec", rate_h,
           "path-steps/s (15 assets, 8 hedged, 252 steps, f32)",
@@ -127,7 +163,7 @@ def fleet(mean, chol):
                                            bm="poly_fast")
         return ((jnp.exp(term) - 1.0) @ w).sum() * 1e-9
 
-    rate_f = N_PATHS * N_STEPS / diff_timed(_chain(plain_fast), k=5)
+    rate_f = N_PATHS * N_STEPS / diff_timed(_chain(plain_fast), k=K, trials=TRIALS)
     _emit("gbm_terminal_fast_path_steps_per_sec", rate_f,
           "path-steps/s (15 assets, 252 steps, poly_fast screening tier)",
           rate_f / BASELINE_PATH_STEPS_PER_SEC)
@@ -140,7 +176,7 @@ def fleet(mean, chol):
         term, port, dd = gbm_path_stats(seed, mean, chol, w, N_PATHS, N_STEPS)
         return (port.sum() + dd.sum()) * 1e-9
 
-    rate = N_PATHS * N_STEPS / diff_timed(_chain(pstats), k=4)
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(pstats), k=K, trials=TRIALS)
     _emit("gbm_path_stats_path_steps_per_sec", rate,
           "path-steps/s (15 assets, 252 steps, split correlate, unroll=2)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
@@ -162,7 +198,7 @@ def fleet(mean, chol):
     def garch(seed):
         return pallas_garch_terminal_returns(seed, gp, N_PATHS, N_STEPS).sum() * 1e-9
 
-    rate = N_PATHS * N_STEPS / diff_timed(_chain(garch), k=4)
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(garch), k=K, trials=TRIALS)
     _emit("garch_path_steps_per_sec", rate,
           "path-steps/s (CCC-GARCH(1,1), 15 assets, 252 steps, unroll=4)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
@@ -181,7 +217,7 @@ def fleet(mean, chol):
         return pallas_dcc_terminal_returns(
             seed, dp, N_PATHS, dcc_steps).sum() * 1e-9
 
-    rate = N_PATHS * dcc_steps / diff_timed(_chain(dcc), k=3)
+    rate = N_PATHS * dcc_steps / diff_timed(_chain(dcc), k=K, trials=TRIALS)
     _emit("dcc_path_steps_per_sec", rate,
           "path-steps/s (DCC-GARCH(1,1), 15 assets, 52 steps, fused kernel)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
@@ -199,7 +235,7 @@ def fleet(mean, chol):
                 seed, mean, chol, cand, dd_paths, N_STEPS, score_dtype=sd)
             return (term.sum() + dd.sum()) * 1e-9
 
-        rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(mdd), k=3)
+        rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(mdd), k=K, trials=TRIALS)
         _emit(f"multi_dd_{label}_cand_path_steps_per_sec", rate,
               f"cand-path-steps/s (256 cand, 131072 paths, 252 steps, {sd})")
 
@@ -249,7 +285,7 @@ def fleet(mean, chol):
         return pallas_bootstrap_terminal_returns(
             seed, hist, N_PATHS, N_STEPS).sum() * 1e-9
 
-    rate = N_PATHS * N_STEPS / diff_timed(_chain(boot), k=3)
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(boot), k=K, trials=TRIALS)
     _emit("bootstrap_path_steps_per_sec", rate,
           "path-steps/s (365-row history, 15 assets, 252 steps, bit-exact)",
           rate / BASELINE_PATH_STEPS_PER_SEC)
@@ -266,7 +302,7 @@ def fleet(mean, chol):
             seed, gp, cand, dd_paths, N_STEPS)
         return (term.sum() + dd.sum()) * 1e-9
 
-    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(garch_dd), k=3)
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(garch_dd), k=K, trials=TRIALS)
     _emit("garch_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (CCC-GARCH, 256 cand, 131072 paths, 252 steps)")
 
@@ -276,7 +312,7 @@ def fleet(mean, chol):
             seed, hist, cand, dd_paths, N_STEPS)
         return (term.sum() + dd.sum()) * 1e-9
 
-    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(boot_dd), k=3)
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(boot_dd), k=K, trials=TRIALS)
     _emit("bootstrap_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (bootstrap, 256 cand, 131072 paths, 252 steps)")
 
@@ -291,7 +327,7 @@ def fleet(mean, chol):
             seed, mean, chol, 0.02, muj, sigj, cand, dd_paths, N_STEPS)
         return (term.sum() + dd.sum()) * 1e-9
 
-    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(jump_dd), k=3)
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(jump_dd), k=K, trials=TRIALS)
     _emit("jump_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (Merton jumps, 256 cand, 131072 paths, 252 steps)")
 
@@ -303,7 +339,7 @@ def fleet(mean, chol):
             seed, dp, cand, dd_paths, dcc_steps)
         return (term.sum() + dd.sum()) * 1e-9
 
-    rate = n_cand * dd_paths * dcc_steps / diff_timed(_chain(dcc_dd), k=2)
+    rate = n_cand * dd_paths * dcc_steps / diff_timed(_chain(dcc_dd), k=K, trials=TRIALS)
     _emit("dcc_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (DCC-GARCH, 256 cand, 131072 paths, 52 steps)")
 
@@ -326,7 +362,7 @@ def fleet(mean, chol):
         return pallas_heston_terminal_returns(
             seed, hp, N_PATHS, N_STEPS).sum() * 1e-9
 
-    rate = N_PATHS * N_STEPS / diff_timed(_chain(heston), k=3)
+    rate = N_PATHS * N_STEPS / diff_timed(_chain(heston), k=K, trials=TRIALS)
     _emit("heston_path_steps_per_sec", rate,
           "path-steps/s (Heston stochastic vol, 15 assets, 252 steps, "
           "2 normal fields/step)",
@@ -338,7 +374,7 @@ def fleet(mean, chol):
             seed, hp, cand, dd_paths, N_STEPS)
         return (term.sum() + dd.sum()) * 1e-9
 
-    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(heston_dd), k=3)
+    rate = n_cand * dd_paths * N_STEPS / diff_timed(_chain(heston_dd), k=K, trials=TRIALS)
     _emit("heston_multi_dd_cand_path_steps_per_sec", rate,
           "cand-path-steps/s (Heston, 256 cand, 131072 paths, 252 steps)")
 

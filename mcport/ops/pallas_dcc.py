@@ -164,42 +164,39 @@ def _make_asset_step(
     return asset_init, asset_step
 
 
-def _dcc_pack_kernel(
-    seed_ref, par_ref, s_ref, ab_ref, q0_ref, out_ref, *, n_steps: int,
-    n_assets: int, interpret: bool, unroll: int = 1,
-):
-    """Packed-scalar-layout DCC terminal kernel: 8 paths per sublane row.
+def _make_pack_asset_step(par_ref, s_ref, ab_ref, q0_ref, *, n_assets: int,
+                          b_cols: int):
+    """Shared packed-scalar DCC recursion (8 paths per sublane row).
 
-    The tile layout (``_dcc_kernel``) is bound not by slab FMAs but by the
-    ~A^2/2 per-step sublane-broadcast shuffles (``L[j,k]`` row extractions)
-    and triangle masks. Here every matrix ELEMENT is its own ``(8, B)`` path
-    slab (path p = (sublane s, column b)), so the whole recursion — Q update,
-    Cholesky, e = L z — is pure elementwise vector-scalar/vector-vector FMAs:
-    zero broadcasts, zero masks, zero padded rows, and true A^3/6 Cholesky
-    flops instead of A^3/2 slab work. Scalar parameters (mu/omega/S/Q0 …)
-    live in SMEM and ride the VPU's scalar operand path.
-
-    Same law as ``_dcc_kernel`` (and :func:`mcport.models.dcc`), different
-    stream: the (128, B) draw slab assigns asset j the sublane tile 8j..8j+7,
-    so the path→draw mapping differs from the (a_pad, block) tile kernel.
+    Returns ``(asset_init, asset_step)`` with ``asset_step(zfull, carry) ->
+    (carry, eps_list)`` — per-asset innovation slabs ``eps_i`` of shape
+    ``(8, b_cols)``; callers compound terminals or score candidates on top.
+    Every matrix ELEMENT is its own path slab (path p = (sublane s, column
+    b)), so the whole recursion — Q update, Cholesky, e = L z — is pure
+    elementwise vector-scalar/vector-vector FMAs: zero broadcasts, zero
+    masks, zero padded rows, and true A^3/6 Cholesky flops. Scalar
+    parameters live in SMEM and ride the VPU's scalar operand path.
     """
     A = n_assets
-    rows, B = out_ref.shape           # (128, B): asset j on sublanes 8j..8j+7
-    normal_pair = _make_normal_pair(interpret, seed_ref, (rows, B))
-
     a_c = ab_ref[0]
     b_c = ab_ref[1]
     c0 = 1.0 - a_c - b_c
-    mu1 = [1.0 + par_ref[0, j] for j in range(A)]       # 1 + mu_j
     om = [par_ref[1, j] for j in range(A)]
     al = [par_ref[2, j] for j in range(A)]
     be = [par_ref[3, j] for j in range(A)]
 
     def full(v):
-        return jnp.full((_TILE, B), v, jnp.float32)
+        return jnp.full((_TILE, b_cols), v, jnp.float32)
 
-    def one_step(zfull, carry):
-        s2, e2, e, q, cum = carry
+    asset_init = (
+        [full(par_ref[4, j]) for j in range(A)],         # sigma2_0
+        [full(par_ref[5, j]) for j in range(A)],         # eps2_0
+        [full(par_ref[6, j]) for j in range(A)],         # e0
+        {(i, j): full(q0_ref[i, j]) for j in range(A) for i in range(j, A)},
+    )
+
+    def asset_step(zfull, carry):
+        s2, e2, e, q = carry
         zs = [zfull[_TILE * j:_TILE * (j + 1), :] for j in range(A)]
 
         # Engle Q recursion, lower triangle only (Q symmetric)
@@ -224,8 +221,8 @@ def _dcc_pack_kernel(
                 l[i, j] = num * inv
             inv_d.append(jax.lax.rsqrt(jnp.maximum(q[j, j], 1e-12)))
 
-        # e_t = D^{-1/2} (L z) ~ N(0, R_t), then univariate GARCH + compound
-        e_new, s2n, e2n, cumn = [], [], [], []
+        # e_t = D^{-1/2} (L z) ~ N(0, R_t), then univariate GARCH
+        e_new, s2n, e2n, eps_list = [], [], [], []
         for i in range(A):
             m = l[i, 0] * zs[0]
             for j in range(1, i + 1):
@@ -236,23 +233,106 @@ def _dcc_pack_kernel(
             e_new.append(ei)
             s2n.append(s2i)
             e2n.append(eps * eps)
-            cumn.append(cum[i] * (mu1[i] + eps))
-        return s2n, e2n, e_new, q, cumn
+            eps_list.append(eps)
+        return (s2n, e2n, e_new, q), eps_list
 
-    init = (
-        [full(par_ref[4, j]) for j in range(A)],         # sigma2_0
-        [full(par_ref[5, j]) for j in range(A)],         # eps2_0
-        [full(par_ref[6, j]) for j in range(A)],         # e0
-        {(i, j): full(q0_ref[i, j]) for j in range(A) for i in range(j, A)},
-        [jnp.ones((_TILE, B), jnp.float32) for _ in range(A)],
-    )
-    *_, cum = paired_step_loop(normal_pair, one_step, init, n_steps, False,
-                               unroll)
+    return asset_init, asset_step
+
+
+def _dcc_pack_kernel(
+    seed_ref, par_ref, s_ref, ab_ref, q0_ref, out_ref, *, n_steps: int,
+    n_assets: int, interpret: bool, unroll: int = 1,
+):
+    """Packed-scalar-layout DCC terminal kernel: 8 paths per sublane row.
+
+    The tile layout (``_dcc_kernel``) is bound not by slab FMAs but by the
+    ~A^2/2 per-step sublane-broadcast shuffles (``L[j,k]`` row extractions)
+    and triangle masks; see :func:`_make_pack_asset_step` for the layout.
+
+    Same law as ``_dcc_kernel`` (and :func:`mcport.models.dcc`), different
+    stream: the (128, B) draw slab assigns asset j the sublane tile 8j..8j+7,
+    so the path→draw mapping differs from the (a_pad, block) tile kernel.
+    """
+    A = n_assets
+    rows, B = out_ref.shape           # (128, B): asset j on sublanes 8j..8j+7
+    normal_pair = _make_normal_pair(interpret, seed_ref, (rows, B))
+    mu1 = [1.0 + par_ref[0, j] for j in range(A)]       # 1 + mu_j
+    asset_init, asset_step = _make_pack_asset_step(
+        par_ref, s_ref, ab_ref, q0_ref, n_assets=A, b_cols=B)
+
+    def one_step(zfull, carry):
+        asset, cum = carry
+        asset, eps = asset_step(zfull, carry[0])
+        cum = [cum[i] * (mu1[i] + eps[i]) for i in range(A)]
+        return asset, cum
+
+    init = (asset_init, [jnp.ones((_TILE, B), jnp.float32) for _ in range(A)])
+    _, cum = paired_step_loop(normal_pair, one_step, init, n_steps, False,
+                              unroll)
     for j in range(A):
         out_ref[_TILE * j:_TILE * (j + 1), :] = cum[j] - 1.0
     for j in range(A, rows // _TILE):
         out_ref[_TILE * j:_TILE * (j + 1), :] = jnp.zeros((_TILE, B),
                                                           jnp.float32)
+
+
+def _dcc_pack_dd_kernel(
+    seed_ref, par_ref, s_ref, ab_ref, q0_ref, w_ref, term_ref, dd_ref, *,
+    n_steps: int, n_assets: int, n_cand: int, interpret: bool, unroll: int = 1,
+):
+    """Packed-scalar DCC CANDIDATE kernel — the round-5 pack-relayout
+    experiment (ROADMAP r4 candidate 3).
+
+    The question the deferral left open: do the pack layout's recursion
+    savings survive feeding the MXU score matmul, whose operands need paths
+    on LANES (a per-step sublane→lane relayout of A slabs)? Answer: skip the
+    relayout entirely — score on the VPU in pack space. Candidate weights
+    are SMEM scalars, so ``f_c = 1 + sum_j w[c,j] r_j`` is A scalar-vector
+    FMAs per candidate on the same (8, B) slabs the recursion already holds;
+    wealth/peak/drawdown carries live per (candidate, slab). No relayout, no
+    transpose, no MXU — the score work rides the same units as the
+    recursion. Measured on the v5e vs the tile+MXU dd kernel in
+    benchmarks/bench_dcc_dd_pack.py; see RESULTS.md for the verdict.
+
+    Stream: identical to ``_dcc_pack_kernel`` per (block, step) — one (128,
+    B) draw slab per step, so terminal values at W=1 chunk match the pack
+    terminal kernel's law (different stream from the tile kernels).
+    """
+    A = n_assets
+    rows, B = term_ref.shape          # (8 * n_cand_pad, B)
+    normal_pair = _make_normal_pair(interpret, seed_ref, (128, B))
+    mu = [par_ref[0, j] for j in range(A)]
+    asset_init, asset_step = _make_pack_asset_step(
+        par_ref, s_ref, ab_ref, q0_ref, n_assets=A, b_cols=B)
+
+    def one_step(zfull, carry):
+        asset, v, peak, dd = carry
+        asset, eps = asset_step(zfull, asset)
+        r = [mu[j] + eps[j] for j in range(A)]
+        vn, pn, dn = [], [], []
+        for c in range(n_cand):
+            f = w_ref[c, 0] * r[0]
+            for j in range(1, A):
+                f = f + w_ref[c, j] * r[j]
+            vc = v[c] * (1.0 + f)
+            pc = jnp.maximum(peak[c], vc)
+            vn.append(vc)
+            pn.append(pc)
+            dn.append(jnp.minimum(dd[c], vc / pc - 1.0))
+        return asset, vn, pn, dn
+
+    ones = [jnp.ones((_TILE, B), jnp.float32) for _ in range(n_cand)]
+    zeros = [jnp.zeros((_TILE, B), jnp.float32) for _ in range(n_cand)]
+    init = (asset_init, ones, list(ones), zeros)
+    _, v, _, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
+                                   False, unroll)
+    for c in range(n_cand):
+        term_ref[_TILE * c:_TILE * (c + 1), :] = v[c] - 1.0
+        dd_ref[_TILE * c:_TILE * (c + 1), :] = dd[c]
+    for c in range(n_cand, rows // _TILE):
+        z = jnp.zeros((_TILE, B), jnp.float32)
+        term_ref[_TILE * c:_TILE * (c + 1), :] = z
+        dd_ref[_TILE * c:_TILE * (c + 1), :] = z
 
 
 def _dcc_kernel(
@@ -344,6 +424,83 @@ def _dcc_dd_kernel(
     dd_ref[:] = dd
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret",
+                              "unroll", "w_block")
+)
+def _pack_dd_call(
+    seed, mu, omega, alpha, beta, s, a_dcc, b_dcc, q0, e0, sigma2_0, eps2_0,
+    weights, n_paths: int, n_steps: int, block: int, interpret: bool,
+    unroll: int, w_block: int = 64,
+):
+    w = jnp.asarray(weights, jnp.float32)
+    if w.ndim == 1:
+        w = w[None, :]
+    w_cnt, a = w.shape
+    assert a <= 16, "pack layout carries one sublane tile per asset (A<=16)"
+    if w_cnt > w_block:
+        # same seed per chunk -> identical path streams, exact cross-chunk
+        # comparability (the tile kernel's W>256 chunking convention)
+        parts = [
+            _pack_dd_call(seed, mu, omega, alpha, beta, s, a_dcc, b_dcc, q0,
+                          e0, sigma2_0, eps2_0, w[i:i + w_block], n_paths,
+                          n_steps, block, interpret, unroll, w_block)
+            for i in range(0, w_cnt, w_block)
+        ]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0))
+
+    bcols = block // _TILE
+    n_pad = _round_up(n_paths, block)
+    m = n_pad // _TILE
+    grid = n_pad // block
+    rows = _TILE * w_cnt
+
+    par = jnp.zeros((8, 16), jnp.float32)
+    for r, v in enumerate((mu, omega, alpha, beta, sigma2_0, eps2_0, e0)):
+        par = par.at[r, :a].set(jnp.asarray(v, jnp.float32))
+    sq16 = lambda x: jnp.zeros((16, 16), jnp.float32).at[:a, :a].set(
+        jnp.asarray(x, jnp.float32))
+    w_sm = jnp.zeros((w_cnt, 16), jnp.float32).at[:, :a].set(w)
+
+    term, dd = pl.pallas_call(
+        functools.partial(_dcc_pack_dd_kernel, n_steps=n_steps, n_assets=a,
+                          n_cand=w_cnt, interpret=interpret, unroll=unroll),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # par (8, 16)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # S (16, 16)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # (a_dcc, b_dcc)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # Q_0 (16, 16)
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # W (w_cnt, 16)
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, bcols), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bcols), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, m), jnp.float32),
+            jax.ShapeDtypeStruct((rows, m), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        par, sq16(s),
+        jnp.stack([jnp.asarray(a_dcc, jnp.float32),
+                   jnp.asarray(b_dcc, jnp.float32)]),
+        sq16(q0), w_sm,
+    )
+
+    def unpack(x):   # candidate c, path p = 8b + s (the _pack_call mapping)
+        return (x.reshape(w_cnt, _TILE, m).transpose(0, 2, 1)
+                .reshape(w_cnt, _TILE * m)[:, :n_paths])
+
+    return unpack(term), unpack(dd)
+
+
 def pallas_dcc_path_stats(
     seed: Array,
     params,
@@ -355,6 +512,8 @@ def pallas_dcc_path_stats(
     hedge_args: tuple | None = None,
     unroll: int = 2,
     tri: bool = True,
+    layout: str = "tile",
+    w_block: int = 64,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W
     candidate portfolios under DCC-GARCH(1,1) paths — the dynamic-correlation
@@ -372,12 +531,19 @@ def pallas_dcc_path_stats(
     Round-4 defaults (same-process A/B, k=16 windows, max-of-4): triangle
     Q carry at block=1024 → 80e9 cand-path-steps/s vs 72e9 for the full
     layout at block=512.
+
+    ``layout="pack"`` (round 5, unhedged only, A<=16) runs the packed-scalar
+    experiment kernel (:func:`_dcc_pack_dd_kernel`): candidates score on the
+    VPU in pack space (SMEM scalar weights, no relayout, no MXU), chunked at
+    ``w_block`` candidates per dispatch sharing one path stream. Law-
+    equivalent to "tile" on a DIFFERENT stream (the pack draw mapping);
+    see RESULTS.md for the measured verdict.
     """
     b = params.base
     import numpy as np
 
     s = np.asarray(b.corr_chol) @ np.asarray(b.corr_chol).T
-    return _dd_call(
+    args = (
         seed, jnp.asarray(b.mu, jnp.float32),
         jnp.asarray(b.omega, jnp.float32),
         jnp.asarray(b.alpha, jnp.float32), jnp.asarray(b.beta, jnp.float32),
@@ -389,8 +555,15 @@ def pallas_dcc_path_stats(
         jnp.asarray(b.sigma2_0, jnp.float32),
         jnp.asarray(b.eps2_0, jnp.float32),
         jnp.asarray(weights, jnp.float32),
-        n_paths, n_steps, block, interpret, hedge_args, unroll, tri,
     )
+    if layout == "pack":
+        if hedge_args is not None:
+            raise ValueError("pack layout does not support hedge_args — "
+                             "use layout='tile' for hedged settlement")
+        return _pack_dd_call(*args, n_paths, n_steps, block, interpret,
+                             unroll, w_block)
+    return _dd_call(*args, n_paths, n_steps, block, interpret, hedge_args,
+                    unroll, tri)
 
 
 @functools.partial(

@@ -174,3 +174,47 @@ def test_correlation_rises_after_common_shocks():
     c_dyn = np.corrcoef(dyn, rowvar=False)[0, 1]
     c_frz = np.corrcoef(frz, rowvar=False)[0, 1]
     assert c_dyn > c_frz + 0.1   # reverts toward S's 0.55 vs frozen 0.05
+
+
+def test_pack_dd_kernel_law_chunking_and_terminal_consistency():
+    """Round-5 pack-relayout experiment kernel (_dcc_pack_dd_kernel): law
+    parity vs the lax candidate reference, w_block chunk invariance
+    (shared path streams), and w = e_j terminal consistency with the pack
+    terminal kernel on the SAME stream (fp op-order tolerance only)."""
+    from mcport.models.dcc import dcc_path_stats
+    from mcport.ops.pallas_dcc import pallas_dcc_path_stats
+
+    cand = np.random.default_rng(9).dirichlet(np.ones(A), 8).astype(np.float32)
+    n, steps = 8_192, 13
+    tk, dk = pallas_dcc_path_stats(3, PARAMS, cand, n, steps, layout="pack",
+                                   w_block=4, **KW)
+    tl, dl = dcc_path_stats(jax.random.key(7), PARAMS, cand, n, steps)
+    se = np.asarray(jnp.std(tl, axis=1, ddof=1)) / np.sqrt(n)
+    np.testing.assert_allclose(np.asarray(tk.mean(1)), np.asarray(tl.mean(1)),
+                               atol=float(6 * se.max()))
+    assert bool(jnp.all(jnp.abs(jnp.std(tk, 1) / jnp.std(tl, 1) - 1) < 0.12))
+    assert bool(jnp.all(
+        jnp.abs(jnp.median(dk, 1) - jnp.median(dl, 1)) < 0.02))
+    # drawdown invariants
+    assert bool(jnp.all(dk <= 1e-6)) and bool(jnp.all(dk >= -1.0))
+    # chunk invariance: same seed per chunk -> identical streams
+    tk2, dk2 = pallas_dcc_path_stats(3, PARAMS, cand, n, steps,
+                                     layout="pack", w_block=8, **KW)
+    assert bool(jnp.array_equal(tk, tk2)) and bool(jnp.array_equal(dk, dk2))
+    # unit-vector candidate reproduces the pack TERMINAL kernel's stream
+    w1 = np.zeros((1, A), np.float32)
+    w1[0, 1] = 1.0
+    t1, _ = pallas_dcc_path_stats(5, PARAMS, w1, 2_048, 7, layout="pack",
+                                  **KW)
+    tt = pallas_dcc_terminal_returns(5, PARAMS, 2_048, 7, layout="pack",
+                                     **KW)
+    assert float(jnp.max(jnp.abs(t1[0] - tt[:, 1]))) < 2e-6
+    # hedged settlement is tile-only (documented)
+    import pytest
+
+    ident = (np.ones(A, np.float32), np.zeros((A, 1), np.int32),
+             np.zeros((A, 1), np.float32), np.zeros((A, 1), np.float32),
+             np.ones((A, 1), np.float32))
+    with pytest.raises(ValueError, match="tile"):
+        pallas_dcc_path_stats(3, PARAMS, cand, 512, 4, layout="pack",
+                              hedge_args=ident, **KW)

@@ -645,6 +645,125 @@ def test_family_frontier_compiled_end_to_end():
         assert r.opt_idx == r2.opt_idx
 
 
+def _heston_params(a: int):
+    from mcport.models.heston import HestonParams
+
+    rng = np.random.default_rng(0)
+    return HestonParams(
+        mu=rng.normal(1e-3, 3e-4, a), kappa=np.full(a, 0.15),
+        theta=np.full(a, 4e-4), xi=np.full(a, 3e-3),
+        rho=np.full(a, -0.5), v0=np.full(a, 4e-4),
+        corr_chol=np.linalg.cholesky(0.5 * np.eye(a) + 0.5),
+        s0=np.full(a, 100.0))
+
+
+def test_heston_kernel_compiled_law_and_throughput():
+    """Round 5 (VERDICT r4 weak #1): the fused Heston kernel on hardware
+    PRNG — law parity vs the lax full-truncation reference (same params,
+    independent streams), determinism, and the throughput gate. Mirrors the
+    DCC/family compiled tests; all reductions on device."""
+    from mcport.models.heston import heston_terminal_returns
+    from mcport.ops.pallas_heston import pallas_heston_terminal_returns
+    from mcport.utils.profiling import diff_timed
+
+    hp = _heston_params(15)
+    n, steps = 262_144, 26
+    got = pallas_heston_terminal_returns(jnp.int32(7), hp, n, steps)
+    ref = heston_terminal_returns(jax.random.key(7), hp, n, steps)
+    se = jnp.std(ref, axis=0, ddof=1) / np.sqrt(n)
+    m_ok = jnp.all(jnp.abs(jnp.mean(got, 0) - jnp.mean(ref, 0)) < 6 * se)
+    s_ok = jnp.all(jnp.abs(jnp.std(got, 0) / jnp.std(ref, 0) - 1) < 0.05)
+    assert bool(jax.device_get(m_ok))
+    assert bool(jax.device_get(s_ok))
+    # leverage: negative rho skews terminals left — same sign both kernels
+    gz = (got - jnp.mean(got, 0)) / jnp.std(got, 0)
+    rz = (ref - jnp.mean(ref, 0)) / jnp.std(ref, 0)
+    g_skew = float(jax.device_get(jnp.mean(gz**3)))
+    r_skew = float(jax.device_get(jnp.mean(rz**3)))
+    assert g_skew < 0 and r_skew < 0 and abs(g_skew - r_skew) < 0.1
+    # cross-asset correlation rides the shock correlation
+    gc = float(jax.device_get(jnp.corrcoef(got.T)[0, 1]))
+    rc = float(jax.device_get(jnp.corrcoef(ref.T)[0, 1]))
+    assert abs(gc - rc) < 0.05
+    # determinism on the hardware stream
+    got2 = pallas_heston_terminal_returns(jnp.int32(7), hp, n, steps)
+    assert bool(jax.device_get(jnp.array_equal(got, got2)))
+
+    # throughput gate: two normal fields per step (2x the GBM PRNG rate);
+    # r4 measured 2.78e9 path-steps/s — gate at half that under tunnel noise
+    big_n = 1_048_576
+
+    @jax.jit
+    def one(seed):
+        return pallas_heston_terminal_returns(seed, hp, big_n, 252).sum() * 1e-9
+
+    def loop(k):
+        acc = jnp.float32(0)
+        for i in range(k):
+            acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
+        return acc
+
+    tput = big_n * 252 / diff_timed(loop, k=8)
+    print(f"\nheston kernel: {tput/1e9:.2f}e9 path-steps/s")
+    assert tput > 1.4e9
+
+
+def test_heston_path_stats_compiled():
+    """Heston candidate path-stats on hardware — law parity vs the lax
+    reference, determinism, hedged identity + put domination (the same
+    matrix every other family kernel pins in this tier)."""
+    from mcport.models.heston import heston_path_stats
+    from mcport.ops.pallas_heston import pallas_heston_path_stats
+
+    a, n, steps = 4, 65_536, 26
+    hp = _heston_params(a)
+    cand = np.random.default_rng(9).dirichlet(np.ones(a), 8).astype(np.float32)
+
+    tk, dk = pallas_heston_path_stats(3, hp, cand, n, steps)
+    tl, dl = heston_path_stats(jax.random.key(7), hp, cand, n, steps)
+    se = jnp.std(tl, axis=1, ddof=1) / np.sqrt(n)
+    assert bool(jax.device_get(
+        jnp.all(jnp.abs(jnp.mean(tk, 1) - jnp.mean(tl, 1)) < 6 * se)))
+    assert bool(jax.device_get(
+        jnp.all(jnp.abs(jnp.std(tk, 1) / jnp.std(tl, 1) - 1) < 0.1)))
+    assert bool(jax.device_get(jnp.all(
+        jnp.abs(jnp.median(dk, axis=1) - jnp.median(dl, axis=1)) < 0.02)))
+    tk2, dk2 = pallas_heston_path_stats(3, hp, cand, n, steps)
+    assert bool(jax.device_get(jnp.array_equal(tk, tk2)))
+    assert bool(jax.device_get(jnp.array_equal(dk, dk2)))
+    # hedged identity legs reduce to the plain kernel on the SAME stream
+    ident = (np.ones(a, np.float32),
+             np.zeros((a, 1), np.int32), np.zeros((a, 1), np.float32),
+             np.zeros((a, 1), np.float32), np.ones((a, 1), np.float32))
+    th, dh = pallas_heston_path_stats(9, hp, cand, 16_384, 13,
+                                      hedge_args=ident)
+    tp, dp = pallas_heston_path_stats(9, hp, cand, 16_384, 13)
+    assert float(jax.device_get(jnp.max(jnp.abs(th - tp)))) < 5e-5
+    assert float(jax.device_get(jnp.max(jnp.abs(dh - dp)))) < 5e-5
+    # zero-premium protective puts dominate terminal wealth
+    prot = (hp.s0.astype(np.float32),
+            np.tile(np.array([[0, 4]], np.int32), (a, 1)),
+            np.stack([np.zeros(a, np.float32),
+                      hp.s0.astype(np.float32) * 0.98], 1),
+            np.zeros((a, 2), np.float32), np.ones((a, 2), np.float32))
+    tpp, _ = pallas_heston_path_stats(9, hp, cand, 16_384, 13,
+                                      hedge_args=prot)
+    assert bool(jax.device_get(jnp.all(tpp >= th - 5e-4)))
+
+
+def test_heston_unroll_compiled_same_stream():
+    """two_shock_step_loop unroll=1 vs the unroll=2 default must consume the
+    same hardware stream: outputs agree to fusion tolerance, odd + even
+    steps (the tail loop takes different branches)."""
+    from mcport.ops.pallas_heston import pallas_heston_terminal_returns
+
+    hp = _heston_params(4)
+    for steps in (12, 13):
+        o1 = pallas_heston_terminal_returns(11, hp, 8_192, steps, unroll=1)
+        o2 = pallas_heston_terminal_returns(11, hp, 8_192, steps, unroll=2)
+        assert float(jax.device_get(jnp.max(jnp.abs(o1 - o2)))) < 2e-6
+
+
 def test_greeks_jacrev_compiles_and_holds_euler_on_hardware():
     """The pathwise-Greeks reverse pass (remat'd scan + top_k grads) must
     lower and run ON CHIP at a production-like shape, with the Euler
