@@ -35,7 +35,7 @@ __all__ = ["pallas_heston_terminal_returns", "pallas_heston_path_stats",
 
 
 def two_shock_step_loop(normal_pair, one_step, init, n_steps: int,
-                        unroll: int = 2):
+                        unroll: int = 4):
     """Run ``one_step(z, w, carry)`` ``n_steps`` times, one full Box-Muller
     pair per step (z = return shocks, w = variance shocks).
 
@@ -71,7 +71,7 @@ def two_shock_step_loop(normal_pair, one_step, init, n_steps: int,
 
 def _heston_kernel(
     seed_ref, mu_ref, kappa_ref, theta_ref, xi_ref, rho_ref, v0_ref, lr_ref,
-    out_ref, *, n_steps: int, interpret: bool, unroll: int = 2,
+    out_ref, *, n_steps: int, interpret: bool, unroll: int = 4,
 ):
     a_pad, block = out_ref.shape
     normal_pair = _make_normal_pair(interpret, seed_ref, (a_pad, block))
@@ -108,7 +108,7 @@ def _heston_kernel(
 )
 def _call(
     seed, mu, kappa, theta, xi, rho, v0, corr_chol,
-    n_paths: int, n_steps: int, block: int, interpret: bool, unroll: int = 2,
+    n_paths: int, n_steps: int, block: int, interpret: bool, unroll: int = 4,
 ):
     a = mu.shape[-1]
     a_pad = max(8, _round_up(a, 8))
@@ -152,14 +152,16 @@ def pallas_heston_terminal_returns(
     n_steps: int,
     block: int = 1024,
     interpret: bool = False,
-    unroll: int = 2,
+    unroll: int = 4,
 ) -> Array:
     """Terminal compounded simple returns (n_paths, A) under the Heston law.
 
     Two normal fields per step (return + variance shocks) means one Box-Muller
     pair per step — exactly half the steps-per-draw of the GBM/GARCH kernels
-    at the same PRNG rate. ``unroll=2`` default pending the hardware A/B
-    (benchmarks/bench_unroll.py protocol)."""
+    at the same PRNG rate. ``unroll=4`` per the round-5 hardware A/B
+    (benchmarks/bench_heston.py, k=16 best-of-3: 2.26/2.78/2.89e9
+    path-steps/s at unroll 1/2/4; stream-identical, outputs agree to fusion
+    tolerance)."""
     return _call(
         seed, params.mu, params.kappa, params.theta, params.xi, params.rho,
         params.v0, params.corr_chol, n_paths, n_steps, block, interpret,
@@ -170,7 +172,7 @@ def pallas_heston_terminal_returns(
 def _heston_dd_kernel(
     seed_ref, mu_ref, kappa_ref, theta_ref, xi_ref, rho_ref, v0_ref, lr_ref,
     w_ref, *rest, n_steps: int, interpret: bool, hedged: bool = False,
-    unroll: int = 2,
+    unroll: int = 4,
 ):
     if hedged:
         s0_ref, ht_ref, hk_ref, hp_ref, hq_ref, term_ref, dd_ref = rest
@@ -262,7 +264,7 @@ def pallas_heston_path_stats(
     block: int = 1024,
     interpret: bool = False,
     hedge_args: tuple | None = None,
-    unroll: int = 2,
+    unroll: int = 4,
 ) -> tuple[Array, Array]:
     """(terminal returns (W, n_paths), max drawdowns (W, n_paths)) for W
     candidate portfolios under Heston stochastic-volatility paths.
