@@ -240,6 +240,9 @@ def _qmle_filter(params: np.ndarray, r: np.ndarray, sd: float):
     return z, max(v, 1e-8)
 
 
+_LRT_95 = 3.84  # chi2_1 95% critical value — the leverage-pretest gate
+
+
 def fit_heston_qmle(
     prices: np.ndarray, init: HestonParams | None = None, jitter: float = 1e-10,
 ) -> HestonParams:
@@ -249,11 +252,22 @@ def fit_heston_qmle(
     (mu, kappa, theta, c = xi*rho) with scipy L-BFGS-B (jax gradients),
     started from the moment match (plus two spread starts — the likelihood
     can have a flat kappa ridge on short histories). Post-fit, xi comes from
-    the conditional-kurtosis moment at the refined (kappa, theta), Feller-
-    capped and floored at |c| / 0.95 so rho = c/xi stays in [-0.95, 0.95];
-    v0 is the filter END state (today's conditional variance given the whole
-    history — sharper than the EWMA proxy). The cross-asset shock correlation
-    R is re-estimated from filter-standardized residuals.
+    the conditional-kurtosis moment at the refined (kappa, theta); v0 is the
+    filter END state (today's conditional variance given the whole history —
+    sharper than the EWMA proxy). The cross-asset shock correlation R is
+    re-estimated from filter-standardized residuals.
+
+    Leverage pretest (round-5 review fix): the fitted c is a noisy slope, so
+    before letting it drive (xi, rho) the leverage evidence is tested with a
+    likelihood ratio against a c = 0 refit (LRT ~ chi2_1 under the null).
+    Only when the LRT clears the 95% critical value (3.84) is xi floored at
+    |c| / 0.95 to preserve the identified product xi*rho = c (Feller wins
+    when the two conflict). Below the gate, xi stays at the un-floored
+    moment value and rho = clip(c/xi) is SHRUNK by the evidence weight
+    LRT/3.84 (continuous at the gate) — so degenerate no-stochastic-vol
+    series degrade toward xi ~ 0, rho ~ 0 (plain GBM) instead of pinning
+    |rho| at 0.95 with an xi manufactured from leverage-slope sampling noise
+    (measured: 1/3 of pure-GBM seeds before the fix, independent of n).
 
     Falls back to the moment match per asset when the optimizer fails to
     improve the quasi-likelihood at the moment-matched point.
@@ -311,6 +325,19 @@ def fit_heston_qmle(
             # keep the moment match; still need standardized residuals for R
             p_use = p_mm
         else:
+            # leverage LRT: refit with c pinned to 0 (warm start); the nll is
+            # a SUM, so 2*(nll_c0 - nll_free) ~ chi2_1 under the no-leverage
+            # null (see docstring — measured null median ~1.1 on pure GBM)
+            b0 = list(bounds)
+            b0[3] = (0.0, 0.0)
+            p0 = np.asarray(best.x, np.float64).copy()
+            p0[3] = 0.0
+            try:
+                res0 = minimize(fun, p0, jac=True, method="L-BFGS-B",
+                                bounds=b0)
+                lrt = max(2.0 * (float(res0.fun) - float(best.fun)), 0.0)
+            except Exception:
+                lrt = 0.0                         # no evidence if refit fails
             p_use = np.asarray(best.x, np.float64)
             mu_q, kappa_q, theta_q, c_q = p_use
             mu[i] = mu_q * s
@@ -326,15 +353,33 @@ def fit_heston_qmle(
             sq = eps**2
             sqc = sq - sq.mean()
             c1 = float((sqc[:-1] * sqc[1:]).mean())
-            var_v = max(float((eps**4).mean()) / 3.0 - theta[i] ** 2,
-                        c1 / max(1.0 - kappa[i], 1e-3), 0.0)
+            var_v = max(float((eps**4).mean()) / 3.0 - theta[i] ** 2, 0.0)
+            # the autocovariance moment c1 = (1-kappa) Var(v) only carries
+            # information for kappa < 1 (AR(1) persistence phi = 1-kappa in
+            # (0,1)); past that the old max(1-kappa, 1e-3) floor DIVIDED BY
+            # 1e-3 and inflated var_v ~1000x whenever the likelihood rode
+            # the kappa ridge above 1 (review r5: Feller-cap xi on pure GBM)
+            if kappa[i] < 0.999:
+                var_v = max(var_v, c1 / (1.0 - kappa[i]))
             xi_q = np.sqrt(2.0 * kappa[i] * var_v / theta[i])
-            xi_q = max(xi_q, abs(c_abs) / 0.95)   # |rho| <= 0.95 floor ...
-            # ... but Feller wins when the two conflict (|c| too large to
-            # decompose): xi stays simulable, rho clips, xi*rho != c
-            xi_q = min(xi_q, np.sqrt(2.0 * kappa[i] * theta[i]))
-            xi[i] = xi_q
-            rho[i] = float(np.clip(c_abs / xi_q, -0.95, 0.95)) if xi_q > 1e-12 else 0.0
+            if lrt >= _LRT_95:
+                # leverage confirmed: preserve the identified xi*rho = c via
+                # the |c|/0.95 floor ... but Feller wins when the two
+                # conflict (|c| too large to decompose): xi stays simulable,
+                # rho clips, xi*rho != c
+                xi_q = max(xi_q, abs(c_abs) / 0.95)
+                xi_q = min(xi_q, np.sqrt(2.0 * kappa[i] * theta[i]))
+                xi[i] = xi_q
+                rho[i] = (float(np.clip(c_abs / xi_q, -0.95, 0.95))
+                          if xi_q > 1e-12 else 0.0)
+            else:
+                # leverage not significant: no manufactured xi floor, and
+                # rho shrunk by the evidence weight (continuous at the gate)
+                xi_q = min(xi_q, np.sqrt(2.0 * kappa[i] * theta[i]))
+                xi[i] = xi_q
+                raw = (float(np.clip(c_abs / xi_q, -0.95, 0.95))
+                       if xi_q > 1e-12 else 0.0)
+                rho[i] = raw * (lrt / _LRT_95)
 
         # filter-standardized residuals for the cross-asset correlation +
         # today's variance state (filter end state)

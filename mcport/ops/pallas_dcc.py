@@ -424,6 +424,25 @@ def _dcc_dd_kernel(
     dd_ref[:] = dd
 
 
+def _pack_params(mu, omega, alpha, beta, sigma2_0, eps2_0, e0, a):
+    """Shared SMEM parameter packing for the two pack-layout callers.
+
+    The ROW ORDER is load-bearing: ``_make_pack_asset_step`` reads
+    ``par_ref[0..6]`` as (mu, omega, alpha, beta, sigma2_0, eps2_0, e0) —
+    keep this single helper the only place that order is spelled out.
+    Returns (par (8, 16) SMEM rows, sq16: (A, A) -> zero-padded (16, 16)).
+    """
+    par = jnp.zeros((8, 16), jnp.float32)
+    for r, v in enumerate((mu, omega, alpha, beta, sigma2_0, eps2_0, e0)):
+        par = par.at[r, :a].set(jnp.asarray(v, jnp.float32))
+
+    def sq16(x):
+        return jnp.zeros((16, 16), jnp.float32).at[:a, :a].set(
+            jnp.asarray(x, jnp.float32))
+
+    return par, sq16
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_paths", "n_steps", "block", "interpret",
                               "unroll", "w_block")
@@ -439,8 +458,10 @@ def _pack_dd_call(
     w_cnt, a = w.shape
     assert a <= 16, "pack layout carries one sublane tile per asset (A<=16)"
     if w_cnt > w_block:
-        # same seed per chunk -> identical path streams, exact cross-chunk
-        # comparability (the tile kernel's W>256 chunking convention)
+        # same seed per chunk -> identical path STREAMS (the tile kernel's
+        # W>256 chunking convention). Comparability is to compile-fusion
+        # tolerance, not bit-exact: different w_cnt values compile different
+        # programs whose fp fusion can differ ~1e-7 (review r5, measured)
         parts = [
             _pack_dd_call(seed, mu, omega, alpha, beta, s, a_dcc, b_dcc, q0,
                           e0, sigma2_0, eps2_0, w[i:i + w_block], n_paths,
@@ -456,11 +477,7 @@ def _pack_dd_call(
     grid = n_pad // block
     rows = _TILE * w_cnt
 
-    par = jnp.zeros((8, 16), jnp.float32)
-    for r, v in enumerate((mu, omega, alpha, beta, sigma2_0, eps2_0, e0)):
-        par = par.at[r, :a].set(jnp.asarray(v, jnp.float32))
-    sq16 = lambda x: jnp.zeros((16, 16), jnp.float32).at[:a, :a].set(
-        jnp.asarray(x, jnp.float32))
+    par, sq16 = _pack_params(mu, omega, alpha, beta, sigma2_0, eps2_0, e0, a)
     w_sm = jnp.zeros((w_cnt, 16), jnp.float32).at[:, :a].set(w)
 
     term, dd = pl.pallas_call(
@@ -556,10 +573,19 @@ def pallas_dcc_path_stats(
         jnp.asarray(b.eps2_0, jnp.float32),
         jnp.asarray(weights, jnp.float32),
     )
+    if layout not in ("tile", "pack"):
+        # no silent fallthrough: a typo'd layout would quietly benchmark the
+        # tile kernel and corrupt a pack-vs-tile A/B (review r5)
+        raise ValueError(f"layout must be 'tile' or 'pack', got {layout!r}")
     if layout == "pack":
         if hedge_args is not None:
             raise ValueError("pack layout does not support hedge_args — "
                              "use layout='tile' for hedged settlement")
+        if not interpret and block % 1024:
+            # same lane-tiling rule the terminal pack kernel enforces: the
+            # kernel's (8, block/8) slabs need block/8 >= 128 full lanes
+            raise ValueError(
+                f"pack layout needs block % 1024 == 0 (lane tiling), got {block}")
         return _pack_dd_call(*args, n_paths, n_steps, block, interpret,
                              unroll, w_block)
     return _dd_call(*args, n_paths, n_steps, block, interpret, hedge_args,
@@ -679,11 +705,7 @@ def _pack_call(
     m = n_pad // _TILE
     grid = n_pad // block
 
-    par = jnp.zeros((8, 16), jnp.float32)
-    for r, v in enumerate((mu, omega, alpha, beta, sigma2_0, eps2_0, e0)):
-        par = par.at[r, :a].set(jnp.asarray(v, jnp.float32))
-    sq16 = lambda x: jnp.zeros((16, 16), jnp.float32).at[:a, :a].set(
-        jnp.asarray(x, jnp.float32))
+    par, sq16 = _pack_params(mu, omega, alpha, beta, sigma2_0, eps2_0, e0, a)
 
     out = pl.pallas_call(
         functools.partial(_dcc_pack_kernel, n_steps=n_steps, n_assets=a,
@@ -805,6 +827,9 @@ def pallas_dcc_terminal_returns(
     import numpy as np
 
     a = int(np.asarray(b.mu).shape[-1])
+    if layout not in ("auto", "tile", "pack"):
+        raise ValueError(
+            f"layout must be 'auto', 'tile' or 'pack', got {layout!r}")
     if layout == "auto":
         # An explicit block incompatible with pack's lane tiling means the
         # caller sized it for the tile kernel — fall back rather than raise.

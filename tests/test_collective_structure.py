@@ -84,9 +84,13 @@ def census(fn) -> dict:
             jf = real_jit(f, *a, **kw)
 
             def wrapper(*args, **kwargs):
-                _parse(jf.lower(*args, **kwargs).compile().as_text(),
-                       counts, ag_elems)
-                return jf(*args, **kwargs)
+                # one compile, not two: the AOT result of lower().compile()
+                # is callable, and jf(*args) would re-trace + re-compile —
+                # doubling compile pressure on the known single-process
+                # XLA:CPU compile-accumulation crash (review r5)
+                compiled = jf.lower(*args, **kwargs).compile()
+                _parse(compiled.as_text(), counts, ag_elems)
+                return compiled(*args, **kwargs)
 
             return wrapper
 

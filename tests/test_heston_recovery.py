@@ -51,7 +51,7 @@ def _sim(rng, n, mu=MU, kappa=KAPPA, theta=THETA, xi=XI, rho=RHO):
 
 def _fit_errors(n, base, method="qmle"):
     errs = {k: [] for k in ("kappa", "theta", "xi", "rho")}
-    rho_neg = 0
+    right = wrong = 0
     for s in range(K):
         p = estimate_heston(_sim(np.random.default_rng(base + s), n),
                             method=method)
@@ -59,31 +59,44 @@ def _fit_errors(n, base, method="qmle"):
         errs["theta"].append(abs(float(p.theta[0]) - THETA))
         errs["xi"].append(abs(float(p.xi[0]) - XI))
         errs["rho"].append(abs(float(p.rho[0]) - RHO))
-        rho_neg += float(p.rho[0]) < 0
-    return {k: float(np.median(v)) for k, v in errs.items()}, rho_neg
+        # the leverage pretest ABSTAINS (rho shrunk to ~0) on seeds whose
+        # LRT evidence is weak — |rho| <= 0.05 is neither right nor wrong
+        right += float(p.rho[0]) < -0.05
+        wrong += float(p.rho[0]) > 0.05
+    return {k: float(np.median(v)) for k, v in errs.items()}, right, wrong
 
 
 @pytest.mark.parametrize("n,bounds", [
-    (300, dict(kappa=0.25, theta_rel=0.20, xi_fac=0.65, rho=0.45)),
-    (1000, dict(kappa=0.18, theta_rel=0.12, xi_fac=0.65, rho=0.45)),
+    # bounds re-calibrated for the round-5 leverage pretest (worst observed
+    # median across 4 independent seed bases, with margin): the pretest
+    # trades a little xi/rho accuracy on true-Heston data at n=300 (the
+    # un-floored moment xi + evidence-shrunk rho) for never manufacturing
+    # leverage on degenerate data (test_degenerate_gbm_degrades below)
+    (300, dict(kappa=0.25, theta_rel=0.20, xi_fac=0.85, rho=0.55,
+               sign_min=4)),
+    (1000, dict(kappa=0.18, theta_rel=0.12, xi_fac=0.65, rho=0.45,
+                sign_min=7)),
 ])
 def test_qmle_recovery_bounds(n, bounds):
     """kappa/theta/xi/rho recovery at n=300/1000 (median over 8 seeds)."""
-    med, rho_neg = _fit_errors(n, base=500)
+    med, right, wrong = _fit_errors(n, base=500)
     assert med["kappa"] < bounds["kappa"], med
     assert med["theta"] < bounds["theta_rel"] * THETA, med
     assert med["xi"] < bounds["xi_fac"] * XI, med
     assert med["rho"] < bounds["rho"], med
-    # leverage sign is recovered essentially always at these n
-    assert rho_neg >= 7, f"rho sign recovered in only {rho_neg}/{K} seeds"
+    # the leverage SIGN is never wrong (0/48 across all measured bases);
+    # non-abstaining seeds recover it
+    assert wrong == 0, f"{wrong}/{K} seeds recovered a POSITIVE rho"
+    assert right >= bounds["sign_min"], \
+        f"rho sign recovered in only {right}/{K} seeds"
 
 
 def test_qmle_beats_moment_match_on_kappa():
     """The refinement motivation (VERDICT r4 weak #1): the raw acf-ratio
     kappa pins at its clip bounds on short histories (median error ~3x the
     truth); the filtered likelihood identifies it directly."""
-    med_q, _ = _fit_errors(300, base=9000, method="qmle")
-    med_m, _ = _fit_errors(300, base=9000, method="moment")
+    med_q, _, _ = _fit_errors(300, base=9000, method="qmle")
+    med_m, _, _ = _fit_errors(300, base=9000, method="moment")
     assert med_q["kappa"] < 0.6 * med_m["kappa"], (med_q, med_m)
 
 
@@ -114,6 +127,33 @@ def test_fixture_scale_bias_documented():
     assert abs(np.median(thetas) - THETA) < 0.35 * THETA
     assert 0.3 * XI < np.median(xis) < 3.0 * XI
     assert rho_neg >= 7  # ~3/4 of seeds; a coin flip would be ~6
+
+
+def _sim_gbm(rng, n):
+    """Constant-vol GBM — NO stochastic vol, NO leverage (the null)."""
+    r = MU - 0.5 * THETA + np.sqrt(THETA) * rng.standard_normal(n)
+    return 100.0 * np.exp(np.concatenate([[0.0], np.cumsum(r)]))[:, None]
+
+
+@pytest.mark.parametrize("n", [300, 1000])
+def test_degenerate_gbm_degrades(n):
+    """Round-5 review fix: on pure-GBM input the leverage pretest must NOT
+    manufacture leverage from sampling noise. Before the fix, the |c|/0.95
+    xi floor pinned |rho| at exactly 0.95 with xi > 0 on 1/3 of pure-GBM
+    seeds, independent of n (verified empirically); now xi comes from the
+    un-floored vol-of-vol moment and rho is LRT-shrunk, so the estimates
+    degrade toward plain GBM as estimate_heston's docstring promises."""
+    for s in range(6):
+        p = estimate_heston(_sim_gbm(np.random.default_rng(100 + s), n))
+        rho, xi = float(p.rho[0]), float(p.xi[0])
+        # never pinned at the clip bound (observed max post-fix: 0.746, a
+        # seed whose spurious LRT=5.06 clears the 95% gate — irreducible)
+        assert abs(rho) < 0.9, (s, rho, xi)
+        # the simulated leverage magnitude xi*|rho| stays below the true-
+        # Heston scale (XI*|RHO| = 2.1e-3; observed post-fix max 1.71e-3)
+        assert xi * abs(rho) < 2.5e-3, (s, rho, xi)
+        # theta still matches the GBM variance
+        assert abs(float(p.theta[0]) - THETA) < 0.35 * THETA
 
 
 def test_qmle_fallback_and_moment_method():

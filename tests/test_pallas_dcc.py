@@ -197,10 +197,16 @@ def test_pack_dd_kernel_law_chunking_and_terminal_consistency():
         jnp.abs(jnp.median(dk, 1) - jnp.median(dl, 1)) < 0.02))
     # drawdown invariants
     assert bool(jnp.all(dk <= 1e-6)) and bool(jnp.all(dk >= -1.0))
-    # chunk invariance: same seed per chunk -> identical streams
+    # chunk invariance: same seed per chunk -> identical draw STREAMS, but
+    # NOT bit-identical outputs — different w_cnt values compile different
+    # programs whose fp fusion can differ ~1e-7 (review r5: bit-equality
+    # here was shape-lucky; measured 1.2e-7 divergence at n=1024/steps=5)
     tk2, dk2 = pallas_dcc_path_stats(3, PARAMS, cand, n, steps,
                                      layout="pack", w_block=8, **KW)
-    assert bool(jnp.array_equal(tk, tk2)) and bool(jnp.array_equal(dk, dk2))
+    np.testing.assert_allclose(np.asarray(tk), np.asarray(tk2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk2),
+                               rtol=1e-5, atol=1e-5)
     # unit-vector candidate reproduces the pack TERMINAL kernel's stream
     w1 = np.zeros((1, A), np.float32)
     w1[0, 1] = 1.0

@@ -675,12 +675,19 @@ def test_heston_kernel_compiled_law_and_throughput():
     s_ok = jnp.all(jnp.abs(jnp.std(got, 0) / jnp.std(ref, 0) - 1) < 0.05)
     assert bool(jax.device_get(m_ok))
     assert bool(jax.device_get(s_ok))
-    # leverage: negative rho skews terminals left — same sign both kernels
-    gz = (got - jnp.mean(got, 0)) / jnp.std(got, 0)
-    rz = (ref - jnp.mean(ref, 0)) / jnp.std(ref, 0)
-    g_skew = float(jax.device_get(jnp.mean(gz**3)))
-    r_skew = float(jax.device_get(jnp.mean(rz**3)))
-    assert g_skew < 0 and r_skew < 0 and abs(g_skew - r_skew) < 0.1
+    # leverage law: the RAW terminal-return skew is POSITIVE at these
+    # params (lognormal convexity ~ +0.32 at rho=0 dominates xi=3e-3
+    # leverage — measured; the original "< 0" expectation here was wrong),
+    # so assert (a) kernel matches the lax reference and (b) the leverage
+    # signature in LOG space, where convexity cancels: log1p skew is -0.22
+    # at rho=-0.5 vs ~0.00 at rho=0 (both kernels, both seeds measured)
+    def _skew(x):
+        z = (x - jnp.mean(x, 0)) / jnp.std(x, 0)
+        return float(jax.device_get(jnp.mean(z**3)))
+
+    assert abs(_skew(got) - _skew(ref)) < 0.1
+    assert _skew(jnp.log1p(got)) < -0.1
+    assert _skew(jnp.log1p(ref)) < -0.1
     # cross-asset correlation rides the shock correlation
     gc = float(jax.device_get(jnp.corrcoef(got.T)[0, 1]))
     rc = float(jax.device_get(jnp.corrcoef(ref.T)[0, 1]))
@@ -752,16 +759,21 @@ def test_heston_path_stats_compiled():
 
 
 def test_heston_unroll_compiled_same_stream():
-    """two_shock_step_loop unroll=1 vs the unroll=2 default must consume the
-    same hardware stream: outputs agree to fusion tolerance, odd + even
-    steps (the tail loop takes different branches)."""
+    """two_shock_step_loop unroll=2 and the unroll=4 DEFAULT (round-5 A/B)
+    must consume the same hardware stream as unroll=1: outputs agree to
+    fusion tolerance at step counts exercising every tail-remainder branch
+    of the main*unroll..n_steps epilogue (12 % 4 == 0, 13 % 4 == 1,
+    26 % 4 == 2, 15 % 4 == 3; 13 % 2 == 1 covers unroll=2's odd tail)."""
     from mcport.ops.pallas_heston import pallas_heston_terminal_returns
 
     hp = _heston_params(4)
-    for steps in (12, 13):
+    for steps in (12, 13, 26, 15):
         o1 = pallas_heston_terminal_returns(11, hp, 8_192, steps, unroll=1)
-        o2 = pallas_heston_terminal_returns(11, hp, 8_192, steps, unroll=2)
-        assert float(jax.device_get(jnp.max(jnp.abs(o1 - o2)))) < 2e-6
+        for unroll in (2, 4):
+            ou = pallas_heston_terminal_returns(11, hp, 8_192, steps,
+                                                unroll=unroll)
+            assert float(jax.device_get(jnp.max(jnp.abs(o1 - ou)))) < 2e-6, \
+                (steps, unroll)
 
 
 def test_greeks_jacrev_compiles_and_holds_euler_on_hardware():
