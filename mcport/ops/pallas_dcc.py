@@ -547,7 +547,9 @@ def pallas_dcc_path_stats(
     of option legs against the simulated price path. W chunks at 256.
     Round-4 defaults (same-process A/B, k=16 windows, max-of-4): triangle
     Q carry at block=1024 → 80e9 cand-path-steps/s vs 72e9 for the full
-    layout at block=512.
+    layout at block=512. Round-5 unroll A/B (k=16 best-of-3): unroll=2
+    stays the default — 77.2e9 vs 73.9e9 for unroll=4 (the draw stream is
+    identical either way, so this is pure schedule).
 
     ``layout="pack"`` (round 5, unhedged only, A<=16) runs the packed-scalar
     experiment kernel (:func:`_dcc_pack_dd_kernel`): candidates score on the

@@ -243,7 +243,7 @@ def gbm_multi_portfolio_dd(
     score_dtype: str = "float32",
     rebalance: bool = False,
     hedge_args: tuple | None = None,
-    unroll: int = 2,
+    unroll: int = 4,
     t_df: float | None = None,
     bm: str = "poly",
 ) -> tuple[Array, Array]:
@@ -273,9 +273,13 @@ def gbm_multi_portfolio_dd(
     rebalanced wealth; ``rebalance`` is ignored). Composes with every
     score_dtype tier.
 
-    ``unroll=2`` (default) manually unrolls two Box-Muller pairs per loop
-    iteration — +17% on the v5e (88.5 -> 103.3e9 cand-path-steps/s at
-    W=256, f32 scoring), same draw stream; see pallas_gbm.paired_step_loop.
+    ``unroll=4`` (default) manually unrolls four Box-Muller pairs per loop
+    iteration — same draw stream regardless of unroll; see
+    pallas_gbm.paired_step_loop. Round-3 A/B: 1 -> 2 was +17% (88.5 ->
+    103.3e9 cand-path-steps/s at W=256, f32); round-5 A/B (k=16
+    best-of-3, replicated twice): 2 -> 4 is +5.6% (102.1 -> 107.8e9).
+    unroll=8 is disqualified: its Mosaic compile did not finish in 37
+    minutes on the v5e (2/4 compile in seconds).
 
     Padded-peak note: padded candidate rows have V_0 = 1 from init but V_t = 0
     afterwards, giving dd = -1 on padding; those rows are sliced away here.
