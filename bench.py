@@ -96,15 +96,9 @@ def _universe():
 
 def _chain(one):
     """Data-chained rep loop for diff_timed (reps cannot overlap/elide)."""
-    import jax.numpy as jnp
+    from mcport.utils.profiling import seed_chain
 
-    def loop(k):
-        acc = jnp.float32(0)
-        for i in range(k):
-            acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
-        return acc
-
-    return loop
+    return seed_chain(one)
 
 
 def fleet(mean, chol):

@@ -39,7 +39,7 @@ def main():
     from mcport.models.dcc import DCCGarchParams
     from mcport.models.garch_mc import CCCGarchParams
     from mcport.ops.pallas_dcc import pallas_dcc_path_stats
-    from mcport.utils.profiling import diff_timed
+    from mcport.utils.profiling import diff_timed, seed_chain
 
     if jax.default_backend() != "tpu":
         print("needs the TPU backend")
@@ -60,13 +60,7 @@ def main():
     cand = rng.dirichlet(np.ones(N_ASSETS), N_CAND).astype(np.float32)
     total = N_CAND * N_PATHS * N_STEPS
 
-    def chain(one):
-        def loop(k):
-            acc = jnp.float32(0)
-            for i in range(k):
-                acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
-            return acc
-        return loop
+    chain = seed_chain
 
     def measure(label, **kw):
         @jax.jit

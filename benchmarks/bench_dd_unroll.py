@@ -36,7 +36,7 @@ def main():
     from mcport.models.garch_mc import CCCGarchParams
     from mcport.ops.pallas_dcc import pallas_dcc_path_stats
     from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
-    from mcport.utils.profiling import diff_timed
+    from mcport.utils.profiling import diff_timed, seed_chain
 
     if jax.default_backend() != "tpu":
         print("needs the TPU backend")
@@ -49,12 +49,7 @@ def main():
     cand = rng.dirichlet(np.ones(N_ASSETS), W).astype(np.float32)
 
     def rate(one, work):
-        def loop(n):
-            acc = jnp.float32(0)
-            for i in range(n):
-                acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
-            return acc
-        return work / diff_timed(loop, k=K, trials=TRIALS) / 1e9
+        return work / diff_timed(seed_chain(one), k=K, trials=TRIALS) / 1e9
 
     print(f"multi-dd f32 (W={W}, {N_PATHS} paths, {N_STEPS} steps), "
           f"cand-path-steps/s, k={K} best-of-{TRIALS}:")

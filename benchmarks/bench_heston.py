@@ -35,7 +35,7 @@ def main():
         pallas_heston_path_stats,
         pallas_heston_terminal_returns,
     )
-    from mcport.utils.profiling import diff_timed
+    from mcport.utils.profiling import diff_timed, seed_chain
 
     if jax.default_backend() != "tpu":
         print("needs the TPU backend")
@@ -50,13 +50,7 @@ def main():
         s0=np.full(N_ASSETS, 100.0))
     cand = rng.dirichlet(np.ones(N_ASSETS), N_CAND).astype(np.float32)
 
-    def chain(one):
-        def loop(k):
-            acc = jnp.float32(0)
-            for i in range(k):
-                acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
-            return acc
-        return loop
+    chain = seed_chain
 
     float(jnp.zeros(()).sum())     # warm the transfer path
 

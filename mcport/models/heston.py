@@ -228,6 +228,21 @@ def _qmle_nll(params: Array, r: Array, sd: Array) -> Array:
 _qmle_nll_grad = jax.jit(jax.value_and_grad(_qmle_nll))
 
 
+def _cpu_device():
+    """CPU device for the QMLE objective, or None if unavailable.
+
+    The (T,)-scalar filter scan is tiny; on a TPU-backed session leaving it
+    on the default backend would turn every scipy L-BFGS-B evaluation into a
+    device dispatch + scalar fetch through the axon tunnel (~250 ms floor x
+    thousands of evals — review r5). Committing the inputs to a CPU device
+    keeps the whole optimization loop host-local on every backend.
+    """
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _qmle_filter(params: np.ndarray, r: np.ndarray, sd: float):
     """(standardized residuals z_t, filter end state vhat_{T+1})."""
     mu, kappa, theta, c = params
@@ -264,10 +279,17 @@ def fit_heston_qmle(
     |c| / 0.95 to preserve the identified product xi*rho = c (Feller wins
     when the two conflict). Below the gate, xi stays at the un-floored
     moment value and rho = clip(c/xi) is SHRUNK by the evidence weight
-    LRT/3.84 (continuous at the gate) — so degenerate no-stochastic-vol
-    series degrade toward xi ~ 0, rho ~ 0 (plain GBM) instead of pinning
-    |rho| at 0.95 with an xi manufactured from leverage-slope sampling noise
-    (measured: 1/3 of pure-GBM seeds before the fix, independent of n).
+    LRT/3.84 — so degenerate no-stochastic-vol series degrade toward
+    xi ~ 0, rho ~ 0 (plain GBM) instead of pinning |rho| at 0.95 with an xi
+    manufactured from leverage-slope sampling noise (measured: 1/3 of
+    pure-GBM seeds before the fix, independent of n). Like any pretest
+    estimator this is model selection, so it is deliberately NOT continuous
+    in the data at LRT = 3.84 when the |c|/0.95 floor binds: crossing the
+    gate switches xi (and hence rho = c/xi) from the moment value to the
+    product-preserving floor in one step. The rho shrink weight itself
+    reaches 1 at the gate; fading the xi floor in below the gate instead
+    would re-manufacture xi from sub-significant leverage noise on exactly
+    the pure-GBM seeds the gate exists to protect (review r5).
 
     Falls back to the moment match per asset when the optimizer fails to
     improve the quasi-likelihood at the moment-matched point.
@@ -290,14 +312,18 @@ def fit_heston_qmle(
     v0 = np.array(init.v0, np.float64)
     z_resid = np.empty_like(logret)
 
+    cpu = _cpu_device()
+
     for i in range(a):
         s = sd[i]
         r = logret[:, i] / s
-        rj = jnp.asarray(r)
+        rj = jnp.asarray(r) if cpu is None else jax.device_put(r, cpu)
         vbar = float(np.var(r))
 
         def fun(p):
-            val, g = _qmle_nll_grad(jnp.asarray(p), rj, float(s))
+            pj = (jnp.asarray(p) if cpu is None
+                  else jax.device_put(np.asarray(p), cpu))
+            val, g = _qmle_nll_grad(pj, rj, float(s))
             return float(val), np.asarray(g, np.float64)
 
         bounds = [(None, None), (1e-3, 1.5), (1e-6, 10.0 * vbar + 1e-6),
@@ -335,6 +361,12 @@ def fit_heston_qmle(
             try:
                 res0 = minimize(fun, p0, jac=True, method="L-BFGS-B",
                                 bounds=b0)
+                if np.isfinite(res0.fun) and res0.fun < best.fun:
+                    # the warm-started c=0 refit slid PAST the free optimum
+                    # (flat kappa ridge): the free fit is dominated, so adopt
+                    # the better no-leverage fit outright (review r5) — lrt
+                    # is exactly 0 by construction then
+                    best = res0
                 lrt = max(2.0 * (float(res0.fun) - float(best.fun)), 0.0)
             except Exception:
                 lrt = 0.0                         # no evidence if refit fails

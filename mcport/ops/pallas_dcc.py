@@ -262,7 +262,7 @@ def _dcc_pack_kernel(
 
     def one_step(zfull, carry):
         asset, cum = carry
-        asset, eps = asset_step(zfull, carry[0])
+        asset, eps = asset_step(zfull, asset)
         cum = [cum[i] * (mu1[i] + eps[i]) for i in range(A)]
         return asset, cum
 
@@ -299,7 +299,7 @@ def _dcc_pack_dd_kernel(
     terminal kernel's law (different stream from the tile kernels).
     """
     A = n_assets
-    rows, B = term_ref.shape          # (8 * n_cand_pad, B)
+    rows, B = term_ref.shape          # (8 * n_cand, B) — no candidate padding
     normal_pair = _make_normal_pair(interpret, seed_ref, (128, B))
     mu = [par_ref[0, j] for j in range(A)]
     asset_init, asset_step = _make_pack_asset_step(
@@ -326,13 +326,12 @@ def _dcc_pack_dd_kernel(
     init = (asset_init, ones, list(ones), zeros)
     _, v, _, dd = paired_step_loop(normal_pair, one_step, init, n_steps,
                                    False, unroll)
+    # no candidate padding: _pack_dd_call sizes rows = _TILE * n_cand exactly
+    # (candidates chunk at w_block OUTSIDE the kernel), unlike the terminal
+    # pack kernel's fixed 128 rows
     for c in range(n_cand):
         term_ref[_TILE * c:_TILE * (c + 1), :] = v[c] - 1.0
         dd_ref[_TILE * c:_TILE * (c + 1), :] = dd[c]
-    for c in range(n_cand, rows // _TILE):
-        z = jnp.zeros((_TILE, B), jnp.float32)
-        term_ref[_TILE * c:_TILE * (c + 1), :] = z
-        dd_ref[_TILE * c:_TILE * (c + 1), :] = z
 
 
 def _dcc_kernel(

@@ -18,7 +18,7 @@ from typing import Any, Callable
 
 import jax
 
-__all__ = ["timed", "diff_timed", "trace", "cost_analysis"]
+__all__ = ["timed", "diff_timed", "seed_chain", "trace", "cost_analysis"]
 
 
 def timed(fn: Callable[[], Any], warmup: int = 1, reps: int = 5) -> float:
@@ -57,6 +57,29 @@ def diff_timed(loop_fn: Callable[[int], Any], k: int = 5, trials: int = 2) -> fl
         return best
 
     return max(measure(2 * k) - measure(k), 1e-12) / k
+
+
+def seed_chain(one: Callable[[Any], Any]) -> Callable[[int], Any]:
+    """Data-chained rep loop for :func:`diff_timed`.
+
+    ``one(seed)`` must run one repetition keyed by an int32 seed and return a
+    scalar. The returned ``loop(n)`` feeds rep i the seed ``1 + i`` plus a
+    zero derived from rep i-1's OUTPUT — a true data dependence, so XLA can
+    neither overlap nor elide repetitions, while every rep still sees a
+    distinct seed (distinct PRNG streams, no cache effects). This is the
+    load-bearing half of the repo's kernel-timing protocol; pair with
+    ``diff_timed(seed_chain(one), k>=16, trials>=3)`` on tunneled devices
+    (benchmarks/RESULTS.md round-5 protocol section).
+    """
+    import jax.numpy as jnp
+
+    def loop(n: int):
+        acc = jnp.float32(0)
+        for i in range(n):
+            acc = acc + one(jnp.int32(1 + i) + (acc * 0).astype(jnp.int32))
+        return acc
+
+    return loop
 
 
 @contextlib.contextmanager

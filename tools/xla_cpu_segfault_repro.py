@@ -42,6 +42,12 @@ impact, further minimization is parked until the bug can be filed upstream
 
 import faulthandler
 import sys
+from pathlib import Path
+
+# repo root on sys.path: the --pallas mode imports mcport, which is not
+# installed — without this the documented repro command dies at its first
+# pallas iteration with ModuleNotFoundError (review r5)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 faulthandler.enable()
 
