@@ -338,15 +338,18 @@ def pallas_garch_terminal_returns(
     block: int = 1024,
     interpret: bool = False,
     prefetch: bool = True,
-    unroll: int = 4,
+    unroll: int = 8,
 ) -> Array:
     """Terminal compounded simple returns (n_paths, A) under CCC-GARCH(1,1).
 
-    ``unroll=4`` (default) manually unrolls 4 Box-Muller pairs per loop
-    iteration — +29% over the round-2 prefetch default on the v5e
-    (3.80 -> 4.91e9 path-steps/s, benchmarks/bench_unroll.py), same draw
-    stream. ``prefetch`` applies only at unroll=1 (the round-2 pipelining
-    lever, ~8-12%).
+    ``unroll=8`` (default) manually unrolls 8 Box-Muller pairs per loop
+    iteration. unroll=4 was +29% over the round-2 prefetch default
+    (3.80 -> 4.91e9, benchmarks/bench_unroll.py); the round-5 terminal u8
+    A/B (benchmarks/bench_terminal_u8.py, k=16 best-of-3, replicated
+    4.95/5.04 -> 5.11/5.11e9) adopted 8 — the only terminal kernel where
+    u8 wins (gbm poly -2.2%, heston -1.2% stay at 4). Same draw stream at
+    any unroll (identity asserted in the A/B's --check). ``prefetch``
+    applies only at unroll=1 (the round-2 pipelining lever, ~8-12%).
     """
     return _call(
         seed, params.mu, params.omega, params.alpha, params.beta,

@@ -498,6 +498,7 @@ def pallas_terminal_log_returns(
     interpret: bool = False,
     t_df: float | None = None,
     bm: str = "poly",
+    unroll: int | None = None,
 ) -> Array:
     """Terminal cumulative log returns (n_paths, A) — Pallas counterpart of
     :func:`mcport.models.gbm.terminal_log_returns` (or, with ``t_df``, of
@@ -508,6 +509,11 @@ def pallas_terminal_log_returns(
     half's noise (drift - noise), computed from a single kernel pass over
     n_paths/2 noise columns. ``bm="poly_fast"`` selects the screening-tier
     normal (see :func:`_boxmuller_poly_fast`); default stays "poly".
+
+    ``unroll=None`` resolves per tier: 8 for the short-chain poly_fast
+    normals (round-4 A/B: 9.8 -> 11.9e9 peak), 4 for poly (u8 A/B in
+    benchmarks/bench_terminal_u8.py). Unroll only regroups the
+    counter-addressed draw loop — the stream is unchanged.
     """
     m = jnp.asarray(mean_step, jnp.float32)
     a = m.shape[-1]
@@ -515,11 +521,10 @@ def pallas_terminal_log_returns(
     chol_eff = jnp.asarray(chol_step, jnp.float32)
     if t_df is not None:
         chol_eff = chol_eff / jnp.sqrt(jnp.float32(t_df / (t_df - 2.0)))
-    # unroll=8 for the short-chain fast tier (measured 9.8 -> 11.9e9 peak);
-    # unroll only regroups the counter-addressed draw loop — stream unchanged
+    if unroll is None:
+        unroll = 8 if bm == "poly_fast" else 4
     noise = gbm_terminal_noise(seed, chol_eff, half, n_steps, block, interpret,
-                               bm=bm, unroll=8 if bm == "poly_fast" else 4,
-                               t_df=t_df)
+                               bm=bm, unroll=unroll, t_df=t_df)
     noise = noise[:a, :half].T                     # (half, A)
     drift = n_steps * m
     if antithetic:

@@ -23,3 +23,21 @@ def test_cost_analysis_flops():
 
 def test_timed_positive():
     assert timed(lambda: jnp.arange(1000.0).sum(), reps=3) > 0
+
+
+def test_seed_chain_distinct_seeds_and_dependence():
+    """seed_chain feeds rep i the seed 1+i (distinct PRNG streams) while
+    chaining each rep's output into the next seed's data dependence; the
+    loop total is exactly sum(one(1+i)) because the chained term is 0."""
+    import jax
+
+    @jax.jit
+    def one(seed):
+        return jnp.float32(seed) * 2.0
+
+    from mcport.utils.profiling import diff_timed, seed_chain
+
+    loop = seed_chain(one)
+    out = float(loop(4))
+    np.testing.assert_allclose(out, sum(2.0 * (1 + i) for i in range(4)))
+    assert diff_timed(seed_chain(one), k=2, trials=1) > 0
