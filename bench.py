@@ -34,6 +34,13 @@ no driver target, so they quote the ratio vs the ROUND-4 anchor
 (BENCH_r04.json), oriented so >1.0 is always BETTER (value/anchor for
 throughputs, anchor/value for walls). Each fleet entry is fail-isolated: an
 error prints an "error" line and the headline still runs.
+
+Stall-proofing (round 5): on TPU the headline is MEASURED first (fresh
+tunnel) but PRINTED last; watchdog timers bound backend init
+(MCPORT_BACKEND_TIMEOUT), the headline measure (MCPORT_HEADLINE_TIMEOUT)
+and the fleet/configs stages (MCPORT_FLEET_DEADLINE) so a mid-run tunnel
+freeze — observed live: 26 min with zero device progress — still ends with
+a parseable headline as the last JSON line.
 """
 
 import json
@@ -534,17 +541,67 @@ def main() -> None:
 
     mean, chol = _universe()
 
-    if on_tpu:
-        for stage in (fleet, configs):
-            try:
-                stage(mean, chol)
-            except Exception as e:  # fail-isolated: headline must still print
-                _emit(f"{stage.__name__}_error", 0.0, f"{type(e).__name__}: {e}")
+    if not on_tpu:
+        try:
+            headline(mean, chol, False)
+        except Exception as e:
+            _error_headline(f"{type(e).__name__}: {e}")
+        return
 
+    # Stall-proofing (round 5): the tunnel can freeze MID-FLEET with zero
+    # device progress (observed: 26 min stalled at fleet line 11, the round-3
+    # outage signature). The headline must survive that, so it is MEASURED
+    # FIRST — while the tunnel is freshest — into a held buffer that is
+    # printed last (the driver parses the LAST JSON line). Two watchdogs,
+    # same pattern as init_watchdog (print the parseable tail, then _exit —
+    # a stalled device call cannot be interrupted any other way):
+    #   1. headline phase: MCPORT_HEADLINE_TIMEOUT (default 900 s) -> error
+    #      headline.
+    #   2. fleet/configs phase: MCPORT_FLEET_DEADLINE (default 2700 s) ->
+    #      status line + the held headline.
+    import contextlib
+    import io
+    import threading
+
+    def _headline_hung():
+        _error_headline("tpu_stalled (headline exceeded watchdog)")
+        os._exit(0)
+
+    timer = threading.Timer(
+        float(os.environ.get("MCPORT_HEADLINE_TIMEOUT", "900")), _headline_hung)
+    timer.daemon = True
+    timer.start()
+    buf = io.StringIO()
     try:
-        headline(mean, chol, on_tpu)
+        with contextlib.redirect_stdout(buf):
+            headline(mean, chol, True)
     except Exception as e:
-        _error_headline(f"{type(e).__name__}: {e}")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _error_headline(f"{type(e).__name__}: {e}")
+    timer.cancel()
+    held = buf.getvalue()
+
+    def _fleet_stalled():
+        _emit("fleet_status", 0.0,
+              "error: fleet deadline exceeded (tunnel stall); headline below "
+              "was pre-measured at process start")
+        sys.stdout.write(held)
+        sys.stdout.flush()
+        os._exit(0)
+
+    timer = threading.Timer(
+        float(os.environ.get("MCPORT_FLEET_DEADLINE", "2700")), _fleet_stalled)
+    timer.daemon = True
+    timer.start()
+    for stage in (fleet, configs):
+        try:
+            stage(mean, chol)
+        except Exception as e:  # fail-isolated: headline must still print
+            _emit(f"{stage.__name__}_error", 0.0, f"{type(e).__name__}: {e}")
+    timer.cancel()
+    sys.stdout.write(held)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
