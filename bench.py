@@ -548,6 +548,10 @@ def main() -> None:
             _error_headline(f"{type(e).__name__}: {e}")
         return
 
+    _tpu_main(mean, chol)
+
+
+def _tpu_main(mean, chol) -> None:
     # Stall-proofing (round 5): the tunnel can freeze MID-FLEET with zero
     # device progress (observed: 26 min stalled at fleet line 11, the round-3
     # outage signature). The headline must survive that, so it is MEASURED
@@ -555,20 +559,34 @@ def main() -> None:
     # printed last (the driver parses the LAST JSON line). Two watchdogs,
     # same pattern as init_watchdog (print the parseable tail, then _exit —
     # a stalled device call cannot be interrupted any other way):
-    #   1. headline phase: MCPORT_HEADLINE_TIMEOUT (default 900 s) -> error
+    #   1. headline phase: MCPORT_HEADLINE_TIMEOUT (default 1800 s — the
+    #      tunnel's observed stalls run 20-40 min and a spurious zero headline
+    #      is costly) -> error
     #      headline.
     #   2. fleet/configs phase: MCPORT_FLEET_DEADLINE (default 2700 s) ->
     #      status line + the held headline.
+    # Module-level (not inlined in main) so tests can monkeypatch the stages
+    # and pin the held-headline contract without a TPU.
     import contextlib
     import io
+    import os
     import threading
 
+    # redirect_stdout swaps the GLOBAL sys.stdout, which the watchdog thread
+    # shares — its tail line must go to the real stream or _exit drops it.
+    real_stdout = sys.stdout
+
     def _headline_hung():
-        _error_headline("tpu_stalled (headline exceeded watchdog)")
+        real_stdout.write(json.dumps({
+            "metric": "gbm_path_steps_per_sec_per_chip", "value": 0.0,
+            "unit": "error: tpu_stalled (headline exceeded watchdog)",
+            "vs_baseline": 0.0,
+        }) + "\n")
+        real_stdout.flush()
         os._exit(0)
 
     timer = threading.Timer(
-        float(os.environ.get("MCPORT_HEADLINE_TIMEOUT", "900")), _headline_hung)
+        float(os.environ.get("MCPORT_HEADLINE_TIMEOUT", "1800")), _headline_hung)
     timer.daemon = True
     timer.start()
     buf = io.StringIO()

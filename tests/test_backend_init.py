@@ -171,3 +171,78 @@ def test_bench_headline_parseable_on_fast_init_failure():
     assert parsed[-1]["metric"] == "gbm_path_steps_per_sec_per_chip"
     assert parsed[-1]["value"] == 0.0
     assert "tpu_unavailable" in parsed[-1]["unit"]
+
+
+_TPU_MAIN_DRIVER = """
+import json
+import sys
+import time
+
+sys.path.insert(0, {repo!r})
+import bench
+
+def fake_headline(mean, chol, on_tpu):
+    {headline_body}
+
+bench.headline = fake_headline
+bench.fleet = lambda m, c: {fleet_body}
+bench.configs = lambda m, c: None
+bench._tpu_main(None, None)
+"""
+
+
+def _run_tpu_main(headline_body, fleet_body, **env):
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_MAIN_DRIVER.format(
+            repo=str(REPO), headline_body=headline_body,
+            fleet_body=fleet_body)],
+        env=_env(JAX_PLATFORMS="cpu", **env),
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    return [json.loads(l) for l in lines]
+
+
+def test_bench_fleet_stall_flushes_held_headline():
+    """Round-5 stall-proofing: a fleet stage that outlives MCPORT_FLEET_DEADLINE
+    (simulating the observed 26-min mid-fleet tunnel freeze) must still end
+    the stream with the PRE-MEASURED headline as the last JSON line, after a
+    structured fleet_status error line, rc=0."""
+    parsed = _run_tpu_main(
+        "print(json.dumps({'metric': 'gbm_path_steps_per_sec_per_chip',"
+        " 'value': 7.9e9, 'unit': 'fake', 'vs_baseline': 7.9}))",
+        "time.sleep(60)",
+        MCPORT_FLEET_DEADLINE="0.5",
+    )
+    assert parsed[-1]["metric"] == "gbm_path_steps_per_sec_per_chip"
+    assert parsed[-1]["value"] == 7.9e9  # the held (pre-measured) line
+    assert any(p["metric"] == "fleet_status" and "deadline" in p["unit"]
+               for p in parsed)
+
+
+def test_bench_headline_stall_emits_error_headline():
+    """If the headline measure itself stalls past MCPORT_HEADLINE_TIMEOUT the
+    process must exit 0 with a parseable zero-value headline, not hang."""
+    parsed = _run_tpu_main(
+        "time.sleep(60)",
+        "None",
+        MCPORT_HEADLINE_TIMEOUT="0.5",
+    )
+    assert parsed[-1]["metric"] == "gbm_path_steps_per_sec_per_chip"
+    assert parsed[-1]["value"] == 0.0
+    assert "tpu_stalled" in parsed[-1]["unit"]
+
+
+def test_bench_tpu_main_normal_path_prints_headline_last():
+    """Normal completion: stages run, timers cancel, held headline is flushed
+    last (the driver's last-JSON-line contract)."""
+    parsed = _run_tpu_main(
+        "print(json.dumps({'metric': 'gbm_path_steps_per_sec_per_chip',"
+        " 'value': 8.0e9, 'unit': 'fake', 'vs_baseline': 8.0}))",
+        "print(json.dumps({'metric': 'fake_fleet_line', 'value': 1.0,"
+        " 'unit': 'x', 'vs_baseline': None}))",
+    )
+    assert parsed[-1]["metric"] == "gbm_path_steps_per_sec_per_chip"
+    assert parsed[-1]["value"] == 8.0e9
+    assert parsed[0]["metric"] == "fake_fleet_line"
