@@ -102,7 +102,11 @@ def _universe():
 
 
 def _chain(one):
-    """Data-chained rep loop for diff_timed (reps cannot overlap/elide)."""
+    """Lazy-import alias of :func:`mcport.utils.profiling.seed_chain`.
+
+    Kept as a function (not a module-level import) because bench.py defers
+    every jax/mcport import until after the watchdogged backend init.
+    """
     from mcport.utils.profiling import seed_chain
 
     return seed_chain(one)

@@ -20,36 +20,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from benchmarks._ab_common import (K, TRIALS, ab_rate, dcc_params,
+                                   garch_params, require_tpu, universe)
+
 N_ASSETS = 15
 N_PATHS = 131_072
 N_STEPS = 252
 W = 256
-K = 16
-TRIALS = 3
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from mcport.models.dcc import DCCGarchParams
-    from mcport.models.garch_mc import CCCGarchParams
     from mcport.ops.pallas_dcc import pallas_dcc_path_stats
     from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
-    from mcport.utils.profiling import diff_timed, seed_chain
 
-    if jax.default_backend() != "tpu":
-        print("needs the TPU backend")
+    if not require_tpu():
         return
 
-    rng = np.random.default_rng(0)
-    corr = 0.5 * np.eye(N_ASSETS) + 0.5
-    chol = np.linalg.cholesky(0.0004 * corr).astype(np.float32)
-    mean = rng.normal(1e-3, 5e-4, N_ASSETS).astype(np.float32)
+    rng, corr, chol, mean = universe(N_ASSETS)
     cand = rng.dirichlet(np.ones(N_ASSETS), W).astype(np.float32)
 
-    def rate(one, work):
-        return work / diff_timed(seed_chain(one), k=K, trials=TRIALS) / 1e9
+    rate = ab_rate
 
     print(f"multi-dd f32 (W={W}, {N_PATHS} paths, {N_STEPS} steps), "
           f"cand-path-steps/s, k={K} best-of-{TRIALS}:")
@@ -70,13 +63,7 @@ def main():
                                    rtol=2e-5, atol=2e-5)
     print("  stream identity 2 vs 4: OK (2e-5)")
 
-    sig0 = np.full(N_ASSETS, 4e-4)
-    gp = CCCGarchParams(
-        mu=np.asarray(mean, np.float64), omega=sig0 * 0.1,
-        alpha=np.full(N_ASSETS, 0.08), beta=np.full(N_ASSETS, 0.9),
-        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
-    dp = DCCGarchParams(base=gp, a_dcc=0.08, b_dcc=0.85, q0=corr,
-                        e0=np.zeros(N_ASSETS))
+    dp = dcc_params(garch_params(mean, corr), corr, N_ASSETS)
     dcc_steps = 52
 
     print(f"dcc-dd tile (W={W}, {N_PATHS} paths, {dcc_steps} steps), "

@@ -17,12 +17,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from benchmarks._ab_common import K, TRIALS, ab_rate, require_tpu, universe
+
 N_ASSETS = 15
 N_PATHS = 131_072
 N_STEPS = 252
 W = 256
-K = 16
-TRIALS = 3
 
 
 def main():
@@ -30,16 +30,11 @@ def main():
     import jax.numpy as jnp
 
     from mcport.ops.pallas_multi_dd import gbm_multi_portfolio_dd
-    from mcport.utils.profiling import diff_timed, seed_chain
 
-    if jax.default_backend() != "tpu":
-        print("needs the TPU backend")
+    if not require_tpu():
         return
 
-    rng = np.random.default_rng(0)
-    corr = 0.5 * np.eye(N_ASSETS) + 0.5
-    chol = np.linalg.cholesky(0.0004 * corr).astype(np.float32)
-    mean = rng.normal(1e-3, 5e-4, N_ASSETS).astype(np.float32)
+    rng, corr, chol, mean = universe(N_ASSETS)
     cand = rng.dirichlet(np.ones(N_ASSETS), W).astype(np.float32)
 
     from mcport.options import HedgeSpec, LegType, Legs
@@ -51,8 +46,7 @@ def main():
         [f"a{i}" for i in range(N_ASSETS)])
     hedge = (jnp.full(N_ASSETS, 100.0, jnp.float32), *protected.arrays)
 
-    def rate(one, work):
-        return work / diff_timed(seed_chain(one), k=K, trials=TRIALS) / 1e9
+    rate = ab_rate
 
     tiers = [
         ("tf32", dict(score_dtype="tensorfloat32")),

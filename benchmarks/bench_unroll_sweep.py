@@ -14,51 +14,34 @@ bench_terminal_u8.py --check and the kernel law tests.
 """
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from benchmarks._ab_common import (K, TRIALS, garch_params, heston_params,
+                                   measure_unroll, require_tpu, universe)
+
 N_ASSETS = 15
 N_PATHS = 1_048_576
 N_STEPS = 252
-K = 16
-TRIALS = 3
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
-    from mcport.models.garch_mc import CCCGarchParams
-    from mcport.models.heston import HestonParams
     from mcport.ops.pallas_garch import pallas_garch_terminal_returns
     from mcport.ops.pallas_gbm import pallas_terminal_log_returns
     from mcport.ops.pallas_heston import pallas_heston_terminal_returns
-    from mcport.utils.profiling import diff_timed, seed_chain
 
-    if jax.default_backend() != "tpu":
-        print("needs the TPU backend")
+    if not require_tpu():
         return
 
-    rng = np.random.default_rng(0)
-    corr = 0.5 * np.eye(N_ASSETS) + 0.5
-    chol = np.linalg.cholesky(0.0004 * corr).astype(np.float32)
-    mean = rng.normal(1e-3, 5e-4, N_ASSETS).astype(np.float32)
+    rng, corr, chol, mean = universe(N_ASSETS)
     w = jnp.asarray(rng.dirichlet(np.ones(N_ASSETS)), jnp.float32)
-
-    sig0 = np.full(N_ASSETS, 4e-4)
-    gp = CCCGarchParams(
-        mu=np.asarray(mean, np.float64), omega=sig0 * 0.1,
-        alpha=np.full(N_ASSETS, 0.08), beta=np.full(N_ASSETS, 0.9),
-        corr_chol=np.linalg.cholesky(corr), sigma2_0=sig0, eps2_0=sig0)
-    hp = HestonParams(
-        mu=np.asarray(mean, np.float64), kappa=np.full(N_ASSETS, 0.15),
-        theta=np.full(N_ASSETS, 4e-4), xi=np.full(N_ASSETS, 3e-3),
-        rho=np.full(N_ASSETS, -0.5), v0=np.full(N_ASSETS, 4e-4),
-        corr_chol=np.linalg.cholesky(corr), s0=np.full(N_ASSETS, 100.0))
+    gp = garch_params(mean, corr)
+    hp = heston_params(mean, corr)
 
     def gbm(seed, u):
         t = pallas_terminal_log_returns(seed, mean, chol, N_PATHS, N_STEPS,
@@ -89,22 +72,14 @@ def main():
     ]
     work = N_PATHS * N_STEPS
 
-    def measure(fn, u):
-        @jax.jit
-        def one(seed, u=u):
-            return fn(seed, u)
-        t0 = time.perf_counter()
-        r = work / diff_timed(seed_chain(one), k=K, trials=TRIALS) / 1e9
-        return r, time.perf_counter() - t0
-
     print(f"unroll sweep ({N_PATHS} paths, {N_STEPS} steps), "
           f"path-steps/s, k={K} best-of-{TRIALS}:")
     for name, fn, default, extra in cells:
-        base, _ = measure(fn, default)
+        base, _ = measure_unroll(fn, default, work)
         print(f"  {name:9s} unroll={default:<2d}: {base:5.2f}e9 (default)",
               flush=True)
         for u in extra:
-            r, wall = measure(fn, u)
+            r, wall = measure_unroll(fn, u, work)
             print(f"  {name:9s} unroll={u:<2d}: {r:5.2f}e9 "
                   f"({(r / base - 1) * 100:+.1f}%, compile+measure "
                   f"{wall:.0f}s)", flush=True)

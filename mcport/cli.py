@@ -1125,9 +1125,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--methods", default=None, help="comma list (default: all six)")
     sp.add_argument("--horizons", default="1,3,6",
                     help="forecast horizons, comma list of periods")
-    sp.add_argument("--hedge",
-                    help="JSON hedge config: {asset: {strategy, params} | "
-                         "{legs}} — renders the tab-1 payoff chart + "
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config file: {asset: {strategy, params} "
+                         "| {legs}} — renders the tab-1 payoff chart + "
                          "analysis per hedged asset (app.py:585-653)")
     sp.set_defaults(fn=cmd_report)
 

@@ -456,6 +456,9 @@ def _pack_dd_call(
         w = w[None, :]
     w_cnt, a = w.shape
     assert a <= 16, "pack layout carries one sublane tile per asset (A<=16)"
+    if not interpret and block % 1024:
+        raise ValueError(
+            f"pack layout needs block % 1024 == 0 (lane tiling), got {block}")
     if w_cnt > w_block:
         # same seed per chunk -> identical path STREAMS (the tile kernel's
         # W>256 chunking convention). Comparability is to compile-fusion
@@ -700,6 +703,9 @@ def _pack_call(
 ):
     a = mu.shape[-1]
     assert a <= 16, "pack layout carries one sublane tile per asset (A<=16)"
+    if not interpret and block % 1024:
+        raise ValueError(
+            f"pack layout needs block % 1024 == 0 (lane tiling), got {block}")
     rows = 128
     bcols = block // _TILE
     n_pad = _round_up(n_paths, block)

@@ -69,8 +69,11 @@ def census(fn) -> dict:
 
     Engines that post-process on host (float() on device outputs) cannot be
     traced whole; for those, every ``jax.jit`` the engine creates at call
-    time is spied on and the captured inner modules are merged — the
-    collective structure per dispatch is identical either way."""
+    time is spied on and the captured inner modules are merged. Each DISTINCT
+    program is counted once: a host-side chunk loop (w_block etc.) that
+    dispatches the same compiled program N times pins the per-dispatch
+    structure, not N-times-inflated counts, and compiles once, not N times
+    (review r5)."""
     counts: dict = {}
     ag_elems: list = []
     try:
@@ -79,17 +82,32 @@ def census(fn) -> dict:
             jax.errors.TracerArrayConversionError,
             jax.errors.TracerBoolConversionError):
         real_jit = jax.jit
+        seen_programs: set = set()
 
         def spy_jit(f, *a, **kw):
             jf = real_jit(f, *a, **kw)
+            compiled_cache: dict = {}
 
             def wrapper(*args, **kwargs):
-                # one compile, not two: the AOT result of lower().compile()
-                # is callable, and jf(*args) would re-trace + re-compile —
-                # doubling compile pressure on the known single-process
-                # XLA:CPU compile-accumulation crash (review r5)
-                compiled = jf.lower(*args, **kwargs).compile()
-                _parse(compiled.as_text(), counts, ag_elems)
+                # one compile per abstract signature, not one per dispatch:
+                # the AOT result of lower().compile() is callable and cached,
+                # so a chunked engine neither re-compiles per chunk (compile
+                # pressure on the known single-process XLA:CPU
+                # compile-accumulation crash) nor re-counts an identical
+                # program's collectives per chunk
+                leaves, tdef = jax.tree_util.tree_flatten((args, kwargs))
+                key = (tdef, tuple(
+                    jax.api_util.shaped_abstractify(x)
+                    if isinstance(x, (jax.Array, np.ndarray)) else x
+                    for x in leaves))
+                compiled = compiled_cache.get(key)
+                if compiled is None:
+                    compiled = jf.lower(*args, **kwargs).compile()
+                    compiled_cache[key] = compiled
+                    txt = compiled.as_text()
+                    if txt not in seen_programs:
+                        seen_programs.add(txt)
+                        _parse(txt, counts, ag_elems)
                 return compiled(*args, **kwargs)
 
             return wrapper

@@ -224,3 +224,25 @@ def test_pack_dd_kernel_law_chunking_and_terminal_consistency():
     with pytest.raises(ValueError, match="tile"):
         pallas_dcc_path_stats(3, PARAMS, cand, 512, 4, layout="pack",
                               hedge_args=ident, **KW)
+
+
+def test_pack_block_tiling_guard():
+    """block % 1024 enforced on the public wrapper AND the internal jit'd
+    entry points (benchmark harnesses call _pack_call/_pack_dd_call
+    directly — review r5). Raises at trace time, so this runs on CPU."""
+    import pytest
+
+    from mcport.ops.pallas_dcc import (_pack_call, _pack_dd_call,
+                                       pallas_dcc_path_stats)
+
+    w1 = np.full((1, A), 1.0 / A, np.float32)
+    with pytest.raises(ValueError, match="block % 1024"):
+        pallas_dcc_path_stats(3, PARAMS, w1, 2_048, 4, layout="pack",
+                              block=512)
+    b = PARAMS.base
+    args = (3, b.mu, b.omega, b.alpha, b.beta, CORR, PARAMS.a_dcc,
+            PARAMS.b_dcc, PARAMS.q0, PARAMS.e0, b.sigma2_0, b.eps2_0)
+    with pytest.raises(ValueError, match="block % 1024"):
+        _pack_call(*args, 2_048, 4, 512, False, 2)
+    with pytest.raises(ValueError, match="block % 1024"):
+        _pack_dd_call(*args, w1, 2_048, 4, 512, False, 2)
