@@ -29,6 +29,8 @@ Commands:
                (--hedge scores hedged candidates)
   dd-frontier  max return subject to a simulated max-drawdown budget
                (--hedge: per-period-settled hedged drawdowns)
+  american     per-asset American option values + exercise boundaries
+               (Longstaff-Schwartz regression over risk-neutral paths)
   backtest     walk-forward out-of-sample comparison of allocation rules
   stress       scenario stress test (shocked-parameter risk deltas)
   bl-frontier  Black-Litterman posterior + exact frontier (views blending)
@@ -369,6 +371,48 @@ def cmd_greeks(args) -> None:
         "mean": base.mean, "var": base.var, "cvar": base.cvar,
         "euler_gap_var": base.euler_gap_var,
         "euler_gap_cvar": base.euler_gap_cvar,
+        "per_asset": per_asset,
+    })
+
+
+def cmd_american(args) -> None:
+    """American-exercise option pricing per asset (Longstaff-Schwartz over
+    risk-neutral simulated paths; mcport.options.american). Vol comes from
+    the history under --estimator; the per-step risk-free log rate from
+    --rate / ann_factor."""
+    from mcport.options.american import american_value
+
+    d = _universe(args)
+    params = _estimate_from_args(args, d)
+    sigma_step = np.sqrt(np.einsum("ij,ij->i", params.chol_step,
+                                   params.chol_step))
+    spots = np.asarray(d.prices[-1], np.float64)
+    strikes = spots * args.strike_rel
+    rate_step = np.log1p(args.rate) / d.ann_factor
+    pol = american_value(
+        args.seed, spots, sigma_step, strikes, is_put=args.kind == "put",
+        rate_step=float(rate_step), n_paths=args.paths, n_steps=args.steps)
+    bnd = pol.boundary
+    per_asset = {
+        name: {
+            "spot": float(spots[i]),
+            "strike": float(strikes[i]),
+            "sigma_step": float(sigma_step[i]),
+            "american": float(pol.value[i]),
+            "se": float(pol.se[i]),
+            "european": float(pol.european[i]),
+            "early_exercise_premium": float(pol.early_premium[i]),
+            "boundary_first": float(bnd[i, 0]),
+            "boundary_last": float(bnd[i, -1]),
+        }
+        for i, name in enumerate(d.names)
+    }
+    _emit({
+        "engine": "lsmc-american (risk-neutral GBM, cubic moneyness basis)",
+        "kind": args.kind,
+        "rate_annual": args.rate,
+        "paths": args.paths,
+        "steps": args.steps,
         "per_asset": per_asset,
     })
 
@@ -1211,6 +1255,23 @@ def build_parser() -> argparse.ArgumentParser:
                          "error; requires --hedge, normal innovations)")
     _estimator_flags(sp)
     sp.set_defaults(fn=cmd_greeks)
+
+    sp = sub.add_parser(
+        "american",
+        help="per-asset American option values + exercise boundaries "
+             "(Longstaff-Schwartz regression over risk-neutral paths)")
+    common(sp)
+    sp.add_argument("--kind", default="put", choices=["put", "call"])
+    sp.add_argument("--strike-rel", type=float, default=1.0,
+                    help="strike as a fraction of spot (1.0 = ATM)")
+    sp.add_argument("--rate", type=float, default=0.03,
+                    help="annual risk-free rate, decimal (sets the "
+                         "risk-neutral drift and the discount)")
+    sp.add_argument("--paths", type=int, default=131_072)
+    sp.add_argument("--steps", type=int, default=252)
+    sp.add_argument("--seed", type=int, default=0)
+    _estimator_flags(sp)
+    sp.set_defaults(fn=cmd_american)
 
     sp = sub.add_parser("garch-risk",
                         help="tail risk under multivariate GARCH(1,1) "

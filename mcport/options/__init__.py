@@ -20,6 +20,12 @@ from mcport.options.hedged import (
     hedged_step_returns,
     hedged_terminal_returns,
 )
+from mcport.options.american import (
+    AmericanPolicy,
+    american_value,
+    bs_european_value,
+    exercise_boundary,
+)
 from mcport.options.strategies import STRATEGIES, strategy_legs
 
 __all__ = [
@@ -41,4 +47,8 @@ __all__ = [
     "hedged_step_returns",
     "hedged_return_bounds",
     "auto_hedged_sketch",
+    "AmericanPolicy",
+    "american_value",
+    "bs_european_value",
+    "exercise_boundary",
 ]

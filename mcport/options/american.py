@@ -1,0 +1,293 @@
+"""American-exercise option valuation by Longstaff-Schwartz Monte Carlo.
+
+The reference's option tier stops at EUROPEAN semantics: legs settle at
+intrinsic value against the terminal (or per-period) price
+(/root/reference/app.py:164-216 — payoff curves and period returns, no
+pricing, no early exercise). Real protective puts — the reference's own
+"Married Put" strategy (app.py:195-216) — are usually American-style, and
+their value exceeds intrinsic settlement by the early-exercise premium.
+This module adds that tier: regression-based optimal stopping (Longstaff &
+Schwartz 2001) over simulated risk-neutral paths.
+
+TPU mapping
+-----------
+LSMC is regression inside a backward time scan — per step one (N, K) basis
+matrix, a (K, K) normal-equation solve, and an (N, K) @ (K,) continuation
+estimate. The N-sized matmuls ride the MXU; the K=4 solve is trivial. The
+scan carries only the (N,) cashflow vector; the price paths are simulated
+once per asset (``lax.map`` over assets, so peak memory is one asset's
+(T, N) path matrix, never (T, N, A)). All shapes static; exercise decisions
+are ``where`` selects, not control flow.
+
+Measure note
+------------
+Valuation simulates under the RISK-NEUTRAL measure (drift ``r − σ²/2`` per
+step), independent per asset — an American option's value depends only on
+its own underlying's marginal law, so cross-asset correlation is irrelevant
+here (it matters for the PORTFOLIO tier, which consumes the resulting
+exercise POLICY, not these paths). The regression basis is polynomial in
+moneyness ``S/K`` (degree 3, ridge-stabilized), the Longstaff-Schwartz
+choice; only in-the-money paths enter the regression (LS 2001 §2.2 — the
+continuation fit only needs accuracy where the exercise decision is live).
+
+Estimator notes
+---------------
+* The fitted policy is suboptimal, so plugging it back into the SAME paths
+  gives a LOW-biased value (Glasserman ch. 8); the bias shrinks with N and
+  basis richness. ``n_paths ≥ 2^16`` with antithetic pairing puts the bias
+  well under the MC standard error at analysis scales (pinned vs a
+  1000-step binomial oracle in tests/test_american.py).
+* An American call on a non-dividend asset is never exercised early
+  (Merton): its LSMC value must match Black-Scholes — a free closed-form
+  law test, also pinned.
+* The per-step regression coefficients ARE the exercise policy; they are
+  returned (``AmericanPolicy``) so physical-measure engines can settle
+  hedges at the fitted optimal stopping time instead of expiry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+
+__all__ = [
+    "AmericanPolicy",
+    "american_value",
+    "bs_european_value",
+    "exercise_boundary",
+]
+
+_DEGREE = 3          # polynomial basis 1, x, x², x³ in moneyness x = S/K
+_RIDGE = 1e-6        # ridge scale (× N) on the normal equations
+
+
+@dataclass(frozen=True)
+class AmericanPolicy:
+    """Fitted exercise policy + value diagnostics for one batch of options.
+
+    ``betas[a, t]`` are the continuation-value regression coefficients of
+    asset ``a`` at exercise date ``t+1`` (dates run 1..n_steps-1; expiry
+    exercises at intrinsic, date 0 never exercises). ``exercise(t, s)``
+    reproduces the simulated decision rule exactly.
+    """
+
+    strike: np.ndarray      # (A,)
+    is_put: np.ndarray      # (A,) bool
+    rate_step: float        # per-step risk-free log rate
+    betas: np.ndarray       # (A, n_steps-1, K)
+    x_lo: np.ndarray        # (A, n_steps-1) fitted ITM moneyness support
+    x_hi: np.ndarray        # (A, n_steps-1)
+    boundary: np.ndarray    # (A, n_steps-1) exercise threshold price (NaN =
+    #                         the fitted rule never fires at that date)
+    value: np.ndarray       # (A,) LSMC value (floored at date-0 intrinsic)
+    se: np.ndarray          # (A,) MC standard error of the continuation mean
+    european: np.ndarray    # (A,) Black-Scholes European value (same inputs)
+
+    @property
+    def early_premium(self) -> np.ndarray:
+        """Early-exercise premium: American − European (≥ 0 up to MC error)."""
+        return self.value - self.european
+
+    def exercise(self, t: int, s: Array, asset: int) -> Array:
+        """The exported rule at date ``t`` (1-indexed), in THRESHOLD form:
+        a put exercises iff ``s ≤ boundary[t]``, a call iff ``s ≥ boundary``
+        (never, where the boundary is NaN). The threshold is the fitted
+        continuation-vs-intrinsic crossing nearest the money — identical to
+        the in-simulation regression rule where the exercise decision is
+        live, and strictly saner deep ITM, where a cubic fit on a handful of
+        extreme paths can wiggle above intrinsic (LSMC's known edge; the
+        true continuation is monotone so the exercise region is a
+        half-line). Vectorized over ``s``."""
+        b = self.boundary[asset, t - 1]
+        s = jnp.asarray(s)
+        pay = _intrinsic(s, float(self.strike[asset]),
+                         bool(self.is_put[asset]))
+        hit = (s <= b) if bool(self.is_put[asset]) else (s >= b)
+        return (pay > 0.0) & hit & jnp.bool_(not np.isnan(b))
+
+
+def _intrinsic(s: Array, strike, is_put) -> Array:
+    """Intrinsic value; ``is_put`` may be a traced bool (one program serves
+    both kinds, so per-asset put/call batches need no double simulation)."""
+    return jnp.maximum(jnp.where(is_put, strike - s, s - strike), 0.0)
+
+
+def _basis(x: Array) -> Array:
+    """(N, K) polynomial design matrix in moneyness (centered at 1 for
+    f32 conditioning; strikes are near-spot in hedging use)."""
+    xc = x - 1.0
+    return jnp.stack([jnp.ones_like(xc), xc, xc * xc, xc * xc * xc], axis=-1)
+
+
+def _one_asset_value(seed_key, s0, sigma, strike, is_put, rate_step,
+                     n_paths, n_steps, antithetic):
+    """(value, se, betas, x_lo, x_hi) for one option; f32 throughout.
+
+    ``value`` is the date-0 optimum max(intrinsic(s0), mean continuation);
+    ``se`` is the MC error of the continuation mean (the floor is exact).
+    ``betas`` (n_steps-1, K) with the per-date ITM moneyness support."""
+    half = n_paths // 2 if antithetic else n_paths
+    drift = rate_step - 0.5 * sigma * sigma
+
+    def sim_step(logs, t):
+        z = jax.random.normal(jax.random.fold_in(seed_key, t), (half,),
+                              jnp.float32)
+        if antithetic:
+            z = jnp.concatenate([z, -z])
+        logs = logs + drift + sigma * z
+        return logs, logs
+
+    _, log_paths = lax.scan(sim_step, jnp.zeros(n_paths, jnp.float32),
+                            jnp.arange(n_steps))
+    s_paths = s0 * jnp.exp(log_paths)            # (n_steps, N), dates 1..T
+
+    disc = jnp.float32(np.exp(-rate_step))
+    cash = _intrinsic(s_paths[-1], strike, is_put)
+
+    def back_step(cash, s_t):
+        pay = _intrinsic(s_t, strike, is_put)
+        x = s_t / strike
+        itm = (pay > 0.0).astype(jnp.float32)
+        b = _basis(x)
+        bw = b * itm[:, None]
+        gram = bw.T @ bw + (_RIDGE * n_paths) * jnp.eye(b.shape[1],
+                                                        dtype=jnp.float32)
+        y = cash * disc
+        beta = jnp.linalg.solve(gram, bw.T @ y)
+        cont = b @ beta
+        ex = (itm > 0.0) & (pay >= cont)
+        has = itm.sum() > 0.0
+        lo = jnp.where(has, jnp.min(jnp.where(itm > 0.0, x, jnp.inf)), 1.0)
+        hi = jnp.where(has, jnp.max(jnp.where(itm > 0.0, x, -jnp.inf)), 1.0)
+        return jnp.where(ex, pay, y), (beta, lo, hi)
+
+    # dates T-1 .. 1 run backward; date 0 is the intrinsic floor below
+    cash, (betas_rev, lo_rev, hi_rev) = lax.scan(back_step, cash,
+                                                 s_paths[-2::-1])
+    v = cash * disc
+    cont0 = jnp.mean(v)
+    if antithetic:
+        # se over antithetic PAIR means (the independent draws)
+        pm = 0.5 * (v[:half] + v[half:])
+        se = jnp.std(pm, ddof=1) / jnp.sqrt(half)
+    else:
+        se = jnp.std(v, ddof=1) / jnp.sqrt(n_paths)
+    value = jnp.maximum(cont0, _intrinsic(jnp.asarray(s0), strike, is_put))
+    # betas/support for dates 1..T-1, in date order
+    return value, se, betas_rev[::-1], lo_rev[::-1], hi_rev[::-1]
+
+
+def bs_european_value(s0, sigma_step, strike, is_put, rate_step,
+                      n_steps) -> np.ndarray:
+    """Black-Scholes European value on the same per-step inputs (vectorized).
+
+    σ√T = sigma_step·√n_steps, discount exp(-rate_step·n_steps) — exact for
+    the simulated lognormal law, the natural early-premium baseline."""
+    s0 = np.asarray(s0, np.float64)
+    k = np.asarray(strike, np.float64)
+    sig = np.asarray(sigma_step, np.float64) * np.sqrt(n_steps)
+    df = np.exp(-rate_step * n_steps)
+    fwd = s0 / df
+    d1 = (np.log(fwd / k) + 0.5 * sig * sig) / sig
+    d2 = d1 - sig
+    from math import erf
+
+    phi = np.vectorize(lambda x: 0.5 * (1.0 + erf(x / np.sqrt(2.0))))
+    call = df * (fwd * phi(d1) - k * phi(d2))
+    put = call - df * (fwd - k)                  # parity
+    return np.where(np.asarray(is_put, bool), put, call)
+
+
+def american_value(
+    seed,
+    s0,
+    sigma_step,
+    strike,
+    is_put=True,
+    rate_step: float = 0.0,
+    n_paths: int = 131_072,
+    n_steps: int = 252,
+    antithetic: bool = True,
+) -> AmericanPolicy:
+    """LSMC value + fitted exercise policy for a batch of American options.
+
+    Parameters are per-asset arrays (A,) in PER-STEP units (one simulated
+    step = one analysis period, the framework convention): ``sigma_step`` is
+    the per-step log-return vol, ``rate_step`` the per-step risk-free log
+    rate. Exercise dates are every step (Bermudan → American as steps grow).
+    Assets stream through ``lax.map`` so peak memory is one (T, N) path
+    matrix; streams are counter-addressed per asset (fold_in), independent
+    of the portfolio engines' draw streams.
+    """
+    s0 = np.atleast_1d(np.asarray(s0, np.float32))
+    sig = np.broadcast_to(np.asarray(sigma_step, np.float32), s0.shape)
+    k = np.broadcast_to(np.asarray(strike, np.float32), s0.shape)
+    puts = np.broadcast_to(np.asarray(is_put, bool), s0.shape)
+    if n_paths % 2 and antithetic:
+        raise ValueError("antithetic pairing needs an even n_paths")
+    if np.any(sig <= 0.0) or np.any(k <= 0.0) or np.any(s0 <= 0.0):
+        raise ValueError("need s0 > 0, strike > 0, sigma > 0")
+
+    base = jax.random.key(seed) if np.ndim(seed) == 0 else seed
+
+    @jax.jit
+    def run(s0j, sigj, kj, putj):
+        def one(args):
+            i, s0_i, sig_i, k_i, put_i = args
+            key = jax.random.fold_in(base, i)
+            return _one_asset_value(key, s0_i, sig_i, k_i, put_i, rate_step,
+                                    n_paths, n_steps, antithetic)
+
+        idx = jnp.arange(s0j.shape[0])
+        return lax.map(one, (idx, s0j, sigj, kj, putj))
+
+    value, se, betas, x_lo, x_hi = run(jnp.asarray(s0), jnp.asarray(sig),
+                                       jnp.asarray(k), jnp.asarray(puts))
+    eur = bs_european_value(s0, sig, k, puts, rate_step, n_steps)
+    betas, x_lo, x_hi = (np.asarray(betas), np.asarray(x_lo),
+                         np.asarray(x_hi))
+    kk = np.asarray(k, np.float64)
+    pp = np.asarray(puts)
+    return AmericanPolicy(
+        strike=kk, is_put=pp, rate_step=float(rate_step), betas=betas,
+        x_lo=x_lo, x_hi=x_hi,
+        boundary=_boundaries(betas, x_lo, x_hi, kk, pp),
+        value=np.asarray(value, np.float64), se=np.asarray(se, np.float64),
+        european=np.asarray(eur, np.float64))
+
+
+def _boundaries(betas, x_lo, x_hi, strike, is_put,
+                n_grid: int = 4_096) -> np.ndarray:
+    """(A, n_steps-1) threshold prices from the fitted regressions.
+
+    Per date, evaluate intrinsic vs fitted continuation on a moneyness grid
+    ((0, 1] puts / [1, 4) calls, support-clamped like the in-sim decisions)
+    and take the firing grid point NEAREST THE MONEY — the boundary of the
+    exercise half-line. NaN where the rule never fires (a non-dividend
+    call's every date, up to regression noise)."""
+    a_cnt, t_cnt, _ = betas.shape
+    out = np.full((a_cnt, t_cnt), np.nan)
+    for a in range(a_cnt):
+        put = bool(is_put[a])
+        x = np.linspace(1e-3, 1.0, n_grid) if put else np.linspace(
+            1.0, 4.0, n_grid)
+        pay = np.maximum(1.0 - x, 0.0) if put else np.maximum(x - 1.0, 0.0)
+        xc = np.clip(x[None, :], x_lo[a][:, None], x_hi[a][:, None]) - 1.0
+        design = np.stack([np.ones_like(xc), xc, xc * xc, xc**3], axis=-1)
+        cont = np.einsum("tgk,tk->tg", design, betas[a])   # (T-1, G)
+        fires = (pay[None, :] > 0.0) & (pay[None, :] * strike[a] >= cont)
+        for t in range(t_cnt):
+            idx = np.nonzero(fires[t])[0]
+            if idx.size:
+                out[a, t] = x[idx.max() if put else idx.min()] * strike[a]
+    return out
+
+
+def exercise_boundary(policy: AmericanPolicy, asset: int = 0) -> np.ndarray:
+    """(n_steps-1,) exercise threshold price per date for ``asset`` (NaN
+    where the fitted rule never fires at that date)."""
+    return policy.boundary[asset]

@@ -395,3 +395,17 @@ def test_stats_ci_flag(eth):
     # point estimates untouched by the error bars
     for k, v in base["stats"]["ETH_USD 7 Years Weekly"].items():
         assert row[k] == v
+
+
+def test_american_command(btc, eth):
+    out = run_cli(["american", btc, eth, "--period", "W", "--kind", "put",
+                   "--strike-rel", "0.95", "--paths", "4096", "--steps", "13"])
+    assert out["kind"] == "put"
+    assert len(out["per_asset"]) == 2
+    for row in out["per_asset"].values():
+        assert row["strike"] == pytest.approx(0.95 * row["spot"], rel=1e-6)
+        assert 0.0 < row["american"] < row["strike"]
+        assert row["se"] > 0.0
+        # American ≥ European up to MC error; boundary below strike (put)
+        assert row["american"] >= row["european"] - 4.0 * row["se"]
+        assert row["boundary_last"] < row["strike"]
