@@ -389,6 +389,33 @@ def cmd_american(args) -> None:
     spots = np.asarray(d.prices[-1], np.float64)
     strikes = spots * args.strike_rel
     rate_step = np.log1p(args.rate) / d.ann_factor
+    _, spec = _hedge_from_args(args, d)
+    if spec is not None:
+        # settlement mode: American-vs-European settled hedged book
+        from mcport.options.american import american_hedged_tail_risk
+
+        a = d.n_assets
+        w = (np.full(a, 1.0 / a) if args.weights is None
+             else np.asarray([float(x) for x in args.weights.split(",")]))
+        if w.shape[0] != a:
+            raise SystemExit(f"--weights needs {a} entries")
+        out = american_hedged_tail_risk(
+            params, w, spec, rate_step=float(rate_step), alpha=args.alpha,
+            n_paths=args.paths, n_steps=args.steps, seed=args.seed)
+        _emit({
+            "engine": "american-settled hedged book (LSMC thresholds, "
+                      "physical-measure paths; identical paths both columns)",
+            "alpha": args.alpha,
+            "rate_annual": args.rate,
+            "paths": args.paths,
+            "steps": args.steps,
+            "weights": dict(zip(d.names, map(float, w))),
+            "american": out["american"],
+            "european": out["european"],
+            "exercise_frequency": dict(
+                zip(d.names, map(float, out["exercise_frequency"]))),
+        })
+        return
     pol = american_value(
         args.seed, spots, sigma_step, strikes, is_put=args.kind == "put",
         rate_step=float(rate_step), n_paths=args.paths, n_steps=args.steps)
@@ -1270,6 +1297,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--paths", type=int, default=131_072)
     sp.add_argument("--steps", type=int, default=252)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--hedge", default=None, metavar="FILE",
+                    help="JSON hedge config: switches to settlement mode — "
+                         "tail risk of the American-settled hedged book vs "
+                         "European settlement of the SAME paths (option "
+                         "legs exercise at fitted LSMC thresholds)")
+    sp.add_argument("--weights", default=None,
+                    help="portfolio weights, comma list (settlement mode; "
+                         "default equal)")
+    sp.add_argument("--alpha", type=float, default=0.95,
+                    help="tail level (settlement mode)")
     _estimator_flags(sp)
     sp.set_defaults(fn=cmd_american)
 

@@ -22,6 +22,8 @@ from mcport.options.hedged import (
 )
 from mcport.options.american import (
     AmericanPolicy,
+    american_hedged_tail_risk,
+    american_hedged_terminal_returns,
     american_value,
     bs_european_value,
     exercise_boundary,
@@ -49,6 +51,8 @@ __all__ = [
     "auto_hedged_sketch",
     "AmericanPolicy",
     "american_value",
+    "american_hedged_terminal_returns",
+    "american_hedged_tail_risk",
     "bs_european_value",
     "exercise_boundary",
 ]

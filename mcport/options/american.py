@@ -47,6 +47,7 @@ Estimator notes
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -54,11 +55,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array, lax
 
+from mcport.options.legs import LegType
+
 __all__ = [
     "AmericanPolicy",
     "american_value",
     "bs_european_value",
     "exercise_boundary",
+    "american_hedged_terminal_returns",
+    "american_hedged_tail_risk",
 ]
 
 _DEGREE = 3          # polynomial basis 1, x, x², x³ in moneyness x = S/K
@@ -291,3 +296,168 @@ def exercise_boundary(policy: AmericanPolicy, asset: int = 0) -> np.ndarray:
     """(n_steps-1,) exercise threshold price per date for ``asset`` (NaN
     where the fitted rule never fires at that date)."""
     return policy.boundary[asset]
+
+
+# ---- physical-measure settlement of American-style hedges ------------------
+
+
+def _leg_boundaries(spec, s0, sigma_step, rate_step, n_steps, seed,
+                    policy_paths):
+    """(A, L, n_steps) per-leg exercise thresholds (+/-inf = never fires).
+
+    Fits one LSMC policy per OPTION leg (types 2-5) at the leg's own strike
+    by one batched :func:`american_value` call; asset/futures legs and qty-0
+    padding get never-firing thresholds. The last date never fires early —
+    expiry settles at intrinsic in the terminal composition itself. NaNs are
+    resolved to the never-firing infinity of the leg's kind so the scan's
+    comparisons need no NaN handling.
+    """
+    type_id, strike, _, qty = (np.asarray(spec.type_id), np.asarray(
+        spec.strike), np.asarray(spec.premium), np.asarray(spec.qty))
+    a_cnt, l_cnt = type_id.shape
+    is_put_leg = (type_id == LegType.BUY_PUT) | (type_id == LegType.SELL_PUT)
+    is_call_leg = ((type_id == LegType.BUY_CALL)
+                   | (type_id == LegType.SELL_CALL))
+    live = (is_put_leg | is_call_leg) & (qty != 0.0) & (strike > 0.0)
+
+    never = np.where(is_put_leg, -np.inf, np.inf)          # (A, L)
+    bnd = np.broadcast_to(never[:, :, None], (a_cnt, l_cnt, n_steps)).copy()
+    ai, li = np.nonzero(live)
+    if ai.size:
+        pol = american_value(
+            seed, np.asarray(s0, np.float64)[ai],
+            np.asarray(sigma_step, np.float64)[ai], strike[ai, li],
+            is_put=is_put_leg[ai, li], rate_step=rate_step,
+            n_paths=policy_paths, n_steps=n_steps)
+        b = pol.boundary                                    # (n_live, T-1)
+        nan = np.isnan(b)
+        b = np.where(nan, np.where(is_put_leg[ai, li][:, None], -np.inf,
+                                   np.inf), b)
+        bnd[ai, li, :-1] = b
+    return bnd
+
+
+def american_hedged_terminal_returns(
+    key: Array,
+    s0,
+    mean_step,
+    chol_step,
+    spec_arrays,
+    boundaries,
+    rate_step: float,
+    n_paths: int,
+    n_steps: int,
+    antithetic: bool = False,
+) -> tuple[Array, Array]:
+    """(american, european) hedged simple returns, both (N, A), SAME paths.
+
+    Physical-measure composition of :func:`hedged.hedged_terminal_returns`
+    with early exercise: paths evolve under the ESTIMATED law (``mean_step``/
+    ``chol_step``, the portfolio engines' measure), and an option leg whose
+    per-date threshold fires (put: S_t ≤ b, call: S_t ≥ b — the counterparty
+    exercises SHORT legs at the same thresholds, the conservative book) locks
+    intrinsic at that date and accrues it risk-free to the horizon:
+    ``payoff_T = intrinsic(S_t) · exp(rate_step · (T − t))``. Unexercised legs
+    settle at expiry intrinsic — so with never-firing thresholds the American
+    column equals the European one BITWISE (pinned in tests). The European
+    column reuses the identical paths, making the pair a zero-variance
+    comparison of settlement styles.
+    """
+    type_id, strike, premium, qty = spec_arrays
+    dtype = jnp.float32
+    s0 = jnp.asarray(s0, dtype)
+    m = jnp.asarray(mean_step, dtype)
+    lt = jnp.asarray(chol_step, dtype).T
+    a = m.shape[-1]
+    half = n_paths // 2 if antithetic else n_paths
+    k = jnp.asarray(strike, dtype)                          # (A, L)
+    bnd = jnp.asarray(boundaries, dtype)                    # (A, L, T)
+    is_put_leg = ((type_id == LegType.BUY_PUT)
+                  | (type_id == LegType.SELL_PUT))          # (A, L)
+    growth = jnp.exp(rate_step * jnp.arange(n_steps, 0, -1,
+                                            dtype=dtype))   # (T,) t=1..T
+
+    def step(carry, t):
+        logs, locked, done = carry
+        zk = jax.random.fold_in(key, t)
+        z = jax.random.normal(zk, (half, a), dtype)
+        if antithetic:
+            z = jnp.concatenate([z, -z], axis=0)
+        logs = logs + m + z @ lt
+        s = (s0 * jnp.exp(logs))[:, :, None]                # (N, A, 1)
+        b_t = bnd[:, :, t - 1]                              # (A, L)
+        hit = jnp.where(is_put_leg, s <= b_t, s >= b_t)
+        iv = jnp.maximum(jnp.where(is_put_leg, k - s, s - k), 0.0)
+        newly = hit & ~done
+        locked = jnp.where(newly, iv * growth[t - 1], locked)
+        return (logs, locked, done | newly), None
+
+    init = (jnp.zeros((n_paths, a), dtype),
+            jnp.zeros((n_paths,) + k.shape, dtype),
+            jnp.zeros((n_paths,) + k.shape, bool))
+    (logs, locked, done), _ = lax.scan(step, init,
+                                       jnp.arange(1, n_steps + 1))
+
+    s_t = (s0 * jnp.exp(logs))[:, :, None]                  # (N, A, 1)
+    final_iv = jnp.maximum(jnp.where(is_put_leg, k - s_t, s_t - k), 0.0)
+
+    def settle(iv):
+        up = s_t - s0[:, None]
+        branches = [up, -up, iv - premium, premium - iv, iv - premium,
+                    premium - iv, -up]
+        numer = jnp.select([type_id == t for t in range(7)], branches, 0.0)
+        safe = jnp.where(s0 == 0.0, 1.0, s0)[:, None]
+        return jnp.sum(jnp.asarray(qty, dtype) * jnp.where(
+            s0[:, None] == 0.0, 0.0, numer / safe), axis=-1)
+
+    return settle(jnp.where(done, locked, final_iv)), settle(final_iv)
+
+
+def american_hedged_tail_risk(
+    params,
+    weights,
+    spec,
+    rate_step: float,
+    alpha: float = 0.95,
+    n_paths: int = 131_072,
+    n_steps: int = 252,
+    seed: int = 0,
+    antithetic: bool = False,
+    policy_paths: int = 65_536,
+) -> dict:
+    """Tail risk of an American-settled hedged portfolio vs the European
+    settlement of the SAME simulated paths.
+
+    ``params`` is :class:`mcport.models.gbm.GBMParams` (the estimated
+    physical law), ``spec`` a :class:`mcport.options.hedged.HedgeSpec`.
+    Per-leg exercise policies are fitted risk-neutrally at ``rate_step``
+    (one batched LSMC call over the option legs, independent streams), then
+    applied pathwise. Returns both settlements' mean/VaR/CVaR plus the
+    early-exercise frequency per hedged asset.
+    """
+    from mcport.engine.cvar_opt import exact_tail_metrics
+
+    sigma_step = np.sqrt(np.einsum("ij,ij->i", np.asarray(params.chol_step),
+                                   np.asarray(params.chol_step)))
+    bnd = _leg_boundaries(spec, params.s0, sigma_step, rate_step, n_steps,
+                          seed + 1, policy_paths)
+    w = jnp.asarray(weights, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("np_", "ns", "anti"))
+    def run(key, bndj, np_, ns, anti):
+        am, eu = american_hedged_terminal_returns(
+            key, params.s0, params.mean_step, params.chol_step,
+            spec.arrays, bndj, rate_step, np_, ns, antithetic=anti)
+        out = {}
+        for tag, r in (("american", am), ("european", eu)):
+            var, cvar = exact_tail_metrics(r, w, alpha)
+            out[tag] = {"mean": (r @ w).mean(), "var": var, "cvar": cvar}
+        return out, (am != eu).mean(axis=0)
+
+    out, ex_freq = run(jax.random.key(seed), jnp.asarray(bnd), n_paths,
+                       n_steps, antithetic)
+    res = {tag: {k2: float(v2) for k2, v2 in d.items()}
+           for tag, d in out.items()}
+    res["alpha"] = alpha
+    res["exercise_frequency"] = np.asarray(ex_freq, np.float64)
+    return res

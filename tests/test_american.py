@@ -125,3 +125,113 @@ def test_policy_dataclass_fields(atm_put):
     assert isinstance(atm_put, AmericanPolicy)
     assert atm_put.betas.shape == (1, STEPS - 1, 4)
     assert atm_put.se[0] > 0.0
+
+
+# ---- physical-measure American settlement ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def settle_setup():
+    import jax
+
+    from mcport.models.gbm import GBMParams
+    from mcport.options import HedgeSpec, LegType, Legs
+    from mcport.options.american import _leg_boundaries
+
+    params = GBMParams(s0=np.array([100.0, 50.0]),
+                       mean_step=np.array([0.002, 0.001]),
+                       chol_step=np.linalg.cholesky(np.diag([0.0016,
+                                                             0.0009])))
+    spec = HedgeSpec.build(
+        {0: Legs.from_rows([(LegType.BUY_ASSET, 0.0, 0.0, 1.0),
+                            (LegType.BUY_PUT, 95.0, 2.0, 1.0)])},
+        ["a0", "a1"])
+    sigma_step = np.sqrt(np.einsum("ij,ij->i", params.chol_step,
+                                   params.chol_step))
+    bnd = _leg_boundaries(spec, params.s0, sigma_step, 0.0005, 26, 1, 8192)
+    return jax, params, spec, bnd
+
+
+def test_settlement_never_fire_is_european_bitwise(settle_setup):
+    from mcport.options.american import american_hedged_terminal_returns
+
+    jax, params, spec, bnd = settle_setup
+    never = np.full_like(bnd, np.inf)
+    never[0, 1, :] = -np.inf                      # the put leg's never-fire
+    am, eu = american_hedged_terminal_returns(
+        jax.random.key(0), params.s0, params.mean_step, params.chol_step,
+        spec.arrays, never, 0.0005, 4096, 26)
+    assert bool((am == eu).all())
+
+
+def test_settlement_european_column_matches_hedged_module(settle_setup):
+    """The European side of the pair must agree with the framework's own
+    hedged_terminal_returns on identical terminal prices."""
+    import jax.numpy as jnp
+
+    from mcport.options.american import american_hedged_terminal_returns
+    from mcport.options.hedged import hedged_terminal_returns
+
+    jax, params, spec, bnd = settle_setup
+    am, eu = american_hedged_terminal_returns(
+        jax.random.key(3), params.s0, params.mean_step, params.chol_step,
+        spec.arrays, bnd, 0.0005, 4096, 26)
+    # reconstruct the same terminal logs (same fold_in stream)
+    m = jnp.asarray(params.mean_step, jnp.float32)
+    lt = jnp.asarray(params.chol_step, jnp.float32).T
+    logs = jnp.zeros((4096, 2), jnp.float32)
+    for t in range(1, 27):
+        z = jax.random.normal(jax.random.fold_in(jax.random.key(3), t),
+                              (4096, 2), jnp.float32)
+        logs = logs + m + z @ lt
+    ref = hedged_terminal_returns(logs, jnp.asarray(params.s0, jnp.float32),
+                                  *spec.arrays)
+    np.testing.assert_allclose(np.asarray(eu), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_settlement_rn_consistency_with_lsmc_value():
+    """Under the RISK-NEUTRAL law, the American-settled put's discounted
+    mean payoff must reproduce the LSMC value (independent paths, same
+    fitted thresholds) — ties the settlement engine to the pricer."""
+    import jax
+
+    from mcport.models.gbm import GBMParams
+    from mcport.options import HedgeSpec, LegType, Legs
+    from mcport.options.american import (_leg_boundaries,
+                                         american_hedged_terminal_returns,
+                                         american_value)
+
+    sig, r, steps, k = SIG_STEP, R_STEP, 26, 100.0
+    pol = american_value(7, [100.0], sig, [k], is_put=True, rate_step=r,
+                         n_paths=65_536, n_steps=steps)
+    params = GBMParams(s0=np.array([100.0]),
+                       mean_step=np.array([r - 0.5 * sig * sig]),
+                       chol_step=np.array([[sig]]))
+    spec = HedgeSpec.build(
+        {0: Legs.from_rows([(LegType.BUY_PUT, k, 0.0, 1.0)])}, ["a0"])
+    bnd = _leg_boundaries(spec, params.s0, np.array([sig]), r, steps, 6,
+                          65_536)
+    am, _ = american_hedged_terminal_returns(
+        jax.random.key(9), params.s0, params.mean_step, params.chol_step,
+        spec.arrays, bnd, r, 65_536, steps)
+    payoff = np.asarray(am[:, 0], np.float64) * 100.0   # return -> $
+    v = np.exp(-r * steps) * payoff.mean()
+    se = np.exp(-r * steps) * payoff.std(ddof=1) / np.sqrt(len(payoff))
+    assert abs(v - pol.value[0]) < 4.0 * (se + pol.se[0])
+
+
+def test_settlement_tail_risk_api(settle_setup):
+    from mcport.options.american import american_hedged_tail_risk
+
+    _, params, spec, _ = settle_setup
+    out = american_hedged_tail_risk(
+        params, np.array([0.6, 0.4]), spec, rate_step=0.0005, alpha=0.95,
+        n_paths=8192, n_steps=26, seed=0, policy_paths=8192)
+    for tag in ("american", "european"):
+        assert out[tag]["cvar"] <= out[tag]["var"]
+    f = out["exercise_frequency"]
+    assert f.shape == (2,)
+    assert f[1] == 0.0 and 0.0 < f[0] < 1.0        # only the hedged asset
+    # the American book can only differ where exercise fired
+    assert out["american"]["mean"] != out["european"]["mean"]

@@ -409,3 +409,18 @@ def test_american_command(btc, eth):
         # American ≥ European up to MC error; boundary below strike (put)
         assert row["american"] >= row["european"] - 4.0 * row["se"]
         assert row["boundary_last"] < row["strike"]
+
+
+def test_american_settlement_mode(btc, eth, tmp_path):
+    import json as _json
+
+    hedge = tmp_path / "hedge.json"
+    hedge.write_text(_json.dumps(
+        {"BTC_USD 7 Years Weekly": {"strategy": "Married Put"}}))
+    out = run_cli(["american", btc, eth, "--period", "W", "--paths", "4096",
+                   "--steps", "13", "--hedge", str(hedge)])
+    assert set(out["american"]) == {"mean", "var", "cvar"}
+    assert out["american"]["cvar"] <= out["american"]["var"]
+    f = out["exercise_frequency"]
+    assert f["ETH_USD 7 Years Weekly"] == 0.0      # unhedged: never differs
+    assert 0.0 <= f["BTC_USD 7 Years Weekly"] <= 1.0
