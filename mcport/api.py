@@ -39,6 +39,8 @@ __all__ = [
     "simulate",
     "gbm_risk",
     "hedged_tail_risk",
+    "american_values",
+    "american_settled_tail_risk",
     "path_tail_risk",
     "bootstrap_tail_risk",
     "exact_mv_frontier",
@@ -349,6 +351,75 @@ def hedged_tail_risk(
 
         out["tail_ci"] = tail_ci_fields(sample_var_cvar_ci(
             port, alpha, n_boot=int(g.ci_boot), seed=g.seed))
+    return out
+
+
+def american_values(
+    data: PriceData,
+    config: Config = Config(),
+    strike_rel: float = 1.0,
+    kind: str = "put",
+    rate_annual: float = 0.03,
+) -> dict[str, dict[str, float]]:
+    """Per-asset American option values (Longstaff-Schwartz; see
+    :mod:`mcport.options.american`). Vol comes from the estimated per-step
+    law, strikes sit at ``strike_rel`` × spot, the per-step risk-free log
+    rate is ``log1p(rate_annual)/ann_factor``. Returns
+    {asset: {american, se, european, early_exercise_premium, boundary_last}}.
+    """
+    from mcport.models.gbm import estimate_gbm
+    from mcport.options.american import american_value
+
+    g = config.gbm
+    params = estimate_gbm(data.prices)
+    sigma_step = np.sqrt(np.einsum("ij,ij->i", params.chol_step,
+                                   params.chol_step))
+    spots = np.asarray(data.prices[-1], np.float64)
+    rate_step = float(np.log1p(rate_annual) / data.ann_factor)
+    pol = american_value(
+        g.seed, spots, sigma_step, spots * strike_rel, is_put=kind == "put",
+        rate_step=rate_step, n_paths=g.n_paths, n_steps=g.n_steps)
+    return {
+        name: {
+            "american": float(pol.value[i]),
+            "se": float(pol.se[i]),
+            "european": float(pol.european[i]),
+            "early_exercise_premium": float(pol.early_premium[i]),
+            "boundary_last": float(pol.boundary[i, -1]),
+        }
+        for i, name in enumerate(data.names)
+    }
+
+
+def american_settled_tail_risk(
+    data: PriceData,
+    weights: Sequence[float] | np.ndarray | None = None,
+    config: Config = Config(),
+    legs_by_asset=None,
+    rate_annual: float = 0.03,
+) -> dict:
+    """Tail risk of the AMERICAN-settled hedged book vs European settlement
+    of the same paths (:func:`mcport.options.american.american_hedged_tail_risk`
+    over the estimated physical law). The American/European split isolates
+    the early-exercise effect path-by-path."""
+    from mcport.models.gbm import estimate_gbm
+    from mcport.options.american import american_hedged_tail_risk
+    from mcport.options.hedged import HedgeSpec
+
+    a = len(data.names)
+    w = np.full(a, 1.0 / a) if weights is None else np.asarray(
+        weights, np.float64)
+    g = config.gbm
+    spec = HedgeSpec.build(legs_by_asset, data.names)
+    out = american_hedged_tail_risk(
+        estimate_gbm(data.prices), w, spec,
+        rate_step=float(np.log1p(rate_annual) / data.ann_factor),
+        alpha=config.simulation.alpha, n_paths=g.n_paths, n_steps=g.n_steps,
+        seed=g.seed)
+    out["exercise_frequency"] = dict(
+        zip(data.names, map(float, out["exercise_frequency"])))
+    out["hedged_assets"] = [n for n, m_ in zip(data.names, spec.hedged_mask)
+                            if m_]
     return out
 
 

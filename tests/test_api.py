@@ -141,3 +141,22 @@ def test_sensitivities_family_tier(data):
         sensitivities(data, w, config=cfg, model="garch", gamma=True,
                       legs_by_asset={data.names[0]: [("BUY_PUT", 1.0, 0.0,
                                                       1.0)]})
+
+
+def test_american_api(data):
+    from mcport.api import american_settled_tail_risk, american_values
+
+    cfg = Config(gbm=GBMConfig(n_paths=4096, n_steps=13, seed=0))
+    vals = american_values(data, cfg, strike_rel=0.95)
+    assert set(vals) == set(data.names)
+    for row in vals.values():
+        assert row["american"] >= row["european"] - 4.0 * row["se"]
+        assert row["se"] > 0.0
+
+    legs = {data.names[0]: [("BUY_ASSET", 0.0, 0.0, 1.0),
+                            ("BUY_PUT", 0.9 * float(data.prices[-1][0]),
+                             0.0, 1.0)]}
+    out = american_settled_tail_risk(data, None, cfg, legs_by_asset=legs)
+    assert out["hedged_assets"] == [data.names[0]]
+    assert out["exercise_frequency"][data.names[1]] == 0.0
+    assert out["american"]["cvar"] <= out["american"]["var"]

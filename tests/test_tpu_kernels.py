@@ -794,3 +794,37 @@ def test_greeks_jacrev_compiles_and_holds_euler_on_hardware():
     assert out.euler_gap_var < 5e-5 * max(1.0, abs(out.var))
     assert np.isfinite(out.d_cvar_dvol).all()
     assert float(w @ out.d_mean_dw) == pytest.approx(out.mean, abs=1e-5)
+
+
+def test_american_lsmc_compiled_law_and_wall():
+    """The LSMC tier (forward scan + backward regression scan + lax.map over
+    assets) must lower and run ON CHIP, reproducing the binomial-lattice
+    American put value within MC error at a production-like shape. Fetches
+    are policy-sized (betas/boundaries, KBs), never path-sized."""
+    import time
+
+    from mcport.options.american import american_value
+    from tests.test_american import binom_american
+
+    t_years, steps, a = 0.5, 64, 15
+    sig_step = 0.30 * np.sqrt(t_years / steps)
+    r_step = 0.06 * t_years / steps
+    t0 = time.perf_counter()
+    pol = american_value(0, np.full(a, 100.0), sig_step, np.full(a, 100.0),
+                         is_put=True, rate_step=r_step, n_paths=131_072,
+                         n_steps=steps)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pol = american_value(1, np.full(a, 100.0), sig_step, np.full(a, 100.0),
+                         is_put=True, rate_step=r_step, n_paths=131_072,
+                         n_steps=steps)
+    warm = time.perf_counter() - t0
+    oracle = binom_american(100.0, 100.0, 0.30, 0.06, t_years, put=True)
+    for i in range(a):
+        assert oracle - pol.value[i] < 4.0 * pol.se[i] + 0.01 * oracle
+        assert pol.value[i] - oracle < 4.0 * pol.se[i]
+        assert pol.early_premium[i] > 0.0
+    b = pol.boundary
+    assert np.isfinite(b).all() and (b < 100.0).all()
+    print(f"\nlsmc 15x131072x{steps}: cold {cold:.1f}s warm {warm:.2f}s "
+          f"value {pol.value[0]:.4f} (binomial {oracle:.4f})")
