@@ -186,6 +186,21 @@ def _one_asset_value(seed_key, s0, sigma, strike, is_put, rate_step,
     return value, se, betas_rev[::-1], lo_rev[::-1], hi_rev[::-1]
 
 
+@functools.partial(jax.jit, static_argnames=("rate_step", "n_paths",
+                                             "n_steps", "antithetic"))
+def _run_batch(base, s0j, sigj, kj, putj, rate_step, n_paths, n_steps,
+               antithetic):
+    """Module-level jit so repeat calls at one shape reuse the compile."""
+    def one(args):
+        i, s0_i, sig_i, k_i, put_i = args
+        key = jax.random.fold_in(base, i)
+        return _one_asset_value(key, s0_i, sig_i, k_i, put_i, rate_step,
+                                n_paths, n_steps, antithetic)
+
+    idx = jnp.arange(s0j.shape[0])
+    return lax.map(one, (idx, s0j, sigj, kj, putj))
+
+
 def bs_european_value(s0, sigma_step, strike, is_put, rate_step,
                       n_steps) -> np.ndarray:
     """Black-Scholes European value on the same per-step inputs (vectorized).
@@ -239,19 +254,9 @@ def american_value(
 
     base = jax.random.key(seed) if np.ndim(seed) == 0 else seed
 
-    @jax.jit
-    def run(s0j, sigj, kj, putj):
-        def one(args):
-            i, s0_i, sig_i, k_i, put_i = args
-            key = jax.random.fold_in(base, i)
-            return _one_asset_value(key, s0_i, sig_i, k_i, put_i, rate_step,
-                                    n_paths, n_steps, antithetic)
-
-        idx = jnp.arange(s0j.shape[0])
-        return lax.map(one, (idx, s0j, sigj, kj, putj))
-
-    value, se, betas, x_lo, x_hi = run(jnp.asarray(s0), jnp.asarray(sig),
-                                       jnp.asarray(k), jnp.asarray(puts))
+    value, se, betas, x_lo, x_hi = _run_batch(
+        base, jnp.asarray(s0), jnp.asarray(sig), jnp.asarray(k),
+        jnp.asarray(puts), float(rate_step), n_paths, n_steps, antithetic)
     eur = bs_european_value(s0, sig, k, puts, rate_step, n_steps)
     betas, x_lo, x_hi = (np.asarray(betas), np.asarray(x_lo),
                          np.asarray(x_hi))
