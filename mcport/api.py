@@ -360,11 +360,13 @@ def american_values(
     strike_rel: float = 1.0,
     kind: str = "put",
     rate_annual: float = 0.03,
+    div_annual: float = 0.0,
 ) -> dict[str, dict[str, float]]:
     """Per-asset American option values (Longstaff-Schwartz; see
     :mod:`mcport.options.american`). Vol comes from the estimated per-step
     law, strikes sit at ``strike_rel`` × spot, the per-step risk-free log
-    rate is ``log1p(rate_annual)/ann_factor``. Returns
+    rate is ``log1p(rate_annual)/ann_factor`` (likewise ``div_annual``).
+    Returns
     {asset: {american, se, european, early_exercise_premium, boundary_last}}.
     """
     from mcport.models.gbm import estimate_gbm
@@ -378,7 +380,8 @@ def american_values(
     rate_step = float(np.log1p(rate_annual) / data.ann_factor)
     pol = american_value(
         g.seed, spots, sigma_step, spots * strike_rel, is_put=kind == "put",
-        rate_step=rate_step, n_paths=g.n_paths, n_steps=g.n_steps)
+        rate_step=rate_step, n_paths=g.n_paths, n_steps=g.n_steps,
+        div_step=float(np.log1p(div_annual) / data.ann_factor))
     return {
         name: {
             "american": float(pol.value[i]),

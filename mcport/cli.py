@@ -418,7 +418,8 @@ def cmd_american(args) -> None:
         return
     pol = american_value(
         args.seed, spots, sigma_step, strikes, is_put=args.kind == "put",
-        rate_step=float(rate_step), n_paths=args.paths, n_steps=args.steps)
+        rate_step=float(rate_step), n_paths=args.paths, n_steps=args.steps,
+        div_step=float(np.log1p(args.div) / d.ann_factor))
     bnd = pol.boundary
     per_asset = {
         name: {
@@ -1294,6 +1295,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rate", type=float, default=0.03,
                     help="annual risk-free rate, decimal (sets the "
                          "risk-neutral drift and the discount)")
+    sp.add_argument("--div", type=float, default=0.0,
+                    help="annual continuous dividend/carry yield, decimal "
+                         "(q > 0 makes CALL early exercise optimal)")
     sp.add_argument("--paths", type=int, default=131_072)
     sp.add_argument("--steps", type=int, default=252)
     sp.add_argument("--seed", type=int, default=0)

@@ -129,14 +129,14 @@ def _basis(x: Array) -> Array:
 
 
 def _one_asset_value(seed_key, s0, sigma, strike, is_put, rate_step,
-                     n_paths, n_steps, antithetic):
+                     div_step, n_paths, n_steps, antithetic):
     """(value, se, betas, x_lo, x_hi) for one option; f32 throughout.
 
     ``value`` is the date-0 optimum max(intrinsic(s0), mean continuation);
     ``se`` is the MC error of the continuation mean (the floor is exact).
     ``betas`` (n_steps-1, K) with the per-date ITM moneyness support."""
     half = n_paths // 2 if antithetic else n_paths
-    drift = rate_step - 0.5 * sigma * sigma
+    drift = rate_step - div_step - 0.5 * sigma * sigma
 
     def sim_step(logs, t):
         z = jax.random.normal(jax.random.fold_in(seed_key, t), (half,),
@@ -186,32 +186,34 @@ def _one_asset_value(seed_key, s0, sigma, strike, is_put, rate_step,
     return value, se, betas_rev[::-1], lo_rev[::-1], hi_rev[::-1]
 
 
-@functools.partial(jax.jit, static_argnames=("rate_step", "n_paths",
-                                             "n_steps", "antithetic"))
-def _run_batch(base, s0j, sigj, kj, putj, rate_step, n_paths, n_steps,
-               antithetic):
+@functools.partial(jax.jit, static_argnames=("rate_step", "div_step",
+                                             "n_paths", "n_steps",
+                                             "antithetic"))
+def _run_batch(base, s0j, sigj, kj, putj, rate_step, div_step, n_paths,
+               n_steps, antithetic):
     """Module-level jit so repeat calls at one shape reuse the compile."""
     def one(args):
         i, s0_i, sig_i, k_i, put_i = args
         key = jax.random.fold_in(base, i)
         return _one_asset_value(key, s0_i, sig_i, k_i, put_i, rate_step,
-                                n_paths, n_steps, antithetic)
+                                div_step, n_paths, n_steps, antithetic)
 
     idx = jnp.arange(s0j.shape[0])
     return lax.map(one, (idx, s0j, sigj, kj, putj))
 
 
 def bs_european_value(s0, sigma_step, strike, is_put, rate_step,
-                      n_steps) -> np.ndarray:
+                      n_steps, div_step: float = 0.0) -> np.ndarray:
     """Black-Scholes European value on the same per-step inputs (vectorized).
 
-    σ√T = sigma_step·√n_steps, discount exp(-rate_step·n_steps) — exact for
-    the simulated lognormal law, the natural early-premium baseline."""
+    σ√T = sigma_step·√n_steps, discount exp(-rate_step·n_steps), forward
+    s0·exp((rate−div)·n_steps) — exact for the simulated lognormal law, the
+    natural early-premium baseline."""
     s0 = np.asarray(s0, np.float64)
     k = np.asarray(strike, np.float64)
     sig = np.asarray(sigma_step, np.float64) * np.sqrt(n_steps)
     df = np.exp(-rate_step * n_steps)
-    fwd = s0 / df
+    fwd = s0 * np.exp((rate_step - div_step) * n_steps)
     d1 = (np.log(fwd / k) + 0.5 * sig * sig) / sig
     d2 = d1 - sig
     from math import erf
@@ -232,16 +234,20 @@ def american_value(
     n_paths: int = 131_072,
     n_steps: int = 252,
     antithetic: bool = True,
+    div_step: float = 0.0,
 ) -> AmericanPolicy:
     """LSMC value + fitted exercise policy for a batch of American options.
 
     Parameters are per-asset arrays (A,) in PER-STEP units (one simulated
     step = one analysis period, the framework convention): ``sigma_step`` is
     the per-step log-return vol, ``rate_step`` the per-step risk-free log
-    rate. Exercise dates are every step (Bermudan → American as steps grow).
-    Assets stream through ``lax.map`` so peak memory is one (T, N) path
-    matrix; streams are counter-addressed per asset (fold_in), independent
-    of the portfolio engines' draw streams.
+    rate, ``div_step`` a continuous dividend/carry yield (risk-neutral drift
+    ``r − q − σ²/2``; q > 0 makes CALL early exercise optimal — Merton's
+    never-early-exercise result only holds at q = 0). Exercise dates are
+    every step (Bermudan → American as steps grow). Assets stream through
+    ``lax.map`` so peak memory is one (T, N) path matrix; streams are
+    counter-addressed per asset (fold_in), independent of the portfolio
+    engines' draw streams.
     """
     s0 = np.atleast_1d(np.asarray(s0, np.float32))
     sig = np.broadcast_to(np.asarray(sigma_step, np.float32), s0.shape)
@@ -256,8 +262,9 @@ def american_value(
 
     value, se, betas, x_lo, x_hi = _run_batch(
         base, jnp.asarray(s0), jnp.asarray(sig), jnp.asarray(k),
-        jnp.asarray(puts), float(rate_step), n_paths, n_steps, antithetic)
-    eur = bs_european_value(s0, sig, k, puts, rate_step, n_steps)
+        jnp.asarray(puts), float(rate_step), float(div_step), n_paths,
+        n_steps, antithetic)
+    eur = bs_european_value(s0, sig, k, puts, rate_step, n_steps, div_step)
     betas, x_lo, x_hi = (np.asarray(betas), np.asarray(x_lo),
                          np.asarray(x_hi))
     kk = np.asarray(k, np.float64)

@@ -21,13 +21,16 @@ SIG_STEP = 0.30 * np.sqrt(T_YEARS / STEPS)
 R_STEP = 0.06 * T_YEARS / STEPS
 
 
-def binom_american(s0, k, sig_ann, r_ann, t_years, n=1000, put=True):
-    """CRR binomial American option value (float64 numpy)."""
+def binom_american(s0, k, sig_ann, r_ann, t_years, n=1000, put=True,
+                   q_ann=0.0):
+    """CRR binomial American option value (float64 numpy); ``q_ann`` is a
+    continuous dividend yield (risk-neutral up-probability uses e^{(r-q)dt},
+    discounting stays at r)."""
     dt = t_years / n
     u = np.exp(sig_ann * np.sqrt(dt))
     d = 1.0 / u
     disc = np.exp(-r_ann * dt)
-    p = (np.exp(r_ann * dt) - d) / (u - d)
+    p = (np.exp((r_ann - q_ann) * dt) - d) / (u - d)
 
     def intrinsic(s):
         return np.maximum(k - s, 0.0) if put else np.maximum(s - k, 0.0)
@@ -77,6 +80,27 @@ def test_deep_itm_put_exercises_immediately():
     assert pol.value[0] >= 50.0 - 4.0 * pol.se[0]
     assert pol.value[0] < 52.0
     assert pol.early_premium[0] > 1.0   # discounting makes European << K - S0
+
+
+def test_dividend_call_matches_binomial_and_exercises_early():
+    """q > 0 breaks Merton's no-early-exercise result: the American call
+    gains a positive premium over European and must match the
+    dividend-adjusted lattice."""
+    q_ann = 0.08
+    q_step = q_ann * T_YEARS / STEPS
+    pol = american_value(5, [100.0], SIG_STEP, [95.0], is_put=False,
+                         rate_step=R_STEP, n_paths=PATHS, n_steps=STEPS,
+                         div_step=q_step)
+    oracle = binom_american(100.0, 95.0, 0.30, 0.06, T_YEARS, put=False,
+                            q_ann=q_ann)
+    v, se = pol.value[0], pol.se[0]
+    assert oracle - v < 4.0 * se + 0.01 * oracle
+    assert v - oracle < 4.0 * se
+    assert pol.early_premium[0] > 4.0 * se
+    # the call boundary exists (above strike) at least near expiry
+    b = exercise_boundary(pol)
+    tail = b[-len(b) // 4:]
+    assert np.isfinite(tail).any() and np.nanmin(tail) > 95.0
 
 
 def test_put_boundary_shape(atm_put):
