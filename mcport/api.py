@@ -361,16 +361,18 @@ def american_values(
     kind: str = "put",
     rate_annual: float = 0.03,
     div_annual: float = 0.0,
+    greeks: bool = False,
 ) -> dict[str, dict[str, float]]:
     """Per-asset American option values (Longstaff-Schwartz; see
     :mod:`mcport.options.american`). Vol comes from the estimated per-step
     law, strikes sit at ``strike_rel`` × spot, the per-step risk-free log
     rate is ``log1p(rate_annual)/ann_factor`` (likewise ``div_annual``).
     Returns
-    {asset: {american, se, european, early_exercise_premium, boundary_last}}.
+    {asset: {american, se, european, early_exercise_premium, boundary_last}};
+    ``greeks=True`` adds policy-frozen pathwise ``delta`` and ``vega_step``.
     """
     from mcport.models.gbm import estimate_gbm
-    from mcport.options.american import american_value
+    from mcport.options.american import american_greeks, american_value
 
     g = config.gbm
     params = estimate_gbm(data.prices)
@@ -382,7 +384,7 @@ def american_values(
         g.seed, spots, sigma_step, spots * strike_rel, is_put=kind == "put",
         rate_step=rate_step, n_paths=g.n_paths, n_steps=g.n_steps,
         div_step=float(np.log1p(div_annual) / data.ann_factor))
-    return {
+    out = {
         name: {
             "american": float(pol.value[i]),
             "se": float(pol.se[i]),
@@ -392,6 +394,15 @@ def american_values(
         }
         for i, name in enumerate(data.names)
     }
+    if greeks:
+        gk = american_greeks(pol, g.seed, spots, sigma_step,
+                             div_step=float(np.log1p(div_annual)
+                                            / data.ann_factor),
+                             n_paths=g.n_paths)
+        for i, name in enumerate(data.names):
+            out[name]["delta"] = float(gk.delta[i])
+            out[name]["vega_step"] = float(gk.vega[i])
+    return out
 
 
 def american_settled_tail_risk(

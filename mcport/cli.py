@@ -416,10 +416,11 @@ def cmd_american(args) -> None:
                 zip(d.names, map(float, out["exercise_frequency"]))),
         })
         return
+    div_step = float(np.log1p(args.div) / d.ann_factor)
     pol = american_value(
         args.seed, spots, sigma_step, strikes, is_put=args.kind == "put",
         rate_step=float(rate_step), n_paths=args.paths, n_steps=args.steps,
-        div_step=float(np.log1p(args.div) / d.ann_factor))
+        div_step=div_step)
     bnd = pol.boundary
     per_asset = {
         name: {
@@ -435,6 +436,14 @@ def cmd_american(args) -> None:
         }
         for i, name in enumerate(d.names)
     }
+    if args.greeks:
+        from mcport.options.american import american_greeks
+
+        g = american_greeks(pol, args.seed, spots, sigma_step,
+                            div_step=div_step, n_paths=args.paths)
+        for i, name in enumerate(d.names):
+            per_asset[name]["delta"] = float(g.delta[i])
+            per_asset[name]["vega_step"] = float(g.vega[i])
     _emit({
         "engine": "lsmc-american (risk-neutral GBM, cubic moneyness basis)",
         "kind": args.kind,
@@ -1311,6 +1320,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "default equal)")
     sp.add_argument("--alpha", type=float, default=0.95,
                     help="tail level (settlement mode)")
+    sp.add_argument("--greeks", action="store_true",
+                    help="append policy-frozen pathwise delta + per-step "
+                         "vega per asset (AD through the stopped paths)")
     _estimator_flags(sp)
     sp.set_defaults(fn=cmd_american)
 

@@ -21,7 +21,9 @@ from mcport.options.hedged import (
     hedged_terminal_returns,
 )
 from mcport.options.american import (
+    AmericanGreeks,
     AmericanPolicy,
+    american_greeks,
     american_hedged_tail_risk,
     american_hedged_terminal_returns,
     american_value,
@@ -50,7 +52,9 @@ __all__ = [
     "hedged_return_bounds",
     "auto_hedged_sketch",
     "AmericanPolicy",
+    "AmericanGreeks",
     "american_value",
+    "american_greeks",
     "american_hedged_terminal_returns",
     "american_hedged_tail_risk",
     "bs_european_value",

@@ -59,7 +59,9 @@ from mcport.options.legs import LegType
 
 __all__ = [
     "AmericanPolicy",
+    "AmericanGreeks",
     "american_value",
+    "american_greeks",
     "bs_european_value",
     "exercise_boundary",
     "american_hedged_terminal_returns",
@@ -308,6 +310,148 @@ def exercise_boundary(policy: AmericanPolicy, asset: int = 0) -> np.ndarray:
     """(n_steps-1,) exercise threshold price per date for ``asset`` (NaN
     where the fitted rule never fires at that date)."""
     return policy.boundary[asset]
+
+
+# ---- policy-frozen pathwise Greeks ------------------------------------------
+
+
+# folded into the base key before per-asset addressing so the Greeks paths
+# can never collide with the pricing paths of the same integer seed (the
+# split-vs-fold_in collision class documented in ops/quantile._CI_KEY_TAG)
+_GREEKS_KEY_TAG = 0x616D6772
+
+
+@dataclass(frozen=True)
+class AmericanGreeks:
+    """Pathwise sensitivities of a batch of American options at a FIXED
+    (policy-frozen) exercise rule. ``value`` is the policy-replay value on
+    the fresh Greeks paths (a cross-check against ``AmericanPolicy.value``);
+    ``delta``/``vega`` differentiate it w.r.t. spot and PER-STEP vol."""
+
+    value: np.ndarray   # (A,) discounted stopped payoff mean, fresh paths
+    delta: np.ndarray   # (A,) dV/dS0
+    vega: np.ndarray    # (A,) dV/dsigma_step (per-step vol units)
+    se: np.ndarray      # (A,) MC standard error of ``value``
+
+
+def _stopped_value(key, s0, sigma, thr, strike, is_put, rate_step, div_step,
+                   n_paths, n_steps, antithetic):
+    """Discounted payoff mean of the FIXED threshold policy ``thr``
+    ((n_steps-1,) prices, ±inf = never) on fresh risk-neutral paths.
+    Differentiable in (s0, sigma): the stop decision is a boolean
+    ``where`` mask (no gradient path), and at the fitted boundary the put's
+    payoff is continuous across the exercise indicator (value matching), so
+    the pathwise derivative is the consistent policy-frozen estimator
+    (envelope theorem: the optimal policy's first-order value change under a
+    spot/vol bump is zero, Glasserman ch. 7)."""
+    half = n_paths // 2 if antithetic else n_paths
+    drift = rate_step - div_step - 0.5 * sigma * sigma
+    disc = jnp.exp(-rate_step * jnp.arange(1, n_steps + 1,
+                                           dtype=jnp.float32))   # (T,)
+
+    def step(carry, t):
+        logs, locked, done = carry
+        z = jax.random.normal(jax.random.fold_in(key, t), (half,),
+                              jnp.float32)
+        if antithetic:
+            z = jnp.concatenate([z, -z])
+        logs = logs + drift + sigma * z
+        s = s0 * jnp.exp(logs)
+        hit = jnp.where(is_put, s <= thr[t - 1], s >= thr[t - 1])
+        newly = hit & ~done
+        locked = jnp.where(newly, _intrinsic(s, strike, is_put) * disc[t - 1],
+                           locked)
+        return (logs, locked, done | newly), None
+
+    init = (jnp.zeros(n_paths, jnp.float32), jnp.zeros(n_paths, jnp.float32),
+            jnp.zeros(n_paths, bool))
+    (logs, locked, done), _ = lax.scan(step, init,
+                                       jnp.arange(1, n_steps))
+    # expiry: no threshold — settle unexercised paths at intrinsic
+    z_t = jax.random.normal(jax.random.fold_in(key, n_steps), (half,),
+                            jnp.float32)
+    if antithetic:
+        z_t = jnp.concatenate([z_t, -z_t])
+    s_t = s0 * jnp.exp(logs + drift + sigma * z_t)
+    pay = jnp.where(done, locked,
+                    _intrinsic(s_t, strike, is_put) * disc[-1])
+    if antithetic:
+        pm = 0.5 * (pay[:half] + pay[half:])
+        se = jnp.std(pm, ddof=1) / jnp.sqrt(half)
+    else:
+        se = jnp.std(pay, ddof=1) / jnp.sqrt(n_paths)
+    return jnp.mean(pay), se
+
+
+@functools.partial(jax.jit, static_argnames=("rate_step", "div_step",
+                                             "n_paths", "n_steps",
+                                             "antithetic"))
+def _greeks_batch(base, s0j, sigj, thrj, kj, putj, rate_step, div_step,
+                  n_paths, n_steps, antithetic):
+    def one(args):
+        i, s0_i, sig_i, thr_i, k_i, put_i = args
+        key = jax.random.fold_in(base, i)
+
+        def val(s0v, sigv):
+            return _stopped_value(key, s0v, sigv, thr_i, k_i, put_i,
+                                  rate_step, div_step, n_paths, n_steps,
+                                  antithetic)
+
+        (v, se), (d, vg) = jax.value_and_grad(val, argnums=(0, 1),
+                                              has_aux=True)(s0_i, sig_i)
+        return v, d, vg, se
+
+    idx = jnp.arange(s0j.shape[0])
+    return lax.map(one, (idx, s0j, sigj, thrj, kj, putj))
+
+
+def american_greeks(
+    policy: AmericanPolicy,
+    seed,
+    s0,
+    sigma_step,
+    div_step: float = 0.0,
+    n_paths: int = 65_536,
+    antithetic: bool = True,
+) -> AmericanGreeks:
+    """Delta and vega of American options under the FITTED exercise policy.
+
+    Pathwise AD with the policy frozen in threshold form: fresh risk-neutral
+    paths (independent key domain, so no collision with the pricing streams)
+    stop at ``policy.boundary`` and the discounted stopped payoff is
+    differentiated w.r.t. ``s0`` and ``sigma_step`` by reverse-mode AD
+    through the whole simulation. Consistent for the American delta/vega by
+    the envelope theorem (the value is first-order stationary in the policy
+    at the optimum); gamma needs the LR/pathwise mixed estimator and lives in
+    the hedged-book tier (:func:`mcport.engine.greeks.hedged_lr_gamma`).
+
+    ``n_steps`` is taken from the policy (``boundary.shape[1] + 1``);
+    ``s0``/``sigma_step`` may differ from the fitting inputs (bump-and-refit
+    is NOT needed — that is the point of the frozen-policy estimator).
+    """
+    s0 = np.atleast_1d(np.asarray(s0, np.float32))
+    sig = np.broadcast_to(np.asarray(sigma_step, np.float32), s0.shape)
+    if s0.shape[0] != policy.strike.shape[0]:
+        raise ValueError("s0 batch does not match the policy's asset batch")
+    if n_paths % 2 and antithetic:
+        raise ValueError("antithetic pairing needs an even n_paths")
+    n_steps = policy.boundary.shape[1] + 1
+    never = np.where(policy.is_put[:, None], -np.inf, np.inf)
+    thr = np.where(np.isnan(policy.boundary), never,
+                   policy.boundary).astype(np.float32)       # (A, T-1)
+
+    base = jax.random.fold_in(
+        jax.random.key(seed) if np.ndim(seed) == 0 else seed,
+        _GREEKS_KEY_TAG)
+    v, d, vg, se = _greeks_batch(
+        base, jnp.asarray(s0), jnp.asarray(sig), jnp.asarray(thr),
+        jnp.asarray(policy.strike, jnp.float32), jnp.asarray(policy.is_put),
+        float(policy.rate_step), float(div_step), n_paths, n_steps,
+        antithetic)
+    return AmericanGreeks(value=np.asarray(v, np.float64),
+                          delta=np.asarray(d, np.float64),
+                          vega=np.asarray(vg, np.float64),
+                          se=np.asarray(se, np.float64))
 
 
 # ---- physical-measure settlement of American-style hedges ------------------

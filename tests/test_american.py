@@ -151,6 +151,58 @@ def test_policy_dataclass_fields(atm_put):
     assert atm_put.se[0] > 0.0
 
 
+# ---- policy-frozen pathwise Greeks ------------------------------------------
+
+
+def bs_call_delta(s0, k, sig_ann, r_ann, t_years):
+    from math import erf, log, sqrt
+
+    d1 = (log(s0 / k) + (r_ann + 0.5 * sig_ann**2) * t_years) / (
+        sig_ann * sqrt(t_years))
+    return 0.5 * (1.0 + erf(d1 / sqrt(2.0)))
+
+
+def test_greeks_put_delta_matches_binomial_fd(atm_put):
+    """Frozen-policy pathwise delta vs a central finite difference of the
+    1000-step binomial American value (h small enough that the FD error is
+    negligible next to the MC tolerance)."""
+    from mcport.options.american import american_greeks
+
+    g = american_greeks(atm_put, 11, [100.0], SIG_STEP, n_paths=PATHS)
+    h = 1.0
+    up = binom_american(100.0 + h, 100.0, 0.30, 0.06, T_YEARS, put=True)
+    dn = binom_american(100.0 - h, 100.0, 0.30, 0.06, T_YEARS, put=True)
+    oracle = (up - dn) / (2.0 * h)
+    assert abs(g.delta[0] - oracle) < 0.02
+    assert -1.0 < g.delta[0] < 0.0
+    assert g.vega[0] > 0.0
+    # the replayed value agrees with the fitting-run value within MC error
+    assert abs(g.value[0] - atm_put.value[0]) < 4.0 * (g.se[0]
+                                                       + atm_put.se[0])
+
+
+def test_greeks_call_no_dividend_matches_bs_delta():
+    """A never-firing policy (non-dividend call) reduces the stopped payoff
+    to the European one, whose pathwise delta must hit Black-Scholes."""
+    from mcport.options.american import american_greeks, american_value
+
+    pol = american_value(4, [100.0], SIG_STEP, [105.0], is_put=False,
+                         rate_step=R_STEP, n_paths=PATHS, n_steps=STEPS)
+    g = american_greeks(pol, 12, [100.0], SIG_STEP, n_paths=PATHS)
+    oracle = bs_call_delta(100.0, 105.0, 0.30, 0.06, T_YEARS)
+    assert abs(g.delta[0] - oracle) < 0.02
+    assert 0.0 < g.delta[0] < 1.0
+
+
+def test_greeks_validation(atm_put):
+    from mcport.options.american import american_greeks
+
+    with pytest.raises(ValueError, match="asset batch"):
+        american_greeks(atm_put, 0, [100.0, 90.0], SIG_STEP, n_paths=64)
+    with pytest.raises(ValueError, match="even"):
+        american_greeks(atm_put, 0, [100.0], SIG_STEP, n_paths=65)
+
+
 # ---- physical-measure American settlement ----------------------------------
 
 

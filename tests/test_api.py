@@ -153,6 +153,11 @@ def test_american_api(data):
         assert row["american"] >= row["european"] - 4.0 * row["se"]
         assert row["se"] > 0.0
 
+    gvals = american_values(data, cfg, strike_rel=0.95, greeks=True)
+    for row in gvals.values():
+        assert -1.0 <= row["delta"] <= 0.0
+        assert row["vega_step"] > 0.0
+
     legs = {data.names[0]: [("BUY_ASSET", 0.0, 0.0, 1.0),
                             ("BUY_PUT", 0.9 * float(data.prices[-1][0]),
                              0.0, 1.0)]}

@@ -411,6 +411,15 @@ def test_american_command(btc, eth):
         assert row["boundary_last"] < row["strike"]
 
 
+def test_american_greeks_flag(btc, eth):
+    out = run_cli(["american", btc, eth, "--period", "W", "--kind", "put",
+                   "--strike-rel", "0.95", "--paths", "4096", "--steps", "13",
+                   "--greeks"])
+    for row in out["per_asset"].values():
+        assert -1.0 <= row["delta"] <= 0.0          # put delta
+        assert row["vega_step"] > 0.0
+
+
 def test_american_settlement_mode(btc, eth, tmp_path):
     import json as _json
 
