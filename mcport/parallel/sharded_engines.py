@@ -39,7 +39,7 @@ __all__ = ["sharded_path_risk", "sharded_family_path_risk",
            "sharded_drawdown_frontier", "sharded_garch_risk",
            "sharded_merton_risk", "sharded_importance_tail",
            "sharded_dcc_risk", "sharded_cvar_attribution",
-           "sharded_hedged_gbm_risk"]
+           "sharded_hedged_gbm_risk", "sharded_american_value"]
 
 
 def sharded_hedged_gbm_risk(
@@ -1148,3 +1148,138 @@ def sharded_cvar_attribution(
     v, comp, n_tail = fn(jnp.asarray(seed, jnp.int32), w)
     comp = np.asarray(comp, np.float64)
     return float(v), float(comp.sum()), comp, int(n_tail)
+
+
+def sharded_american_value(
+    seed,
+    s0,
+    sigma_step,
+    strike,
+    mesh: Mesh,
+    is_put=True,
+    rate_step: float = 0.0,
+    div_step: float = 0.0,
+    n_paths: int = 131_072,
+    n_steps: int = 252,
+    antithetic: bool = True,
+    axis: str = "paths",
+):
+    """Distributed Longstaff-Schwartz over a paths mesh.
+
+    The LSMC backward pass is a regression per exercise date; distributing it
+    is a textbook distributed-least-squares: every device evolves its own
+    counter-seeded slice of the risk-neutral paths, and per backward step the
+    (K, K) Gram matrix and (K,) moment vector of the normal equations psum
+    across the mesh — K = 4 (cubic moneyness basis), so the per-step ICI
+    traffic is 20 floats, never a gather of paths. Every device then solves
+    the identical K×K system and applies the GLOBAL regression to its local
+    paths; the fitted policy (betas/boundaries) is replicated by
+    construction. The ITM support bounds ride pmin/pmax, the value mean and
+    its antithetic-pair standard error ride two more psums.
+
+    The fit uses all ``n_paths`` paths jointly — the result is a single
+    global LSMC estimate (statistically identical to the single-chip
+    :func:`mcport.options.american.american_value`, not an average of
+    per-device fits; streams differ, so values agree within MC error, pinned
+    in tests/test_sharded_engines.py). Returns the same
+    :class:`~mcport.options.american.AmericanPolicy`.
+    """
+    from mcport.options.american import (_RIDGE, AmericanPolicy, _basis,
+                                         _boundaries, _intrinsic,
+                                         bs_european_value)
+
+    n_dev = mesh.shape[axis]
+    if n_paths % n_dev:
+        raise ValueError(f"n_paths {n_paths} not divisible by mesh axis size {n_dev}")
+    n_local = n_paths // n_dev
+    if antithetic and n_local % 2:
+        raise ValueError("antithetic pairing needs an even per-device path count")
+    s0 = np.atleast_1d(np.asarray(s0, np.float32))
+    sig = np.broadcast_to(np.asarray(sigma_step, np.float32), s0.shape)
+    k_arr = np.broadcast_to(np.asarray(strike, np.float32), s0.shape)
+    puts = np.broadcast_to(np.asarray(is_put, bool), s0.shape)
+    if np.any(sig <= 0.0) or np.any(k_arr <= 0.0) or np.any(s0 <= 0.0):
+        raise ValueError("need s0 > 0, strike > 0, sigma > 0")
+
+    half = n_local // 2 if antithetic else n_local
+    disc = float(np.exp(-rate_step))
+    n_pairs = n_paths // 2 if antithetic else n_paths
+
+    def local(seed_j, s0j, sigj, kj, putj):
+        idx = jax.lax.axis_index(axis)
+        dev_key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                     seed_j + idx * SEED_STRIDE)
+
+        def one(args):
+            i, s0_i, sig_i, k_i, put_i = args
+            key = jax.random.fold_in(dev_key, i)
+            drift = rate_step - div_step - 0.5 * sig_i * sig_i
+
+            def sim_step(logs, t):
+                z = jax.random.normal(jax.random.fold_in(key, t), (half,),
+                                      jnp.float32)
+                if antithetic:
+                    z = jnp.concatenate([z, -z])
+                logs = logs + drift + sig_i * z
+                return logs, logs
+
+            _, log_paths = jax.lax.scan(sim_step,
+                                        jnp.zeros(n_local, jnp.float32),
+                                        jnp.arange(n_steps))
+            s_paths = s0_i * jnp.exp(log_paths)          # (T, n_local)
+            cash = _intrinsic(s_paths[-1], k_i, put_i)
+
+            def back_step(cash, s_t):
+                pay = _intrinsic(s_t, k_i, put_i)
+                x = s_t / k_i
+                itm = (pay > 0.0).astype(jnp.float32)
+                b = _basis(x)
+                bw = b * itm[:, None]
+                y = cash * disc
+                # the one load-bearing collective: global normal equations
+                gram = jax.lax.psum(bw.T @ bw, axis)
+                bty = jax.lax.psum(bw.T @ y, axis)
+                gram = gram + (_RIDGE * n_paths) * jnp.eye(
+                    b.shape[1], dtype=jnp.float32)
+                beta = jnp.linalg.solve(gram, bty)
+                cont = b @ beta
+                ex = (itm > 0.0) & (pay >= cont)
+                has = jax.lax.psum(itm.sum(), axis) > 0.0
+                lo = jnp.min(jnp.where(itm > 0.0, x, jnp.inf))
+                hi = jnp.max(jnp.where(itm > 0.0, x, -jnp.inf))
+                lo = jnp.where(has, jax.lax.pmin(lo, axis), 1.0)
+                hi = jnp.where(has, jax.lax.pmax(hi, axis), 1.0)
+                return jnp.where(ex, pay, y), (beta, lo, hi)
+
+            cash2, (betas_rev, lo_rev, hi_rev) = jax.lax.scan(
+                back_step, cash, s_paths[-2::-1])
+            v = cash2 * disc
+            pm = 0.5 * (v[:half] + v[half:]) if antithetic else v
+            s1 = jax.lax.psum(pm.sum(), axis)
+            s2 = jax.lax.psum((pm * pm).sum(), axis)
+            cont0 = s1 / n_pairs
+            var = (s2 - s1 * s1 / n_pairs) / (n_pairs - 1)
+            se = jnp.sqrt(jnp.maximum(var, 0.0) / n_pairs)
+            value = jnp.maximum(cont0, _intrinsic(s0_i, k_i, put_i))
+            return value, se, betas_rev[::-1], lo_rev[::-1], hi_rev[::-1]
+
+        idx_a = jnp.arange(s0j.shape[0])
+        return jax.lax.map(one, (idx_a, s0j, sigj, kj, putj))
+
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(),) * 5,
+                           out_specs=(P(),) * 5, check_vma=False))
+    value, se, betas, x_lo, x_hi = fn(
+        jnp.asarray(seed, jnp.int32), jnp.asarray(s0), jnp.asarray(sig),
+        jnp.asarray(k_arr), jnp.asarray(puts))
+    eur = bs_european_value(s0, sig, k_arr, puts, rate_step, n_steps,
+                            div_step)
+    betas, x_lo, x_hi = (np.asarray(betas), np.asarray(x_lo),
+                         np.asarray(x_hi))
+    kk = np.asarray(k_arr, np.float64)
+    pp = np.asarray(puts)
+    return AmericanPolicy(
+        strike=kk, is_put=pp, rate_step=float(rate_step), betas=betas,
+        x_lo=x_lo, x_hi=x_hi,
+        boundary=_boundaries(betas, x_lo, x_hi, kk, pp),
+        value=np.asarray(value, np.float64), se=np.asarray(se, np.float64),
+        european=np.asarray(eur, np.float64))

@@ -203,6 +203,8 @@ def build_matrix(mesh, mesh2):
             3, mean, chol, w, n, s, mesh, sketch=sk),
         "hedged_gbm_risk": lambda: se.sharded_hedged_gbm_risk(
             3, gbm, w, hedge, n, s, mesh),
+        "american_value": lambda: se.sharded_american_value(
+            3, [100.0, 90.0], 0.02, [100.0, 95.0], mesh, n_paths=n, n_steps=s),
     }
     for model, params_ in (("garch", gp), ("dcc", dp), ("jump", mp),
                            ("heston", hp), ("bootstrap", hist)):
@@ -239,6 +241,9 @@ EXPECTED = {
     # sketch threshold psum, then masked per-asset tail sums at the threshold
     "cvar_attribution": {"all-reduce": 2, "ag_max": 0},
     "hedged_gbm_risk": {"all-reduce": 1, "ag_max": 0},
+    # distributed LSMC: normal-equation psums (gram+bty+itm-count fuse),
+    # pmin/pmax of the ITM support, value-moment psums — K-sized, no gathers
+    "american_value": {"all-reduce": 4, "ag_max": 0},
     "family_path_risk[garch]": {"all-reduce": 1, "ag_max": 0},
     "family_path_risk[dcc]": {"all-reduce": 1, "ag_max": 0},
     "family_path_risk[jump]": {"all-reduce": 1, "ag_max": 0},

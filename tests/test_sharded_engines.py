@@ -631,3 +631,67 @@ def test_sharded_family_frontier_2d_hedged_identity_and_jump(eight_devices):
         sharded_family_drawdown_frontier_2d(
             jax.random.key(0), "nope", h, np.zeros(A), np.ones(A),
             32, 512, 8, mesh2)
+
+
+# ---- distributed Longstaff-Schwartz -----------------------------------------
+
+
+def test_sharded_american_value_vs_single_and_oracle(mesh):
+    """The psum'd-Gram global fit agrees with the single-chip LSMC (different
+    streams, same estimand) and with the binomial lattice oracle."""
+    from mcport.options.american import american_value
+    from mcport.parallel.sharded_engines import sharded_american_value
+    from tests.test_american import (R_STEP, SIG_STEP, STEPS, T_YEARS,
+                                     binom_american)
+
+    n = 32_768
+    pol_m = sharded_american_value(7, [100.0], SIG_STEP, [100.0], mesh,
+                                   is_put=True, rate_step=R_STEP, n_paths=n,
+                                   n_steps=STEPS)
+    pol_s = american_value(7, [100.0], SIG_STEP, [100.0], is_put=True,
+                           rate_step=R_STEP, n_paths=n, n_steps=STEPS)
+    tol = 4.0 * (pol_m.se[0] + pol_s.se[0])
+    assert abs(pol_m.value[0] - pol_s.value[0]) < tol
+    oracle = binom_american(100.0, 100.0, 0.30, 0.06, T_YEARS, put=True)
+    assert oracle - pol_m.value[0] < 4.0 * pol_m.se[0] + 0.01 * oracle
+    assert pol_m.value[0] - oracle < 4.0 * pol_m.se[0]
+    # the replicated policy has the full shape + a sane put boundary
+    assert pol_m.betas.shape == (1, STEPS - 1, 4)
+    b = pol_m.boundary[0]
+    assert np.isfinite(b).all() and (b < 100.0).all()
+    # positive early-exercise premium survives distribution
+    assert pol_m.early_premium[0] > 4.0 * pol_m.se[0]
+
+
+def test_sharded_american_replay_and_call_law(mesh):
+    from mcport.parallel.sharded_engines import sharded_american_value
+    from tests.test_american import R_STEP, SIG_STEP, STEPS
+
+    a = sharded_american_value(3, [100.0, 90.0], [SIG_STEP, SIG_STEP * 1.5],
+                               [100.0, 95.0], mesh, is_put=[True, True],
+                               rate_step=R_STEP, n_paths=16_384,
+                               n_steps=STEPS)
+    b = sharded_american_value(3, [100.0, 90.0], [SIG_STEP, SIG_STEP * 1.5],
+                               [100.0, 95.0], mesh, is_put=[True, True],
+                               rate_step=R_STEP, n_paths=16_384,
+                               n_steps=STEPS)
+    # deterministic replay: bitwise-identical values and policy
+    assert np.array_equal(a.value, b.value)
+    assert np.array_equal(a.betas, b.betas)
+    # Merton: non-dividend American call = European (never exercised early)
+    c = sharded_american_value(5, [100.0], SIG_STEP, [105.0], mesh,
+                               is_put=False, rate_step=R_STEP,
+                               n_paths=32_768, n_steps=STEPS)
+    assert abs(c.value[0] - c.european[0]) < 4.0 * c.se[0]
+
+
+def test_sharded_american_validation(mesh):
+    from mcport.parallel.sharded_engines import sharded_american_value
+    from tests.test_american import SIG_STEP
+
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_american_value(0, [100.0], SIG_STEP, [100.0], mesh,
+                               n_paths=1001, n_steps=4)
+    with pytest.raises(ValueError, match="sigma"):
+        sharded_american_value(0, [100.0], 0.0, [100.0], mesh,
+                               n_paths=1024, n_steps=4)
