@@ -828,3 +828,22 @@ def test_american_lsmc_compiled_law_and_wall():
     assert np.isfinite(b).all() and (b < 100.0).all()
     print(f"\nlsmc 15x131072x{steps}: cold {cold:.1f}s warm {warm:.2f}s "
           f"value {pol.value[0]:.4f} (binomial {oracle:.4f})")
+
+    # policy-frozen pathwise Greeks ON CHIP: reverse-mode AD through the
+    # stopped-path scan must lower to hardware and hit the lattice FD delta
+    from mcport.options.american import american_greeks
+
+    t0 = time.perf_counter()
+    g = american_greeks(pol, 11, np.full(a, 100.0), sig_step,
+                        n_paths=131_072)
+    gwall = time.perf_counter() - t0
+    h = 1.0
+    fd = (binom_american(101.0, 100.0, 0.30, 0.06, t_years, put=True)
+          - binom_american(99.0, 100.0, 0.30, 0.06, t_years, put=True)) / (
+        2.0 * h)
+    for i in range(a):
+        assert abs(g.delta[i] - fd) < 0.02
+        assert g.vega[i] > 0.0
+        assert abs(g.value[i] - pol.value[i]) < 4.0 * (g.se[i] + pol.se[i])
+    print(f"greeks 15x131072x{steps}: {gwall:.1f}s delta {g.delta[0]:.4f} "
+          f"(lattice FD {fd:.4f})")
